@@ -1,0 +1,138 @@
+"""Scalar-function filters as Column builders (SURVEY.md §2.4 table 2).
+
+All pure Catalyst expressions — fingerprint, uuid, bytes, truncate,
+urldecode, de_dot, prune, range tagging, environment.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.operators import op
+from logstash_spark.operators.common import add_tag_when
+
+
+@op("fingerprint")
+def fingerprint(
+    df: DataFrame,
+    source: str | Sequence[str],
+    *,
+    target: str = "fingerprint",
+    method: str = "SHA256",
+    key: str | None = None,
+    concatenate_sources: bool = True,
+) -> DataFrame:
+    """logstash-filter-fingerprint: hash of field(s).
+
+    MURMUR3→xxhash64 (both 64-bit non-crypto; stated substitution),
+    MD5/SHA1/SHA256 exact, UUID→uuid(). HMAC key folds into the input
+    (approximation — Logstash uses true HMAC when key is set).
+    """
+    sources = [source] if isinstance(source, str) else list(source)
+    cols = [F.col(s).cast("string") for s in sources]
+    data = F.concat_ws("|", *cols) if concatenate_sources else cols[0]
+    if key:
+        data = F.concat(F.lit(key), F.lit("|"), data)
+    m = method.upper()
+    if m == "MURMUR3":
+        out: Column = F.xxhash64(data)
+    elif m == "MD5":
+        out = F.md5(data)
+    elif m == "SHA1":
+        out = F.sha1(data)
+    elif m in ("SHA256", "SHA-256"):
+        out = F.sha2(data, 256)
+    elif m == "CRC32":
+        out = F.crc32(data)
+    elif m == "UUID":
+        out = F.expr("uuid()")
+    else:
+        raise ValueError(f"unknown fingerprint method {method}")
+    return df.withColumn(target, out)
+
+
+@op("uuid")
+def uuid(df: DataFrame, target: str = "uuid") -> DataFrame:
+    """logstash-filter-uuid (ref Java demo org/logstash/plugins/filters/Uuid.java)."""
+    return df.withColumn(target, F.expr("uuid()"))
+
+
+_BYTE_UNITS = {
+    "b": 1, "kb": 1024, "k": 1024, "mb": 1024**2, "m": 1024**2,
+    "gb": 1024**3, "g": 1024**3, "tb": 1024**4, "t": 1024**4,
+    "pb": 1024**5,
+}
+
+
+@op("bytes")
+def bytes_filter(df: DataFrame, source: str, *, target: str = "bytes") -> DataFrame:
+    """logstash-filter-bytes: '10 MB' → 10485760 (when-chain unit table)."""
+    num = F.regexp_extract(F.col(source), r"([0-9.]+)", 1).cast("double")
+    unit = F.lower(F.trim(F.regexp_extract(F.col(source), r"[0-9.]+\s*([A-Za-z]+)", 1)))
+    mult: Column = F.lit(1.0)
+    for u, f_ in _BYTE_UNITS.items():
+        mult = F.when(unit == u, F.lit(float(f_))).otherwise(mult)
+    return df.withColumn(target, (num * mult).cast("long"))
+
+
+@op("truncate")
+def truncate(df: DataFrame, fields: Sequence[str], length_bytes: int) -> DataFrame:
+    """logstash-filter-truncate (char approximation of byte cap)."""
+    return df.withColumns(
+        {f_: F.substring(F.col(f_), 1, length_bytes) for f_ in fields}
+    )
+
+
+@op("urldecode")
+def urldecode(df: DataFrame, field: str) -> DataFrame:
+    """logstash-filter-urldecode via native url_decode (Spark 3.5+)."""
+    return df.withColumn(field, F.url_decode(F.col(field)))
+
+
+@op("de_dot")
+def de_dot(df: DataFrame, separator: str = "_") -> DataFrame:
+    """logstash-filter-de_dot: driver-side schema rename (no data movement)."""
+    return df.withColumnsRenamed(
+        {c: c.replace(".", separator) for c in df.columns if "." in c}
+    )
+
+
+@op("prune")
+def prune(
+    df: DataFrame,
+    *,
+    whitelist: str | None = None,
+    blacklist: str | None = None,
+) -> DataFrame:
+    """logstash-filter-prune: regex column whitelist/blacklist — a driver-
+    side select, so Catalyst prunes the parquet scan to the kept columns."""
+    cols = df.columns
+    if whitelist:
+        rx = re.compile(whitelist)
+        cols = [c for c in cols if rx.search(c)]
+    if blacklist:
+        rx = re.compile(blacklist)
+        cols = [c for c in cols if not rx.search(c)]
+    return df.select(*cols)
+
+
+@op("range")
+def range_tag(
+    df: DataFrame, field: str, lo: float, hi: float, *, tag: str = "_rangefailure"
+) -> DataFrame:
+    """logstash-filter-range: tag rows whose value falls outside [lo, hi]."""
+    c = F.col(field).cast("double")
+    return add_tag_when(df, ~c.between(lo, hi), tag)
+
+
+@op("environment")
+def environment(df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """logstash-filter-environment: env var → literal column at PLAN time."""
+    return df.withColumns(
+        {target: F.lit(os.environ.get(var)) for target, var in fields.items()}
+    )

@@ -1,0 +1,193 @@
+"""Grok pattern library + compiler.
+
+Re-implements the semantics of logstash-filter-grok (reference:
+`logstash-filter-grok` [plugin gem], patterns from
+`logstash-patterns-core/patterns/grok-patterns` — see SURVEY.md §2.3):
+`%{SYNTAX:semantic:type}` references expanded recursively into one
+regex with named captures, per-capture type coercion (`:int`, `:float`),
+first-match-wins across a pattern list (`break_on_match`), failure
+tagging `_grokparsefailure`.
+
+The compiled regex is emitted in a dialect valid for BOTH java.util.regex
+(Spark's native `regexp_extract`) and Python `re` (pandas-UDF fast path):
+no possessive quantifiers, no \\p{} unicode classes, no atomic groups.
+Stock patterns below are rewritten from scratch in that common subset —
+they are behavioral equivalents of the public grok-patterns file, not
+copies (several upstream patterns use Oniguruma-only syntax).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Stock pattern library (subset of logstash-patterns-core grok-patterns,
+# rewritten in the java/python common regex dialect).
+# ---------------------------------------------------------------------------
+
+PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\"|'(?:\\.|[^\\'])*')",
+    "QS": r"%{QUOTEDSTRING}",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    # numbers
+    "INT": r"[+-]?(?:[0-9]+)",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "NUMBER": r"%{BASE10NUM}",
+    "BASE16NUM": r"(?:0[xX])?[0-9A-Fa-f]+",
+    "POSINT": r"[1-9][0-9]*",
+    "NONNEGINT": r"[0-9]+",
+    # network
+    "IPV4": r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|%{IPV4})",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    # paths / uri
+    "UNIXPATH": r"(?:/[\w.%!$@:,~+-]*)+",
+    "WINPATH": r"(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?(?:/[0-9]+)?",
+    "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+.-]+)+",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    # dates & times
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?:[^0-9]?)%{HOUR}:%{MINUTE}(?::%{SECOND})(?:[^0-9]?)",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "ISO8601_SECOND": r"%{SECOND}",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"(?:[A-Z]{3,4}|[PMCE][SD]T|UTC)",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    # logging
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid:int}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility:int}.%{NONNEGINT:priority:int}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "SYSLOGLINE": r"%{SYSLOGBASE} %{GREEDYDATA:message}",
+    # apache / nginx access logs
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NUMBER:response:int} (?:%{NUMBER:bytes:int}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+}
+
+_REF = re.compile(r"%\{(\w+)(?::([\w\.\[\]@-]+))?(?::(\w+))?\}")
+_MAX_DEPTH = 32
+
+
+@dataclass(frozen=True)
+class Capture:
+    """One named capture in a compiled grok expression."""
+
+    name: str  # user-facing field name (semantic)
+    group: str  # unique regex group name
+    index: int  # 1-based group index in the compiled regex
+    cast: str | None  # 'int' | 'float' | None
+
+
+@dataclass(frozen=True)
+class CompiledGrok:
+    regex: str
+    captures: tuple[Capture, ...]
+
+
+def _sanitize_group(name: str, taken: set[str]) -> str:
+    base = re.sub(r"[^0-9A-Za-z]", "", name) or "f"
+    if base[0].isdigit():
+        base = "g" + base
+    g, i = base, 0
+    while g in taken:
+        i += 1
+        g = f"{base}{i}"
+    return g
+
+
+def compile_pattern(
+    pattern: str, extra_patterns: dict[str, str] | None = None
+) -> CompiledGrok:
+    """Expand %{SYNTAX:semantic:type} refs into one regex with named groups.
+
+    Mirrors the recursive expansion in jruby-grok's Grok#compile (used by
+    logstash-filter-grok); semantic-less refs (%{SYNTAX}) are non-capturing,
+    matching Logstash's default named_captures_only=true.
+    """
+    library = dict(PATTERNS)
+    if extra_patterns:
+        library.update(extra_patterns)
+
+    captures: list[tuple[str, str, str | None]] = []  # (field, group, cast)
+    taken: set[str] = set()
+
+    def expand(p: str, depth: int) -> str:
+        if depth > _MAX_DEPTH:
+            raise ValueError(f"grok pattern recursion exceeds {_MAX_DEPTH}")
+
+        def sub(m: re.Match[str]) -> str:
+            syntax, semantic, cast = m.group(1), m.group(2), m.group(3)
+            if syntax not in library:
+                raise KeyError(f"unknown grok pattern %{{{syntax}}}")
+            inner = expand(library[syntax], depth + 1)
+            if semantic:
+                g = _sanitize_group(semantic, taken)
+                taken.add(g)
+                captures.append((semantic, g, cast))
+                return f"(?<{g}>{inner})"
+            return f"(?:{inner})"
+
+        return _REF.sub(sub, p)
+
+    regex = expand(pattern, 0)
+    # Group indexes: walk the final regex; named groups appear in order of
+    # their opening parens. Python's re can tell us directly.
+    probe = re.compile(_to_python(regex))
+    caps = tuple(
+        Capture(name=field, group=g, index=probe.groupindex[g], cast=cast)
+        for field, g, cast in captures
+    )
+    return CompiledGrok(regex=regex, captures=caps)
+
+
+def _to_python(java_regex: str) -> str:
+    """(?<name>...) → (?P<name>...) for Python `re`."""
+    return re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", java_regex)
+
+
+def to_python_regex(c: CompiledGrok) -> str:
+    return _to_python(c.regex)
+
+
+def to_java_regex(c: CompiledGrok) -> str:
+    return c.regex

@@ -1,0 +1,184 @@
+"""Stateful/aggregation filters: aggregate, metrics, throttle, elapsed.
+
+Reference (SURVEY.md §2.7): Logstash's aggregate/metrics filters are
+keyed in-memory state flushed on timers, single-worker. Relationally they
+are groupBy/window aggregations — and unlike the reference they scale out:
+the shuffle is keyed, partial-aggregated map-side, and skew-salted.
+
+Skew strategy (SURVEY.md §4): the fixture `source` distribution is
+heavily skewed (web=55%). For high-cardinality-value/low-cardinality-key
+aggregations we salt: first aggregate on (key, salt), then merge the S
+partials — two small shuffles instead of one hot partition. AQE's
+skew-join handling covers the join side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logstash_spark.operators import op
+
+_AGG_BUILDERS = {
+    "count": lambda c: F.count(c or "*"),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c),
+    "collect_list": lambda c: F.collect_list(c),
+    "collect_set": lambda c: F.collect_set(c),
+    "approx_count_distinct": lambda c: F.approx_count_distinct(c),
+    "first": lambda c: F.first(c),
+    "last": lambda c: F.last(c),
+}
+
+
+def _build_aggs(aggs: Mapping[str, tuple[str, str | None]]) -> list[Column]:
+    return [
+        _AGG_BUILDERS[fn](col).alias(alias) for alias, (fn, col) in aggs.items()
+    ]
+
+
+@op("aggregate")
+def aggregate(
+    df: DataFrame,
+    task_id: str | Sequence[str],
+    aggs: Mapping[str, tuple[str, str | None]],
+) -> DataFrame:
+    """logstash-filter-aggregate, batch form: per-task_id state → one row.
+
+    aggs: {out_name: (fn, col)} e.g. {"n": ("count", None),
+    "tok": ("sum", "n_tok")}. Map-side partial aggregation is automatic.
+    """
+    keys = [task_id] if isinstance(task_id, str) else list(task_id)
+    return df.groupBy(*keys).agg(*_build_aggs(aggs))
+
+
+def aggregate_salted(
+    df: DataFrame,
+    key: str,
+    aggs: Mapping[str, tuple[str, str | None]],
+    *,
+    salt_buckets: int = 32,
+    salt_on: str,
+) -> DataFrame:
+    """Two-level salted aggregation for skewed keys: groupBy(key, salt)
+    then merge. Only decomposable aggs (count/sum/min/max) are allowed.
+
+    `salt_on` must be a high-cardinality column (row identity) so the salt
+    is deterministic — reruns produce identical partials.
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    for alias, (fn, _) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"agg {fn} is not salt-decomposable")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "_salt").agg(*_build_aggs(aggs))
+    merged = partial.groupBy(key).agg(
+        *[
+            _AGG_BUILDERS[merge_fn[fn]](alias).alias(alias)
+            for alias, (fn, _) in aggs.items()
+        ]
+    )
+    return merged
+
+
+@op("metrics")
+def metrics(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    *,
+    window_duration: str = "5 minutes",
+    rates: bool = True,
+) -> DataFrame:
+    """logstash-filter-metrics: windowed counts + rates per meter key.
+
+    The reference emits a synthetic event per flush_interval with 1/5/15-min
+    EWMA rates; batch-relationally that is a tumbling-window count with
+    rate = count / window_seconds. Output feeds the `metrics` side table.
+    """
+    win = F.window(F.col(ts), window_duration)
+    secs = _duration_seconds(window_duration)
+    out = (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "cnt",
+        )
+    )
+    if rates:
+        out = out.withColumn("rate_per_sec", F.col("cnt") / F.lit(float(secs)))
+    return out
+
+
+def _duration_seconds(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(n) * mult
+
+
+@op("throttle")
+def throttle(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    *,
+    period_seconds: int = 60,
+    max_count: int = 100,
+    tag: str = "throttled",
+) -> DataFrame:
+    """logstash-filter-throttle, tumbling-window form: tag each event past
+    the first `max_count` within (key, window). Event-order within the
+    window is defined by (ts, row identity) for determinism."""
+    win_start = F.window(F.col(ts), f"{period_seconds} seconds").getField("start")
+    df = df.withColumn("_win", win_start)
+    w = Window.partitionBy(key, "_win").orderBy(F.col(ts).asc())
+    seq = F.row_number().over(w)
+    from logstash_spark.operators.common import add_tag_when
+
+    df = df.withColumn("_seq", seq)
+    df = add_tag_when(df, F.col("_seq") > max_count, tag)
+    return df.drop("_win", "_seq")
+
+
+@op("elapsed")
+def elapsed(
+    df: DataFrame,
+    task_id: str,
+    ts: str,
+    *,
+    start_cond: Column | None = None,
+    end_cond: Column | None = None,
+) -> DataFrame:
+    """logstash-filter-elapsed: seconds between paired start/end events.
+
+    Batch form: groupBy(id) with conditional min/max — one shuffle, no
+    self-join (the naive translation would shuffle twice)."""
+    start_ts = F.min(F.when(start_cond, F.col(ts))) if start_cond is not None else F.min(ts)
+    end_ts = F.max(F.when(end_cond, F.col(ts))) if end_cond is not None else F.max(ts)
+    return df.groupBy(task_id).agg(
+        start_ts.alias("start_ts"),
+        end_ts.alias("end_ts"),
+        (F.unix_micros(end_ts) - F.unix_micros(start_ts)).alias("elapsed_us"),
+    )
+
+
+def rollup_counts(
+    df: DataFrame, dims: Sequence[str], value_col: str | None = None
+) -> DataFrame:
+    """rollup(dim1, dim2) grand-total aggregation used for the per-sink
+    aggregate tables (FIXTURES.md F5)."""
+    aggs = [F.count("*").alias("cnt")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return df.rollup(*dims).agg(*aggs)

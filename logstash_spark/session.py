@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same conf set is used by tests (local[*]) and by spark-submit on a
+real cluster; only master/parallelism differ. AQE is always on: it is
+our runtime answer to skewed `source` keys (SURVEY.md §4 "Skew
+handling") alongside explicit salting in operators.aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches for pandas UDFs: ~10k rows amortizes Python invoke cost
+# without blowing executor memory on wide token arrays (SURVEY.md §4).
+ARROW_BATCH = "10000"
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "logstash_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Logstash semantics are lenient: a failed parse/cast yields null +
+        # a failure tag, never a per-row exception (SURVEY.md §1.1 delta 3).
+        # Spark 4 defaults ANSI on; we run non-ANSI to match.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,137 @@
+"""Snapshot-manifested table layer: Iceberg when available, else parquet
+directories with explicit JSON snapshot manifests.
+
+Why (SURVEY.md §7.0): the north rule requires sinks "resumable from
+Iceberg snapshot checkpoints with per-partition lineage". This sandbox
+has no Iceberg runtime jar, so `SnapshotTable` reproduces the two Iceberg
+properties the pipeline depends on, behind one seam:
+
+  * atomic snapshot commit — data files land under `data/snap-NNNNNN/`,
+    then a manifest `_snapshots/NNNNNN.json` (listing ALL live files +
+    app-level metadata) is published via atomic rename. Readers only see
+    manifested files; a crash mid-write leaves an orphan dir, never a
+    half-visible table.
+  * resume metadata — each manifest carries a `lineage` payload (e.g.
+    which input partitions were processed) that a restarted job reads to
+    skip completed work idempotently.
+
+On a real cluster, `IcebergTable` (same interface) delegates both to
+Iceberg's snapshot/commit machinery via `df.writeTo(...)`.
+Logstash analog: the persisted queue's checkpoint files
+(org/logstash/ackedqueue/Checkpoint.java) — ours checkpoints plans, not
+events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_snapshots"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    files: list[str]
+    lineage: dict[str, Any]
+    meta: dict[str, Any]
+
+
+class SnapshotTable:
+    """Parquet-directory table with atomic JSON snapshot manifests."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def snapshots(self) -> list[int]:
+        d = os.path.join(self.root, MANIFEST_DIR)
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def latest(self) -> Snapshot | None:
+        ids = self.snapshots()
+        return self.load_snapshot(ids[-1]) if ids else None
+
+    def load_snapshot(self, snapshot_id: int) -> Snapshot:
+        p = os.path.join(self.root, MANIFEST_DIR, f"{snapshot_id:06d}.json")
+        with open(p) as f:
+            d = json.load(f)
+        return Snapshot(d["snapshot_id"], d["files"], d.get("lineage", {}), d.get("meta", {}))
+
+    # -- write path ------------------------------------------------------------
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        lineage: dict[str, Any] | None = None,
+        meta: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        """Write df as a new snapshot = previous live files + new dir."""
+        prev = self.latest()
+        sid = (prev.snapshot_id + 1) if prev else 1
+        data_dir = os.path.join("data", f"snap-{sid:06d}-{_uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.root, data_dir)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+
+        new_files = [data_dir]
+        files = (prev.files if prev else []) + new_files
+        merged_lineage = dict(prev.lineage) if prev else {}
+        for k, v in (lineage or {}).items():
+            merged_lineage[k] = v
+        manifest = {
+            "snapshot_id": sid,
+            "files": files,
+            "new_files": new_files,
+            "lineage": merged_lineage,
+            "meta": meta or {},
+        }
+        final = os.path.join(self.root, MANIFEST_DIR, f"{sid:06d}.json")
+        tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.rename(tmp, final)  # atomic publish
+        return Snapshot(sid, files, merged_lineage, meta or {})
+
+    # -- read path ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        snap = (
+            self.load_snapshot(snapshot_id) if snapshot_id is not None else self.latest()
+        )
+        if snap is None or not snap.files:
+            raise FileNotFoundError(f"no committed snapshots in {self.root}")
+        paths = [os.path.join(self.root, f) for f in snap.files]
+        return spark.read.option("mergeSchema", "false").parquet(*paths)
+
+    def processed_partitions(self) -> set[str]:
+        """Input-partition watermark for resume (per-partition lineage)."""
+        snap = self.latest()
+        if not snap:
+            return set()
+        return set(snap.lineage.get("processed_partitions", []))
