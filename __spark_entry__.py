@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship parse→enrich→route→aggregate pipeline
+over a log line synthesized from the sf0.001 `events` table;
+`queries()`/`oracle_sql()` expose every implemented operator from
+SURVEY.md §2 with a DuckDB oracle (see logstash_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -13,26 +12,54 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: grok-parse a synthesized log line from events, enrich
+    event_type via broadcast translate, fan-out route, aggregate per sink."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.enrich import translate
+    from logstash_spark.operators.parse import grok
+    from logstash_spark.operators.route import add_routes
+
+    ev = spark.read.parquet(f"{SF0001}/events.parquet")
+    msg = F.concat(
+        F.col("event_type"), F.lit("["), F.col("user_id").cast("string"),
+        F.lit("]: event="), F.col("event_id").cast("string"),
+    )
+    df = ev.withColumn("message", msg)
+    df = grok(df, "message", r"^%{WORD:verb}\[%{NONNEGINT:uid:int}\]: event=%{NONNEGINT:eid:int}$")
+    df = translate(
+        df, "verb", "category",
+        {"signup": "onboarding", "purchase": "revenue", "click": "engagement",
+         "view": "engagement"},
+        fallback="other",
+    )
+    routed = add_routes(
+        df,
+        {
+            "sink_errors": '[verb] == "error" or "_grokparsefailure" in [tags]',
+            "sink_revenue": '[category] == "revenue"',
+            "sink_engage": '[category] == "engagement"',
+        },
+        else_sink="sink_rest",
+    )
+    return (
+        routed.select(F.explode("routes").alias("sink"), "category", "value")
+        .groupBy("sink", "category")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from logstash_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logstash_spark.queries import ORACLES
+
+    return dict(ORACLES)

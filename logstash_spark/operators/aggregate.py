@@ -166,10 +166,14 @@ def elapsed(
     self-join (the naive translation would shuffle twice)."""
     start_ts = F.min(F.when(start_cond, F.col(ts))) if start_cond is not None else F.min(ts)
     end_ts = F.max(F.when(end_cond, F.col(ts))) if end_cond is not None else F.max(ts)
+    # cast: parquet TIMESTAMP_NTZ → session-UTC timestamp for unix_micros
     return df.groupBy(task_id).agg(
         start_ts.alias("start_ts"),
         end_ts.alias("end_ts"),
-        (F.unix_micros(end_ts) - F.unix_micros(start_ts)).alias("elapsed_us"),
+        (
+            F.unix_micros(end_ts.cast("timestamp"))
+            - F.unix_micros(start_ts.cast("timestamp"))
+        ).alias("elapsed_us"),
     )
 
 

@@ -1,0 +1,470 @@
+"""Correctness-gate query registry: every implemented operator exposed as
+a (spark_fn, duckdb_oracle_sql) pair over the driver test tables.
+
+Each Spark query exercises the REAL operator implementation
+(logstash_spark.operators.*); each oracle re-derives the same result in
+ANSI SQL for DuckDB. Column names and types are aligned on both sides
+(the driver hash-compares values after sorting columns by name).
+
+Float discipline: money aggregates go through DECIMAL and are rounded
+before the final cast to DOUBLE so both engines emit identical values;
+counts are BIGINT on both sides (DuckDB sum() yields HUGEINT otherwise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.operators.aggregate import elapsed, metrics, rollup_counts, throttle
+from logstash_spark.operators.enrich import translate
+from logstash_spark.operators.multiplicity import dedupe
+from logstash_spark.operators.parse import date as date_op
+from logstash_spark.operators.parse import dissect, grok, json_filter, kv
+from logstash_spark.operators.route import add_routes
+from logstash_spark.functions import fingerprint
+from logstash_spark.operators import mutate as M
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Parse operators (grok / dissect / json / kv / date)
+# ---------------------------------------------------------------------------
+
+_GROK_RX = r"^(\w+)\[(\d+)\]: event=(\d+) value=(\w+)$"
+
+
+@query(
+    "grok_parse",
+    f"""
+    SELECT event_id,
+           regexp_extract(m, '{_GROK_RX}', 1) AS verb,
+           CAST(regexp_extract(m, '{_GROK_RX}', 2) AS BIGINT) AS uid,
+           CAST(regexp_extract(m, '{_GROK_RX}', 3) AS BIGINT) AS eid,
+           regexp_extract(m, '{_GROK_RX}', 4) AS status
+    FROM (SELECT event_id,
+                 event_type || '[' || CAST(user_id AS VARCHAR) || ']: event='
+                 || CAST(event_id AS VARCHAR) || ' value=ok' AS m
+          FROM events)
+    """,
+)
+def grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-grok over a log line synthesized from `events`."""
+    ev = _t(spark, sf_dir, "events")
+    msg = F.concat(
+        F.col("event_type"), F.lit("["), F.col("user_id").cast("string"),
+        F.lit("]: event="), F.col("event_id").cast("string"), F.lit(" value=ok"),
+    )
+    df = ev.withColumn("message", msg)
+    g = grok(
+        df,
+        "message",
+        r"^%{WORD:verb}\[%{NONNEGINT:uid:int}\]: event=%{NONNEGINT:eid:int} value=%{WORD:status}$",
+        method="native",
+    )
+    return g.select("event_id", "verb", "uid", "eid", "status")
+
+
+@query(
+    "grok_pandas_parse",
+    f"""
+    SELECT event_id,
+           regexp_extract(m, '{_GROK_RX}', 1) AS verb,
+           CAST(regexp_extract(m, '{_GROK_RX}', 2) AS BIGINT) AS uid,
+           CAST(regexp_extract(m, '{_GROK_RX}', 3) AS BIGINT) AS eid,
+           regexp_extract(m, '{_GROK_RX}', 4) AS status
+    FROM (SELECT event_id,
+                 event_type || '[' || CAST(user_id AS VARCHAR) || ']: event='
+                 || CAST(event_id AS VARCHAR) || ' value=ok' AS m
+          FROM events)
+    """,
+)
+def grok_pandas_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same extraction through the Arrow-vectorized pandas-UDF path."""
+    ev = _t(spark, sf_dir, "events")
+    msg = F.concat(
+        F.col("event_type"), F.lit("["), F.col("user_id").cast("string"),
+        F.lit("]: event="), F.col("event_id").cast("string"), F.lit(" value=ok"),
+    )
+    df = ev.withColumn("message", msg)
+    g = grok(
+        df,
+        "message",
+        r"^%{WORD:verb}\[%{NONNEGINT:uid:int}\]: event=%{NONNEGINT:eid:int} value=%{WORD:status}$",
+        method="pandas",
+    )
+    return g.select("event_id", "verb", "uid", "eid", "status")
+
+
+@query(
+    "dissect_parse",
+    """
+    SELECT event_id,
+           split_part(m, '|', 1) AS verb,
+           split_part(m, '|', 2) AS uid,
+           split_part(m, '|', 3) AS status
+    FROM (SELECT event_id,
+                 event_type || '|' || CAST(user_id AS VARCHAR) || '|ok' AS m
+          FROM events)
+    """,
+)
+def dissect_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-dissect positional tokenizer."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "m",
+        F.concat(F.col("event_type"), F.lit("|"), F.col("user_id").cast("string"), F.lit("|ok")),
+    )
+    d = dissect(df, "m", "%{verb}|%{uid}|%{status}")
+    return d.select("event_id", "verb", "uid", "status")
+
+
+@query(
+    "json_props",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-json: parse the `props` JSON string field."""
+    ev = _t(spark, sf_dir, "events")
+    out = json_filter(ev, "props", schema="k bigint", target="pj")
+    return out.select("event_id", F.col("pj.k").alias("k"))
+
+
+@query(
+    "kv_parse",
+    """
+    SELECT event_id,
+           split_part(split_part(m, ' ', 1), '=', 2) AS uid,
+           split_part(split_part(m, ' ', 2), '=', 2) AS etype
+    FROM (SELECT event_id,
+                 'uid=' || CAST(user_id AS VARCHAR) || ' etype=' || event_type AS m
+          FROM events)
+    """,
+)
+def kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-kv via native str_to_map."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn(
+        "m",
+        F.concat(F.lit("uid="), F.col("user_id").cast("string"),
+                 F.lit(" etype="), F.col("event_type")),
+    )
+    out = kv(df, "m", include_keys=["uid", "etype"])
+    return out.select("event_id", "uid", "etype")
+
+
+@query(
+    "date_parse",
+    """
+    SELECT event_id,
+           strftime(strptime(strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+                             '%d/%b/%Y:%H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS parsed_ts
+    FROM events
+    """,
+)
+def date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-date: apache-style timestamp round-trip."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("raw_ts", F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"))
+    out = date_op(df, "raw_ts", ["dd/MMM/yyyy:HH:mm:ss"], target="parsed")
+    return out.select(
+        "event_id", F.date_format("parsed", "yyyy-MM-dd HH:mm:ss").alias("parsed_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutate / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mutate_ops",
+    """
+    SELECT doc_id,
+           upper(lang) AS lang_up,
+           substr(regexp_replace(text, 'spark', 'SPARK', 'g'), 1, 20) AS snippet,
+           md5(source) AS src_md5
+    FROM documents
+    """,
+)
+def mutate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mutate gsub+uppercase+copy, truncate, fingerprint(MD5) combined."""
+    docs = _t(spark, sf_dir, "documents")
+    out = M.mutate(
+        docs,
+        copy={"lang": "lang_up", "text": "snippet"},
+    )
+    out = M.mutate(out, uppercase=["lang_up"], gsub=[("snippet", "spark", "SPARK")])
+    from logstash_spark.functions import truncate as trunc_op
+
+    out = trunc_op(out, ["snippet"], 20)
+    out = fingerprint(out, "source", target="src_md5", method="MD5")
+    return out.select("doc_id", "lang_up", "snippet", "src_md5")
+
+
+@query(
+    "bytes_convert",
+    """
+    SELECT event_id,
+           CAST(CAST(regexp_extract(s, '([0-9.]+)', 1) AS DOUBLE) * 1048576 AS BIGINT) AS bytes
+    FROM (SELECT event_id, CAST(user_id AS VARCHAR) || ' MB' AS s FROM events)
+    """,
+)
+def bytes_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-bytes: '<n> MB' → byte count."""
+    from logstash_spark.functions import bytes_filter
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("s", F.concat(F.col("user_id").cast("string"), F.lit(" MB")))
+    return bytes_filter(df, "s", target="bytes").select("event_id", "bytes")
+
+
+# ---------------------------------------------------------------------------
+# Enrichment / routing
+# ---------------------------------------------------------------------------
+
+_EVENT_DICT = [
+    ("signup", "onboarding"),
+    ("purchase", "revenue"),
+    ("click", "engagement"),
+    ("view", "engagement"),
+]  # 'error' deliberately absent → fallback
+
+
+@query(
+    "translate_enrich",
+    """
+    SELECT e.event_id, e.event_type,
+           COALESCE(d.category, 'other') AS category
+    FROM events e
+    LEFT JOIN (VALUES ('signup','onboarding'), ('purchase','revenue'),
+                      ('click','engagement'), ('view','engagement'))
+         AS d(event_type, category)
+    ON e.event_type = d.event_type
+    """,
+)
+def translate_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-translate: broadcast dict join with fallback."""
+    ev = _t(spark, sf_dir, "events")
+    out = translate(ev, "event_type", "category", dict(_EVENT_DICT), fallback="other")
+    return out.select("event_id", "event_type", "category")
+
+
+_ROUTE_CONDS = {
+    "r_error": '[event_type] == "error"',
+    "r_big": "[value] > 100",
+    "r_purchase": '[event_type] == "purchase"',
+}
+
+
+@query(
+    "route_fanout",
+    """
+    SELECT 'r_error' AS sink, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'r_big', CAST(count(*) AS BIGINT) FROM events WHERE value > 100
+    UNION ALL
+    SELECT 'r_purchase', CAST(count(*) AS BIGINT)
+      FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'r_rest', CAST(count(*) AS BIGINT) FROM events
+     WHERE event_type != 'error' AND value <= 100 AND event_type != 'purchase'
+    """,
+)
+def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional output fan-out: graph semantics (multi-sink rows) +
+    else-branch, aggregated to per-sink counts."""
+    ev = _t(spark, sf_dir, "events")
+    routed = add_routes(ev, _ROUTE_CONDS, else_sink="r_rest")
+    return (
+        routed.select(F.explode("routes").alias("sink"))
+        .groupBy("sink")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "metrics_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def metrics_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-metrics: tumbling 5-minute meter counts."""
+    ev = _t(spark, sf_dir, "events")
+    m = metrics(ev, "ts", ["event_type"], window_duration="5 minutes", rates=False)
+    return m.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+    FROM documents GROUP BY ROLLUP(source, lang)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (grand totals) — free in Spark, absent in the
+    reference (SURVEY.md §2.7)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_n_chars")
+    )
+
+
+@query(
+    "throttle_tag",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             row_number() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY ts) AS rn
+      FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS throttled_cnt
+    FROM seq WHERE rn > 5 GROUP BY user_id
+    """,
+)
+def throttle_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-throttle: events past the first 5 per (user, hour)."""
+    ev = _t(spark, sf_dir, "events")
+    out = throttle(ev, "user_id", "ts", period_seconds=3600, max_count=5, tag="throttled")
+    return (
+        out.where(F.array_contains("tags", "throttled"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("throttled_cnt"))
+    )
+
+
+@query(
+    "elapsed_pairs",
+    """
+    SELECT user_id,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS elapsed_us
+    FROM events GROUP BY user_id
+    """,
+)
+def elapsed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-elapsed: time between first/last event per task id."""
+    ev = _t(spark, sf_dir, "events")
+    return elapsed(ev, "user_id", "ts").select("user_id", "elapsed_us")
+
+
+@query(
+    "dedupe_exact",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedupe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest doc_id per identical text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("copies")
+    ).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Relational sanity (TPC-H-style over the star schema)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushdown + map-side partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "nation_revenue",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain: orders ⨝ customer ⨝ nation (both dims tiny →
+    zero-shuffle joins; only the final groupBy shuffles)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)
