@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark driver (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline number is the flagship parse→enrich→route→aggregate
+pipeline over the BASELINE.json `input_hint` table (doc_id, tokens,
+n_tok, source, raw) synthesized deterministically at SPARK_GRAFT_BENCH_N
+rows (default 2M — sandbox stand-in for the 10^12-sequence target).
+Every query is forced with a noop write (full computation, no
+driver-side collect). Throughput (sequences/sec) and the local[8] vs
+local[32] scaling study live in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+
+# Representative registry queries (one per operator family) — the full
+# registry runs under the driver's correctness gate; bench picks the
+# heavy/headline ones.
+BENCH_QUERIES = [
+    "grok_parse",
+    "grok_pandas_parse",
+    "dissect_parse",
+    "kv_parse",
+    "translate_enrich",
+    "route_fanout",
+    "metrics_window",
+    "rollup_agg",
+    "throttle_tag",
+    "lineitem_pricing",
+    "nation_revenue",
+    "dedupe_minhash_lsh",
+    "simhash_bands",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def _force(df) -> int:
+    """Force full computation without moving rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _time_best(make_df, spark, reps: int = 2) -> float:
+    """Best-of-N wall time: the sandbox VM has noisy neighbors, so a single
+    run can be 5-10x off; min over reps approximates true plan cost."""
+    best = float("inf")
+    for _ in range(reps):
+        df = make_df()
+        t0 = time.perf_counter()
+        _force(df)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_flagship(spark) -> tuple[float, float]:
+    """E2E parse→enrich→route→aggregate over the input_hint table.
+
+    Returns (wall_sec, rows_per_sec). Generation is fused into the same
+    job (pure column synthesis over spark.range — negligible vs grok).
+    """
+    from pyspark.sql import functions as F
+
+    from logstash_spark.plans.flagship import build_flagship
+    from logstash_spark.sources.gen import input_sequences
+
+    df = input_sequences(spark, BENCH_N, partitions=CPUS * 4)
+    routed = build_flagship(df)
+    # Per-sink aggregate stage (metrics-filter analog): counts + token sums.
+    agg = (
+        routed.select(F.explode("routes").alias("sink"), "source", "n_tok")
+        .groupBy("sink", "source")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tok").alias("sum_n_tok"))
+    )
+    wall = _time_best(lambda: agg, spark)
+    return wall, BENCH_N / wall
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    from logstash_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from logstash_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen once so timings measure steady-state plans.
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    wall, rps = bench_flagship(spark)
+    timings["flagship_e2e"] = round(wall, 3)
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        timings[name] = round(_time_best(lambda: fn(spark, SF_DIR), spark), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "flagship_rows": BENCH_N,
+                "flagship_rows_per_sec": round(rps),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,12 +67,9 @@ def grok(
         # non-break mode applies every matching pattern; fields from later
         # patterns fill holes left by earlier ones → same coalesce shape.
         pass
-    n_caps = max((len(c.captures) for c in compiled), default=0)
-    use_pandas = method == "pandas" or (method == "auto" and n_caps > 4)
+    use_pandas = method == "pandas"
 
     df = ensure_tags(df)
-    src = F.col(field)
-    matched_flags = [src.rlike(c.regex) for c in compiled]
 
     # Union of capture field names across patterns, preserving order.
     out_fields: list[tuple[str, str | None]] = []
@@ -84,36 +81,65 @@ def grok(
                 out_fields.append((cap.name, cap.cast))
 
     if use_pandas:
-        df = _grok_pandas(df, field, compiled, out_fields, matched_flags)
-    else:
-        df = _grok_native(df, src, compiled, out_fields, matched_flags)
+        return _grok_pandas(df, field, compiled, out_fields, tag_on_failure)
+    return _grok_native(df, field, compiled, out_fields, tag_on_failure)
 
-    any_match = F.lit(False)
-    for flag in matched_flags:
-        any_match = any_match | F.coalesce(flag, F.lit(False))
-    return add_tag_when(df, ~any_match, tag_on_failure)
+
+# Pack/split sentinels for the single-pass native path. \x01/\x02 cannot
+# occur in well-formed log text; a capture value containing them would
+# mis-split (use method='pandas' for such data).
+_SEP = "\x01"
+_SENT = "\x02"
 
 
 def _grok_native(
     df: DataFrame,
-    src: Column,
+    field: str,
     compiled: list[grok_lib.CompiledGrok],
     out_fields: list[tuple[str, str | None]],
-    matched_flags: list[Column],
+    tag_on_failure: str,
 ) -> DataFrame:
+    """Single-pass extraction: ONE regexp_replace per pattern rewrites the
+    whole line into SENT + SEP-joined capture values; split/element_at fans
+    the pack out into columns. One regex evaluation per pattern per row
+    (instead of one per capture), and the wide payload columns (token
+    arrays) cross only one extra projection. Pure Catalyst/codegen."""
+    src = F.col(field)
+    tmp_cols: dict[str, Column] = {}
+    for pi, c in enumerate(compiled):
+        repl = _SENT + _SEP + _SEP.join(f"${cap.index}" for cap in c.captures)
+        # Consume the entire line so the replacement result is exactly the
+        # pack; unmatched rows pass through unchanged (no leading SENT).
+        wrapped = "(?s)^(?:.*?)(?:" + c.regex + ")(?:.*)$"
+        tmp_cols[f"_gk{pi}"] = F.split(F.regexp_replace(src, wrapped, repl), _SEP)
+    df = df.withColumns(tmp_cols)
+
+    flags = [
+        F.element_at(F.col(f"_gk{pi}"), 1) == F.lit(_SENT)
+        for pi in range(len(compiled))
+    ]
     new_cols: dict[str, Column] = {}
     for name, cast in out_fields:
         expr: Column = F.lit(None).cast(_cast_type(cast))
         # first-match-wins: reverse-fold when() chain
-        for c, flag in reversed(list(zip(compiled, matched_flags))):
-            cap = next((x for x in c.captures if x.name == name), None)
-            if cap is None:
+        for pi in reversed(range(len(compiled))):
+            c = compiled[pi]
+            pos = next((j for j, x in enumerate(c.captures) if x.name == name), None)
+            if pos is None:
                 continue
-            raw = F.regexp_extract(src, c.regex, cap.index)
-            val = F.nullif(raw, F.lit("")).cast(_cast_type(cast))
-            expr = F.when(flag, val).otherwise(expr)
+            val = F.nullif(
+                F.element_at(F.col(f"_gk{pi}"), pos + 2), F.lit("")
+            ).cast(_cast_type(cast))
+            expr = F.when(flags[pi], val).otherwise(expr)
         new_cols[name] = expr
-    return df.withColumns(new_cols)
+
+    any_match = F.lit(False)
+    for flag in flags:
+        any_match = any_match | F.coalesce(flag, F.lit(False))
+    new_cols["_grok_any"] = any_match
+    df = df.withColumns(new_cols)
+    df = add_tag_when(df, ~F.col("_grok_any"), tag_on_failure)
+    return df.drop("_grok_any", *tmp_cols.keys())
 
 
 def _grok_pandas(
@@ -121,13 +147,14 @@ def _grok_pandas(
     field: str,
     compiled: list[grok_lib.CompiledGrok],
     out_fields: list[tuple[str, str | None]],
-    matched_flags: list[Column],
+    tag_on_failure: str,
 ) -> DataFrame:
     """Single-pass multi-group extraction via Series.str.extract per pattern,
     first-match-wins merge in pandas. Returns a struct column, expanded."""
     struct_fields = [
         T.StructField(name, _cast_type(cast), True) for name, cast in out_fields
     ]
+    struct_fields.append(T.StructField("_grok_any", T.BooleanType(), True))
     out_type = T.StructType(struct_fields)
     pat_py = [grok_lib.to_python_regex(c) for c in compiled]
     caps_per_pat = [{cap.name: cap.group for cap in c.captures} for c in compiled]
@@ -154,14 +181,17 @@ def _grok_pandas(
                 out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Int64")
             elif casts[fname] == "float":
                 out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("float64")
+        out["_grok_any"] = ~remaining
         return out
 
     # Narrow projection through the UDF: only `field` crosses Arrow.
     tmp = "_grok_struct"
     df = df.withColumn(tmp, extract(F.col(field)))
-    for name, _ in out_fields:
-        df = df.withColumn(name, F.col(tmp).getField(name))
-    return df.drop(tmp)
+    new_cols = {name: F.col(tmp).getField(name) for name, _ in out_fields}
+    new_cols["_grok_any"] = F.col(tmp).getField("_grok_any")
+    df = df.withColumns(new_cols)
+    df = add_tag_when(df, ~F.coalesce(F.col("_grok_any"), F.lit(False)), tag_on_failure)
+    return df.drop(tmp, "_grok_any")
 
 
 # ---------------------------------------------------------------------------
