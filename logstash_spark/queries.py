@@ -468,3 +468,8 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
+
+
+# Register the training-data prep queries (dedup/similarity/text/multimodal)
+# into the same QUERIES/ORACLES maps (bottom import avoids a cycle).
+from logstash_spark import queries_dataprep as _qdp  # noqa: E402,F401

@@ -1,0 +1,402 @@
+"""Correctness-gate queries for the training-data prep operators
+(dedup / similarity search / text analysis / multimodal plumbing).
+
+Every query has a DuckDB oracle that reproduces the SAME algorithm —
+hashes are md5-derived (`portable_hash32`) specifically so both engines
+agree bit-for-bit. Near-dup queries inject deterministic duplicates
+(doc_id+100000 = first 2/3 of the original's words; vec_id+100000 =
+identical vector) so the result sets are non-trivially non-empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.operators import dataprep as D
+from logstash_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-duplicate variants (first 2/3 of words, id+100000)."""
+    w = F.split(F.col("text"), " ")
+    cut = F.greatest(F.floor(F.size(w) * 2 / 3).cast("int"), F.lit(1))
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, cut)).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.select("doc_id", "text", "lang", "source").unionByName(variants)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(w[1:greatest(2*len(w)//3, 1)], ' ') AS text,
+         lang, source
+  FROM (SELECT doc_id, string_split(text, ' ') AS w, lang, source FROM documents)
+"""
+
+# md5-derived 32-bit hash, identical on both engines
+_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> {_H32.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+  WHERE len(w) >= 3
+"""
+
+_MINHASH_FNS = [(2, 1), (3, 3), (5, 7), (7, 13), (11, 19), (13, 29), (17, 37), (19, 43)]
+_SIG_SQL = ", ".join(
+    f"list_min(list_transform(sh, h -> ({a}*h + {b}) % 4294967311))" for a, b in _MINHASH_FNS
+)
+
+
+@query(
+    "dedupe_minhash_lsh",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sh, b.band,
+             md5(CAST(sig[b.band*2 + 1] AS VARCHAR) || '_' ||
+                 CAST(sig[b.band*2 + 2] AS VARCHAR)) AS key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sh AS sha, r.sh AS shb
+      FROM banded l
+      JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE)
+                   / (len(sha) + len(shb)
+                      - len(list_filter(sha, x -> list_contains(shb, x)))), 4) AS jaccard
+      FROM cand
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands x 2 rows) near-dup pairs, exact-Jaccard
+    verified at >= 0.5, over documents + injected 2/3-prefix variants."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    corpus = corpus.where(F.size(F.split(F.col("text"), " ")) >= 3)
+    return D.minhash_lsh_pairs(corpus, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
+
+
+@query(
+    "simhash_bands",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM w),
+    n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, js.j,
+             sum((hv // CAST(power(2, js.j) AS BIGINT)) % 2) AS cnt
+      FROM h, (SELECT unnest(range(0, 32)) AS j) js
+      GROUP BY doc_id, js.j
+    ),
+    fp AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN 2*b.cnt > n.n
+                           THEN CAST(power(2, b.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits b JOIN n ON b.doc_id = n.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, simhash,
+           simhash % 256 AS band0,
+           (simhash // 256) % 256 AS band1
+    FROM fp
+    """,
+)
+def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document + two 8-bit LSH bands
+    (equal-band join is the near-dup candidate generator at scale)."""
+    docs = _docs(spark, sf_dir)
+    out = docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        D.simhash_band(F.col("simhash"), 0).alias("band0"),
+        D.simhash_band(F.col("simhash"), 1).alias("band1"),
+    )
+
+
+@query(
+    "ngram_jaccard_blocked",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sh AS (
+      SELECT c.doc_id, c.source, c.lang, s.sh
+      FROM corpus c JOIN ({_SHINGLES_SQL.replace('FROM corpus', 'FROM corpus')}) s
+        ON c.doc_id = s.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4) AS jaccard
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked n-gram Jaccard dedup: all pairs within a
+    (source, lang) block — the exact-fallback path for small blocks
+    (O(B^2) per block; MinHash-LSH is the scale path)."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    corpus = corpus.where(F.size(F.split(F.col("text"), " ")) >= 3)
+    sh = corpus.select(
+        "doc_id", "source", "lang", D.shingle_hashes(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(D.jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
+    )
+    return pairs.where(F.col("jaccard") >= 0.5)
+
+
+@query(
+    "embed_dup_quantized",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings
+    ),
+    keyed AS (
+      SELECT vec_id,
+             md5(array_to_string(list_transform(
+               embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100, 0) AS BIGINT)), '_')) AS qkey
+      FROM corpus
+    )
+    SELECT qkey, CAST(min(vec_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS copies
+    FROM keyed GROUP BY qkey HAVING count(*) > 1
+    """,
+)
+def embed_dup_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via quantized-vector hashing: round each
+    component to 2 decimals, hash, group. One shuffle on the hash key —
+    the O(N) dedup path for exact/near-exact embedding copies."""
+    em = _embs(spark, sf_dir)
+    corpus = em.select("vec_id", "embedding").unionByName(
+        em.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    qkey = F.md5(
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 100, 0).cast("long"),
+            ),
+        )
+    )
+    return (
+        corpus.select("vec_id", qkey.alias("qkey"))
+        .groupBy("qkey")
+        .agg(F.min("vec_id").alias("keep_id"), F.count("*").alias("copies"))
+        .where(F.col("copies") > 1)
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (p, q) -> p + q)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    s AS (
+      SELECT q_id, c_id, round({_cos_sql('q_vec', 'c_vec')}, 6) AS cos
+      FROM q, c WHERE q_id != c_id
+    )
+    SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for queries vec_id<5: broadcast query set,
+    corpus never shuffles; deterministic tie-break on candidate id."""
+    em = _embs(spark, sf_dir)
+    return D.ann_topk_bruteforce(em, em.where(F.col("vec_id") < 5), k=5)
+
+
+_PLANE_TERMS = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({v}, range(1, len({v}) + 1)), "
+    "z -> CAST(z[1] AS DOUBLE) * ((({p}*31 + z[2]*17) % 7) - 3))), (p, q) -> p + q)"
+)
+
+
+def _bucket_sql(v: str, n_planes: int = 6) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_PLANE_TERMS.format(v=v, p=p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"({bits})"
+
+
+@query(
+    "ann_lsh_bucketed",
+    f"""
+    WITH cb AS (
+      SELECT vec_id AS c_id, embedding AS c_vec,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT c_id AS q_id, c_vec AS q_vec, bucket FROM cb WHERE c_id < 8),
+    s AS (
+      SELECT q_id, qb.bucket AS bucket, c_id,
+             round({_cos_sql('q_vec', 'c_vec')}, 6) AS cos
+      FROM qb JOIN cb USING (bucket) WHERE q_id != c_id
+    )
+    SELECT q_id, bucket, c_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT q_id, bucket, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: deterministic random-hyperplane sign buckets;
+    candidates limited to the query's bucket (single equi-join shuffle)."""
+    em = _embs(spark, sf_dir)
+    return D.ann_lsh_bucketed(em, em.where(F.col("vec_id") < 8), k=5, n_planes=6)
+
+
+_STOPS_SQL = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it']"
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w, length(text) AS n_chars
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(w) AS n_words0,
+             round(CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w), 4) AS avg_word_len,
+             round(CAST(len(list_filter(w, x -> list_contains({_STOPS_SQL}, x))) AS DOUBLE)
+                   / len(w), 4) AS stop_ratio,
+             round(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                   / n_chars, 4) AS punct_ratio
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words0 AS INTEGER) AS n_words,
+           avg_word_len, stop_ratio, punct_ratio,
+           round(least(1.0, CAST(n_words0 AS DOUBLE) / 64) * (1 - punct_ratio)
+                 * (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END),
+                 4) AS quality
+    FROM feat
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length/stopword/punctuation ratios +
+    composite score. Pure column expressions — no shuffle at all."""
+    docs = _docs(spark, sf_dir)
+    feats = D.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@query(
+    "text_langid_fingerprint",
+    f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    scores AS (
+      SELECT doc_id, text, w,
+        len(list_filter(list_distinct(w), x -> list_contains(['the','a','and','of'], x))) AS s_en,
+        len(list_filter(list_distinct(w), x -> list_contains(['table','row','column','query'], x))) AS s_db,
+        len(list_filter(list_distinct(w), x -> list_contains(['batch','stream','merge','scan'], x))) AS s_ops
+      FROM base
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_en, s_db, s_ops) = 0
+                OR (CAST(s_en = greatest(s_en, s_db, s_ops) AS INTEGER)
+                    + CAST(s_db = greatest(s_en, s_db, s_ops) AS INTEGER)
+                    + CAST(s_ops = greatest(s_en, s_db, s_ops) AS INTEGER)) != 1
+           THEN 'und'
+           WHEN s_en = greatest(s_en, s_db, s_ops) THEN 'en'
+           WHEN s_db = greatest(s_en, s_db, s_ops) THEN 'db'
+           ELSE 'ops' END AS lang_pred,
+      CAST(len(w) AS INTEGER) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS re_tokens,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     list_transform(w, x -> {_H32.format(x='x')})),
+        (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+    FROM scores
+    """,
+)
+def text_langid_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language id + token counts + order-sensitive rolling
+    document fingerprint (polynomial hash mod P)."""
+    docs = _docs(spark, sf_dir)
+    toks = D.token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        D.lang_id(F.col("text")).alias("lang_pred"),
+        toks["ws_tokens"].alias("ws_tokens"),
+        toks["re_tokens"].cast("int").alias("re_tokens"),
+        D.rolling_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: text → binary column → Arrow-batched
+    mapInPandas 'decode' (stubbed deterministic fake; real impl would call
+    PIL/ffmpeg per batch). Exercises binary schema + batch iteration."""
+    docs = _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    return D.binary_meta_decode(docs, "payload")
