@@ -177,6 +177,62 @@ def elapsed(
     )
 
 
+@op("throttle_sliding")
+def throttle_sliding(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    *,
+    period_seconds: int = 60,
+    max_count: int = 100,
+    tag: str = "throttled",
+) -> DataFrame:
+    """logstash-filter-throttle, sliding form (closer to the reference's
+    per-key token window than the tumbling variant): an event is tagged
+    when more than `max_count` events of its key fall inside the
+    trailing `period_seconds` window ending at it. RANGE window frame —
+    one shuffle on `key`, no state op needed in batch."""
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us)
+        .rangeBetween(-period_seconds * 1_000_000, 0)
+    )
+    from logstash_spark.operators.common import add_tag_when
+
+    df = df.withColumn("_cnt_win", F.count(F.lit(1)).over(w))
+    df = add_tag_when(df, F.col("_cnt_win") > max_count, tag)
+    return df.drop("_cnt_win")
+
+
+@op("sessionize")
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    *,
+    gap_seconds: int = 1800,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based session assignment (logstash-filter-aggregate
+    `inactivity_timeout` analog; streaming twin is session_window).
+
+    lag + running sum over (key ORDER BY ts): a new session starts when
+    the gap to the previous event exceeds `gap_seconds`. One shuffle on
+    `key`; ties within a timestamp are broken by the ts column only, so
+    callers needing total determinism should pass a composite ts."""
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    gap_us = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    new_sess = (prev.isNull() | (gap_us > gap_seconds * 1_000_000)).cast("int")
+    sess_no = F.sum(new_sess).over(w)
+    return df.withColumn(
+        session_col, F.concat(F.col(key).cast("string"), F.lit("#"), sess_no)
+    )
+
+
 def rollup_counts(
     df: DataFrame, dims: Sequence[str], value_col: str | None = None
 ) -> DataFrame:

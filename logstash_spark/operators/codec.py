@@ -1,0 +1,77 @@
+"""Edge codecs (SURVEY.md §2.2) — the non-trivial one is multiline.
+
+logstash-codec-multiline joins continuation lines into one event by
+regex `pattern` / `what` / `negate`. Relationally this is
+sessionization: flag event-start lines, running-sum them into a session
+id over (partition, order), then group-concat. Two window passes + one
+keyed shuffle — scales with partition count, unlike the reference's
+inherently sequential per-stream buffer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logstash_spark.operators import op
+
+
+@op("multiline")
+def multiline(
+    df: DataFrame,
+    field: str,
+    pattern: str,
+    *,
+    what: str = "previous",
+    negate: bool = False,
+    group_by: Sequence[str] = ("source_file",),
+    order_by: str = "line_no",
+) -> DataFrame:
+    """logstash-codec-multiline as sessionization.
+
+    what='previous': a line matching `pattern` belongs WITH the previous
+    line (so a NON-matching line starts a new event). `negate` inverts the
+    match. what='next': a matching line belongs with the NEXT line (the
+    event boundary is after the last non-matching line).
+
+    Output: one row per joined event — group keys, event_start (first
+    order_by value), n_lines, and `field` = lines joined with \\n.
+    """
+    keys = list(group_by)
+    matches = F.col(field).rlike(pattern)
+    if negate:
+        matches = ~matches
+
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    if what == "previous":
+        # matching line continues previous -> new event where NOT matching
+        starts = (~matches).cast("int")
+        sess = F.sum(starts).over(w)
+    elif what == "next":
+        # matching line glues to the following line -> a new event starts
+        # right after any non-matching line; lag the inverse flag.
+        prev_matches = F.lag(matches.cast("int"), 1, 1).over(w)
+        starts = (prev_matches == 0).cast("int")
+        sess = F.sum(starts).over(w)
+    else:
+        raise ValueError(f"what must be previous|next, got {what}")
+
+    df = df.withColumn("_sess", sess)
+    ordered_lines = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_by).alias("o"), F.col(field).alias("v")))
+        ),
+        lambda s: s.getField("v"),
+    )
+    return (
+        df.groupBy(*keys, "_sess")
+        .agg(
+            F.min(order_by).alias("event_start"),
+            F.count("*").alias("n_lines"),
+            F.concat_ws("\n", ordered_lines).alias(field),
+        )
+        .drop("_sess")
+    )

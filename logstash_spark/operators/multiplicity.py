@@ -46,16 +46,20 @@ def drop_events(
     *,
     percentage: float | None = None,
     key: str | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """logstash-filter-drop: cancel matching events; optional `percentage`
-    sampling. Sampling is DETERMINISTIC — pmod(xxhash64(key), 100) — so
-    reruns and the duckdb oracle agree (never rand(); SURVEY.md §7.3)."""
+    sampling. Sampling is DETERMINISTIC — pmod(hash(key), 100) — so
+    reruns and the duckdb oracle agree (never rand(); SURVEY.md §7.3).
+    Default hash is xxhash64 (cheapest JVM-side); pass
+    dataprep.portable_hash32 as hash_fn for cross-engine reproducibility."""
     keep = F.lit(True)
     if condition is not None:
         keep = keep & ~F.coalesce(condition, F.lit(False))
     if percentage is not None:
         assert key is not None, "deterministic sampling needs a key column"
-        sampled = F.pmod(F.xxhash64(F.col(key)), F.lit(100)) < F.lit(int(percentage))
+        h = (hash_fn or F.xxhash64)(F.col(key))
+        sampled = F.pmod(h, F.lit(100)) < F.lit(int(percentage))
         # drop `percentage`% of the rows that matched the condition
         if condition is not None:
             keep = ~(F.coalesce(condition, F.lit(False)) & sampled)

@@ -428,6 +428,53 @@ def csv_filter(
     return df.drop(tmp)
 
 
+# ---------------------------------------------------------------------------
+# useragent (coarse, regex when-chain — the uap-core regex DB distilled to
+# family classes; full-fidelity parse would be a pandas UDF over ua-parser)
+# ---------------------------------------------------------------------------
+
+_UA_BROWSERS = [
+    ("bot", r"(?i)bot|crawler|spider|slurp"),
+    ("Edge", r"Edg(e|A|iOS)?/"),
+    ("Opera", r"(OPR|Opera)[/ ]"),
+    ("Firefox", r"Firefox/"),
+    ("Chrome", r"Chrome/"),
+    ("Safari", r"Safari/"),
+    ("IE", r"MSIE |Trident/"),
+]
+_UA_OS = [
+    ("Android", r"Android"),
+    ("iOS", r"iPhone|iPad|iPod"),
+    ("Windows", r"Windows"),
+    ("macOS", r"Mac OS X|Macintosh"),
+    ("Linux", r"Linux|X11"),
+]
+
+
+@op("useragent")
+def useragent(
+    df: DataFrame, field: str, *, target_prefix: str = "ua_"
+) -> DataFrame:
+    """logstash-filter-useragent, coarse mode: ordered rlike when-chains
+    classify browser family and OS family (reference uses the uap-core
+    regex set; the chain order mirrors its precedence — e.g. Edge/Opera
+    before Chrome, Chrome before Safari)."""
+    src = F.col(field)
+
+    def chain(table: list[tuple[str, str]]) -> Column:
+        out: Column = F.lit("Other")
+        for name, rx in reversed(table):
+            out = F.when(src.rlike(rx), F.lit(name)).otherwise(out)
+        return out
+
+    return df.withColumns(
+        {
+            f"{target_prefix}name": chain(_UA_BROWSERS),
+            f"{target_prefix}os": chain(_UA_OS),
+        }
+    )
+
+
 _SYSLOG_SEVERITIES = [
     "emergency", "alert", "critical", "error",
     "warning", "notice", "informational", "debug",

@@ -23,7 +23,6 @@ from __future__ import annotations
 import hashlib
 import os
 from dataclasses import dataclass, field
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,7 +106,17 @@ def run_pipeline(
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
 
     result = RunResult(run_id=run_id)
-    sink_part_counts: dict[str, Any] = {}
+
+    # ONE job computes (sink, partition) → count for every sink's lineage
+    # (previously one job per sink — K extra cache scans at scale).
+    per_sink_part: dict[str, dict[int, int]] = {}
+    for r in (
+        routed.select(F.explode(ROUTES).alias("_sink"), "_in_part")
+        .groupBy("_sink", "_in_part")
+        .count()
+        .collect()
+    ):
+        per_sink_part.setdefault(r["_sink"], {})[int(r["_in_part"])] = r["count"]
 
     # ---- per-sink writes (idempotent via run_id in snapshot lineage) ----
     for sink in spec.sink_names():
@@ -117,27 +126,17 @@ def run_pipeline(
             result.skipped_sinks.append(sink)
             continue
         out = route_filter(routed, sink).drop(ROUTES, "_in_part", *drop_before_write)
-        per_part = (
-            route_filter(routed, sink)
-            .groupBy("_in_part")
-            .count()
-            .collect()
-        )
+        parts = per_sink_part.get(sink, {})
         table.append(
             out,
             lineage={
                 "run_id": run_id,
-                "processed_partitions": sorted(
-                    int(r["_in_part"]) for r in per_part
-                ),
-                "rows_per_partition": {
-                    str(r["_in_part"]): r["count"] for r in per_part
-                },
+                "processed_partitions": sorted(parts),
+                "rows_per_partition": {str(p): c for p, c in parts.items()},
             },
             meta={"pipeline": spec.name, "sink": sink},
         )
-        sink_part_counts[sink] = sum(r["count"] for r in per_part)
-        result.sink_counts[sink] = sink_part_counts[sink]
+        result.sink_counts[sink] = sum(parts.values())
         if fail_after_sink == sink:
             routed.unpersist()
             raise RuntimeError(f"injected failure after sink {sink}")

@@ -471,5 +471,7 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
 
 
 # Register the training-data prep queries (dedup/similarity/text/multimodal)
-# into the same QUERIES/ORACLES maps (bottom import avoids a cycle).
+# and the batch-2 Logstash operator queries into the same QUERIES/ORACLES
+# maps (bottom imports avoid a cycle).
 from logstash_spark import queries_dataprep as _qdp  # noqa: E402,F401
+from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401

@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Cap GC parallelism: on a VM with all 32 vCPUs driving worker
+        # threads, default GC thread counts (=ncpu) spin against the
+        # workers — measured 17% kernel time at local[32], gone with the
+        # cap (BENCH/BASELINE.md "GC contention" note).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UseG1GC -XX:ParallelGCThreads=4 -XX:ConcGCThreads=2",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,154 @@
+"""Streaming mode: the SAME batch plan over an unbounded source.
+
+Reference mapping (SURVEY.md §2.7 "Streaming semantics comparison"):
+
+| Logstash                          | Here                                  |
+|-----------------------------------|---------------------------------------|
+| input file tail / beats / kafka   | readStream (file dir / rate / kafka)  |
+| queue + batch assembly            | micro-batch trigger                   |
+| filter stage (workers)            | the identical batch transformations   |
+| aggregate/metrics wall-clock flush| event-time windows + watermark        |
+| PQ ack / at-least-once            | checkpointLocation, exactly-once sink |
+
+Design rule: the parse→enrich→route plan is built by the SAME functions
+the batch path uses (`build_flagship` etc.) — foreachBatch applies it
+per micro-batch for multi-sink fan-out (one streaming query, N sink
+writes per batch, all from one cached micro-batch frame). Windowed
+metrics run as a real incremental streaming aggregation with a
+watermark, because that one is cheaper incrementally than per-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def file_stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """logstash-input-file analog: tail a landing directory. Offsets /
+    sincedb = the streaming checkpoint; late files are picked up by
+    directory listing, exactly-once per file."""
+    rdr = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        rdr = rdr.option("maxFilesPerTrigger", max_files_per_trigger)
+    return rdr.load(path)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """logstash-input-generator analog (benchmark source)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def run_streaming_fanout(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    sinks: Sequence[str],
+    sinks_root: str,
+    checkpoint_dir: str,
+    *,
+    routes_col: str = "routes",
+    available_now: bool = True,
+    drop_before_write: Sequence[str] = (),
+):
+    """Multi-sink conditional fan-out over a stream.
+
+    foreachBatch gets the micro-batch as a plain DataFrame: apply the
+    batch transform once, persist, then one filtered parquet append per
+    sink — the exact persist-before-fanout rule the batch path uses
+    (SURVEY.md §4). Exactly-once: foreachBatch + deterministic paths +
+    the streaming checkpoint (re-delivered batches overwrite by batch id).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = transform(batch_df)
+        routed = routed.persist()
+        try:
+            for sink in sinks:
+                out = routed.where(F.array_contains(F.col(routes_col), sink))
+                out = out.drop(routes_col, *drop_before_write)
+                (
+                    out.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(f"{sinks_root}/{sink}")
+                )
+        finally:
+            routed.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_metrics(
+    stream_df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    *,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """logstash-filter-metrics as an incremental windowed aggregation.
+
+    The watermark bounds state (the reference's clear_interval analog) and
+    defines late-data cutoff — a capability Logstash lacks entirely
+    (wall-clock timers only, SURVEY.md §2.7)."""
+    win = F.window(F.col(ts), window_duration)
+    return (
+        stream_df.withWatermark(ts, watermark)
+        .groupBy(win.alias("w"), *keys)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "cnt",
+        )
+    )
+
+
+def streaming_sessions(
+    stream_df: DataFrame,
+    ts: str,
+    key: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """aggregate-filter inactivity_timeout analog: native session_window
+    (incremental state, watermark-bounded) — the streaming twin of the
+    batch `sessionize` operator."""
+    return (
+        stream_df.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("s"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key,
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )

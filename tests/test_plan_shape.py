@@ -1,0 +1,109 @@
+"""Physical-plan shape assertions: the plans we WANT at 100 TB, not just
+plans that pass (predicate pushdown, column pruning, broadcast joins,
+no Python in native paths, wide-payload pruning through the pipeline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from logstash_spark.queries import QUERIES
+
+    df = QUERIES["lineitem_pricing"](spark, SF)
+    plan = plan_of(df)
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    # scan reads only the needed columns (5 of 16)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast_not_sortmerge(spark):
+    from logstash_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_translate_is_broadcast_join(spark):
+    from logstash_spark.operators.enrich import translate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = translate(ev, "event_type", "cat", {"click": "c", "view": "v"}, fallback="o")
+    assert "BroadcastHashJoin" in plan_of(out)
+
+
+def test_native_grok_has_no_python(spark):
+    from logstash_spark.operators.parse import grok
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "m", F.concat(F.col("event_type"), F.lit(" x"))
+    )
+    g = grok(ev, "m", r"^%{WORD:verb} %{WORD:tail}$", method="native")
+    plan = plan_of(g)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pandas_grok_single_arrow_node(spark):
+    from logstash_spark.operators.parse import grok
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "m", F.concat(F.col("event_type"), F.lit(" x"))
+    )
+    g = grok(ev, "m", r"^%{WORD:verb} %{WORD:tail}$", method="pandas")
+    # one Arrow exchange, not one per extracted field
+    assert plan_of(g).count("ArrowEvalPython") == 1
+
+
+def test_flagship_agg_prunes_token_payload(spark):
+    """The aggregate path never materializes the wide `tokens` arrays —
+    Catalyst prunes them out of generation entirely."""
+    from logstash_spark.plans.flagship import build_flagship
+    from logstash_spark.sources.gen import input_sequences
+
+    df = input_sequences(spark, 1000, partitions=4)
+    routed = build_flagship(df)
+    agg = (
+        routed.select(F.explode("routes").alias("sink"), "source", "n_tok")
+        .groupBy("sink", "source")
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert "tokens" not in optimized_of(agg)
+
+
+def test_ann_bruteforce_corpus_not_shuffled(spark):
+    from logstash_spark.operators.dataprep import ann_topk_bruteforce
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ann_topk_bruteforce(em, em.where(F.col("vec_id") < 3), k=3)
+    plan = plan_of(out)
+    # query side broadcast; the only exchange is the final top-k window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("qname", ["grok_parse", "route_fanout", "text_quality"])
+def test_whole_stage_codegen_present(spark, qname):
+    """Hot paths stay inside whole-stage codegen (no interpreted fallback)."""
+    from logstash_spark.queries import QUERIES
+
+    df = QUERIES[qname](spark, SF)
+    # collect() finalizes THIS DataFrame's QueryExecution (a write action
+    # would execute a separate one and leave this plan isFinalPlan=false)
+    df.collect()
+    plan = plan_of(df)
+    # '*(N)' prefixes mark WholeStageCodegen stages in toString()
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
