@@ -394,11 +394,23 @@ def json_filter(
         ]
         rdr = df.sparkSession.read
         schema = rdr.json(df.sparkSession.sparkContext.parallelize(sample)).schema
-    parsed = F.from_json(F.col(field), schema)
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    # PERMISSIVE from_json yields an all-null struct (never a NULL struct)
+    # for invalid input — detect failures via the corrupt-record column.
+    corrupt = "_corrupt_record"
+    schema_c = T.StructType(list(schema.fields) + [T.StructField(corrupt, T.StringType())])
+    parsed = F.from_json(
+        F.col(field), schema_c, {"columnNameOfCorruptRecord": corrupt, "mode": "PERMISSIVE"}
+    )
     df = ensure_tags(df)
     tgt = target or "_json"
     df = df.withColumn(tgt, parsed)
-    df = add_tag_when(df, F.col(field).isNotNull() & parsed.isNull(), tag_on_failure)
+    failed = F.col(field).isNotNull() & (
+        F.col(f"{tgt}.`{corrupt}`").isNotNull() | F.col(tgt).isNull()
+    )
+    df = add_tag_when(df, failed, tag_on_failure)
+    df = df.withColumn(tgt, F.col(tgt).dropFields(corrupt))
     if target is None:
         # root merge (logstash default): expand struct fields to top level
         names = df.select(f"{tgt}.*").columns

@@ -475,3 +475,4 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
 # maps (bottom imports avoid a cycle).
 from logstash_spark import queries_dataprep as _qdp  # noqa: E402,F401
 from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401
+from logstash_spark import queries_logstash3 as _ql3  # noqa: E402,F401

@@ -1,0 +1,177 @@
+"""Correctness-gate queries, batch 3: failure-tagging semantics
+("failure is data, never an exception" — SURVEY.md §1.1 delta 3),
+translate regex mode, conditional elapsed pairing, and the salted
+skew aggregation path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.operators.aggregate import aggregate_salted, elapsed
+from logstash_spark.operators.enrich import translate
+from logstash_spark.operators.parse import date as date_op
+from logstash_spark.operators.parse import grok, json_filter
+from logstash_spark.queries import query
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@query(
+    "grok_failure_tag",
+    """
+    SELECT has_fail, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT (event_id % 7 = 0) AS has_fail FROM events)
+    GROUP BY has_fail
+    """,
+)
+def grok_failure_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-is-data: every 7th line is malformed → `_grokparsefailure`
+    tag, row passes through (never an exception)."""
+    ev = _ev(spark, sf_dir)
+    line = F.when(
+        F.col("event_id") % 7 == 0, F.lit("!!corrupt!!")
+    ).otherwise(F.concat(F.lit("type="), F.col("event_type")))
+    df = ev.withColumn("line", line)
+    g = grok(df, "line", r"^type=%{WORD:etype}$")
+    return (
+        g.select(F.array_contains("tags", "_grokparsefailure").alias("has_fail"))
+        .groupBy("has_fail")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "date_failure_tag",
+    """
+    SELECT has_fail, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT (event_id % 5 = 0) AS has_fail FROM events)
+    GROUP BY has_fail
+    """,
+)
+def date_failure_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date filter: unparseable timestamp → `_dateparsefailure` tag,
+    target stays null, row survives."""
+    ev = _ev(spark, sf_dir)
+    raw = F.when(F.col("event_id") % 5 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    df = ev.withColumn("raw_ts", raw)
+    out = date_op(df, "raw_ts", ["yyyy-MM-dd HH:mm:ss"], target="parsed")
+    return (
+        out.select(F.array_contains("tags", "_dateparsefailure").alias("has_fail"))
+        .groupBy("has_fail")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "json_failure_tag",
+    """
+    SELECT has_fail, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT (event_id % 11 = 0) AS has_fail FROM events)
+    GROUP BY has_fail
+    """,
+)
+def json_failure_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json filter: invalid JSON → `_jsonparsefailure` tag (codec-json
+    semantics: raw preserved, event not dropped)."""
+    ev = _ev(spark, sf_dir)
+    doc = F.when(F.col("event_id") % 11 == 0, F.lit("{broken")).otherwise(
+        F.concat(F.lit('{"k": '), F.col("user_id").cast("string"), F.lit("}"))
+    )
+    df = ev.withColumn("doc", doc)
+    out = json_filter(df, "doc", schema="k bigint", target="pj")
+    return (
+        out.select(F.array_contains("tags", "_jsonparsefailure").alias("has_fail"))
+        .groupBy("has_fail")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "translate_regex_mode",
+    """
+    SELECT event_id,
+           CASE WHEN event_type SIMILAR TO '(click|view).*' THEN 'engagement'
+                WHEN event_type SIMILAR TO '.*(purchase|signup).*' THEN 'conversion'
+                ELSE 'other' END AS category
+    FROM events
+    """,
+)
+def translate_regex_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """translate regex mode: ordered rlike chain (first matching pattern
+    wins), fallback for no match."""
+    ev = _ev(spark, sf_dir)
+    out = translate(
+        ev,
+        "event_type",
+        "category",
+        {"^(click|view)": "engagement", "(purchase|signup)": "conversion"},
+        regex=True,
+        fallback="other",
+    )
+    return out.select("event_id", "category")
+
+
+@query(
+    "elapsed_conditional",
+    """
+    SELECT user_id,
+           CAST(date_diff('microsecond',
+                          min(CASE WHEN event_type = 'signup' THEN ts END),
+                          max(CASE WHEN event_type = 'purchase' THEN ts END))
+                AS BIGINT) AS elapsed_us
+    FROM events GROUP BY user_id
+    HAVING min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+       AND max(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+    """,
+)
+def elapsed_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-elapsed with start/end conditions: first signup →
+    last purchase per user, one shuffle (conditional min/max, no
+    self-join)."""
+    ev = _ev(spark, sf_dir)
+    out = elapsed(
+        ev,
+        "user_id",
+        "ts",
+        start_cond=F.col("event_type") == "signup",
+        end_cond=F.col("event_type") == "purchase",
+    )
+    return out.where(
+        F.col("start_ts").isNotNull() & F.col("end_ts").isNotNull()
+    ).select("user_id", "elapsed_us")
+
+
+@query(
+    "aggregate_salted_skew",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,3))), 3) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def aggregate_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation for skewed keys (SURVEY.md §4 skew
+    handling): groupBy(key, salt) partials then merge — numerically
+    identical to the plain groupBy the oracle computes (decimal sums)."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,3)")
+    )
+    out = aggregate_salted(
+        ev,
+        "event_type",
+        {"n": ("count", None), "sum_value": ("sum", "value_dec")},
+        salt_buckets=16,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 3).cast("double").alias("sum_value"),
+    )
