@@ -124,6 +124,79 @@ def streaming_metrics(
     )
 
 
+def streaming_dedupe(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming dedup: first event per key wins; state is bounded
+    by the watermark (dropDuplicatesWithinWatermark — keys older than the
+    watermark are evicted, so state never grows unboundedly at 10^12
+    scale). The fingerprint+conditional Logstash pattern, stateful."""
+    return stream_df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def streaming_token_bucket(
+    stream_df: DataFrame,
+    key: str,
+    ts: str,
+    *,
+    capacity: int = 100,
+    refill_per_sec: float = 1.0,
+    out_schema: str = "key string, ts timestamp, allowed boolean, tokens double",
+):
+    """logstash-filter-throttle's true token bucket as a CUSTOM STATEFUL
+    streaming operator via applyInPandasWithState (SURVEY.md §2.8: the
+    sanctioned arbitrary-state escape hatch).
+
+    Per key, state = (tokens, last_ts_epoch). Each micro-batch processes
+    its rows in event-time order, refilling `refill_per_sec` up to
+    `capacity`; a row is `allowed` if a token is available. State lives in
+    the state store (checkpointed, partitioned by key — scales out like
+    any keyed stream).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cap = float(capacity)
+    rate = float(refill_per_sec)
+
+    def bucket(key_tuple, pdf_iter, state: GroupState):
+        if state.exists:
+            tokens, last = state.get
+        else:
+            tokens, last = cap, 0.0
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts)
+            for t in pdf[ts]:
+                now = t.timestamp()
+                if last > 0:
+                    tokens = min(cap, tokens + max(0.0, now - last) * rate)
+                last = now
+                allowed = tokens >= 1.0
+                if allowed:
+                    tokens -= 1.0
+                rows.append((key_tuple[0], t, allowed, tokens))
+        state.update((float(tokens), float(last)))
+        yield pd.DataFrame(rows, columns=["key", "ts", "allowed", "tokens"])
+
+    return (
+        stream_df.groupBy(F.col(key))
+        .applyInPandasWithState(
+            bucket,
+            outputStructType=out_schema,
+            stateStructType="tokens double, last double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_sessions(
     stream_df: DataFrame,
     ts: str,
