@@ -148,6 +148,87 @@ def elapsed_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dissect_advanced",
+    """
+    SELECT event_id,
+           split_part(m, '-', 1) AS proto,
+           split_part(split_part(m, ' ', 1), '-', 2) || '_' ||
+             split_part(split_part(m, ' ', 1), '-', 3) AS host_zone,
+           split_part(m, ' ', 3) AS msg
+    FROM (SELECT event_id,
+                 'tcp-' || event_type || '-z' || CAST(user_id % 4 AS VARCHAR)
+                 || ' ignored ' || CAST(event_id AS VARCHAR) AS m
+          FROM events)
+    """,
+)
+def dissect_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect %{+append} (joined with append_separator) and %{?skip}:
+    'tcp-<type>-z<n> ignored <id>' → proto, host_zone (appended), msg."""
+    from logstash_spark.operators.parse import dissect
+
+    ev = _ev(spark, sf_dir)
+    m = F.concat(
+        F.lit("tcp-"), F.col("event_type"), F.lit("-z"),
+        (F.col("user_id") % 4).cast("string"), F.lit(" ignored "),
+        F.col("event_id").cast("string"),
+    )
+    df = ev.withColumn("m", m)
+    out = dissect(
+        df, "m", "%{proto}-%{host_zone}-%{+host_zone} %{?junk} %{msg}",
+        append_separator="_",
+    )
+    return out.select("event_id", "proto", "host_zone", "msg")
+
+
+@query(
+    "grok_multi_pattern",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0
+                THEN split_part(m, '=', 2)
+                ELSE split_part(split_part(m, '<', 2), '>', 1) END AS etype,
+           (event_id % 2 != 0) AS used_alt
+    FROM (SELECT event_id,
+                 CASE WHEN event_id % 2 = 0 THEN 'type=' || event_type
+                      ELSE 'evt<' || event_type || '>' END AS m
+          FROM events)
+    """,
+)
+def grok_multi_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok break_on_match: pattern list, first match wins; rows alternate
+    between two formats, each caught by exactly one pattern."""
+    ev = _ev(spark, sf_dir)
+    m = F.when(
+        F.col("event_id") % 2 == 0, F.concat(F.lit("type="), F.col("event_type"))
+    ).otherwise(F.concat(F.lit("evt<"), F.col("event_type"), F.lit(">")))
+    df = ev.withColumn("m", m)
+    g = grok(
+        df, "m",
+        [r"^type=%{WORD:etype}$", r"^evt<%{WORD:alt_type}>$"],
+    )
+    return g.select(
+        "event_id",
+        F.coalesce(F.col("etype"), F.col("alt_type")).alias("etype"),
+        F.col("alt_type").isNotNull().alias("used_alt"),
+    )
+
+
+@query(
+    "prune_projection",
+    """
+    SELECT event_id, event_type FROM events
+    """,
+)
+def prune_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-prune: whitelist regex → driver-side select, so
+    Catalyst prunes the parquet scan to the kept columns."""
+    from logstash_spark.functions import prune
+
+    ev = _ev(spark, sf_dir)
+    return prune(ev, whitelist=r"^event_")
+
+
+@query(
     "aggregate_salted_skew",
     """
     SELECT event_type,
