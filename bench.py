@@ -91,6 +91,69 @@ def bench_flagship(spark) -> tuple[float, float]:
     return wall, BENCH_N / wall
 
 
+DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "200000"))
+ANN_VECS = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "100000"))
+
+
+def synthetic_docs(spark, n: int):
+    """Deterministic word-salad docs (~40-word texts over a 64-word vocab,
+    10% near-duplicate tail) for dedup scale benching."""
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    # Word choice must be PROPERLY mixed (xxhash64), not a linear form:
+    # arithmetic progressions mod the vocab size generate only a few
+    # thousand distinct grams corpus-wide, which collapses every minhash
+    # band into ~N/64-sized buckets (O(N^2) candidate pairs). Also no
+    # element_at over a literal array — interpreted HOF lambdas rebuild
+    # literal arrays per element.
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(24) + (i % 31).cast("int")),
+        lambda j: F.format_string(
+            "w%03d", F.pmod(F.xxhash64(i * F.lit(100003) + j.cast("long")), F.lit(512))
+        ),
+    )
+    base = spark.range(0, n, 1, CPUS * 4).select(
+        i.alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+    # 10% duplicates: re-emit docs 0..n/10 with a truncated text
+    dup_src = base.where(F.col("doc_id") < n // 10)
+    w = F.split(F.col("text"), " ")
+    dups = dup_src.select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, F.greatest((F.size(w) * 4 / 5).cast("int"), F.lit(3)))).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def bench_dedupe_scale(spark) -> float:
+    """MinHash-LSH near-dup detection over DEDUP_DOCS synthetic docs."""
+    from logstash_spark.operators.dataprep import minhash_lsh_pairs
+
+    docs = synthetic_docs(spark, DEDUP_DOCS)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
+    return _time_best(lambda: pairs, spark)
+
+
+def bench_ann_scale(spark) -> float:
+    """Brute-force cosine top-5 for 16 queries over ANN_VECS synthetic
+    32-dim vectors (corpus never shuffles; broadcast query set)."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.dataprep import ann_topk_bruteforce
+
+    i = F.col("id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda j: (((i * 63 + j.cast("long") * 40503) % 1000).cast("double") / 500.0 - 1.0),
+    )
+    em = spark.range(0, ANN_VECS, 1, CPUS * 4).select(
+        i.alias("vec_id"), vec.alias("embedding")
+    )
+    out = ann_topk_bruteforce(em, em.where(F.col("vec_id") < 16), k=5)
+    return _time_best(lambda: out, spark)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from logstash_spark.session import get_spark
@@ -107,6 +170,8 @@ def main() -> None:
 
     wall, rps = bench_flagship(spark)
     timings["flagship_e2e"] = round(wall, 3)
+    timings["dedupe_minhash_scale"] = round(bench_dedupe_scale(spark), 3)
+    timings["ann_bruteforce_scale"] = round(bench_ann_scale(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
@@ -126,6 +191,8 @@ def main() -> None:
                 "sf": sf,
                 "flagship_rows": BENCH_N,
                 "flagship_rows_per_sec": round(rps),
+                "dedup_docs": DEDUP_DOCS,
+                "ann_vectors": ANN_VECS,
                 "cpus": CPUS,
             }
         )
