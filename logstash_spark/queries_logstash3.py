@@ -229,6 +229,64 @@ def prune_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "translate_multi_enrich",
+    """
+    SELECT e.event_id, e.event_type,
+           COALESCE(d.category, 'other') AS category,
+           COALESCE(d.weight, 0) AS weight
+    FROM events e
+    LEFT JOIN (VALUES ('click', 'engagement', 1), ('view', 'engagement', 1),
+                      ('purchase', 'revenue', 5), ('signup', 'onboarding', 3))
+         AS d(event_type, category, weight)
+      ON e.event_type = d.event_type
+    """,
+)
+def translate_multi_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jdbc_static analog: multi-column broadcast dictionary join with
+    per-column fallbacks (translate_multi)."""
+    from logstash_spark.operators.enrich import static_lookup_df, translate_multi
+
+    ev = _ev(spark, sf_dir)
+    dict_df = static_lookup_df(
+        spark,
+        [("click", "engagement", 1), ("view", "engagement", 1),
+         ("purchase", "revenue", 5), ("signup", "onboarding", 3)],
+        ["event_type", "category", "weight"],
+    )
+    out = translate_multi(
+        ev, "event_type", dict_df, "event_type",
+        fallbacks={"category": "other", "weight": 0},
+    )
+    return out.select("event_id", "event_type", "category", F.col("weight").cast("long").alias("weight"))
+
+
+@query(
+    "metrics_rates",
+    """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) / 300.0, 6) AS rate_per_sec
+    FROM events GROUP BY 1, 2
+    """,
+)
+def metrics_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-metrics with rates: tumbling counts + events/sec
+    (the 1-min-rate meter analog, window-exact instead of EWMA)."""
+    from logstash_spark.operators.aggregate import metrics
+
+    ev = _ev(spark, sf_dir)
+    m = metrics(ev, "ts", ["event_type"], window_duration="5 minutes", rates=True)
+    return m.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "cnt",
+        F.round("rate_per_sec", 6).alias("rate_per_sec"),
+    )
+
+
+@query(
     "aggregate_salted_skew",
     """
     SELECT event_type,
