@@ -366,6 +366,74 @@ def ann_lsh_bucketed(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its `nprobe` nearest
+    centroids by cosine (broadcast centroid table; ties break on centroid
+    id). Output: (id_col, vec_col, bucket, probe_rank).
+
+    At 10^12 vectors the centroid table stays dictionary-sized (O(sqrt N)
+    lists at most) — assignment is a broadcast nested-loop scan, then all
+    downstream search joins are equi-joins on `bucket`.
+    """
+    from pyspark.sql.window import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_vec")
+    )
+    scored = df.join(F.broadcast(c)).withColumn(
+        "_ccos", F.round(cosine(F.col(vec_col), F.col("_cent_vec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cent_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(id_col, vec_col, F.col("_cent_id").alias("bucket"), "probe_rank")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their single nearest-centroid list;
+    each query probes its `nprobe` nearest lists. One equi-join shuffle on
+    `bucket`; recall grows with nprobe. The deterministic centroid set
+    (caller-provided) makes results reproducible across engines — swap in
+    k-means centroids at production scale (same topology)."""
+    from pyspark.sql.window import Window
+
+    cb = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    cb = cb.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    qb = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
+    qb = qb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket")
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

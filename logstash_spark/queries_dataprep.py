@@ -304,6 +304,54 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ann_lsh_bucketed(em, em.where(F.col("vec_id") < 8), k=5, n_planes=6)
 
 
+@query(
+    "ann_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+                  FROM embeddings WHERE vec_id < 8),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             round({_cos_sql('e.embedding', 'c.cent_vec')}, 6) AS ccos
+      FROM embeddings e, cent c
+    ),
+    cb AS (
+      SELECT vec_id AS c_id, embedding AS c_vec, cent_id AS bucket
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cent_id) AS pr FROM a)
+      WHERE pr = 1
+    ),
+    qb AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, cent_id AS bucket
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cent_id) AS pr
+            FROM a WHERE vec_id < 6)
+      WHERE pr <= 2
+    ),
+    s AS (
+      SELECT q_id, c_id, round({_cos_sql('q_vec', 'c_vec')}, 6) AS cos
+      FROM qb JOIN cb USING (bucket) WHERE q_id != c_id
+    )
+    SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+          FROM s)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroid set (vec_id<8), corpus in nearest-
+    centroid lists, queries (vec_id<6) probe their 2 nearest lists —
+    the trained-quantizer topology for 10^12-vector search."""
+    em = _embs(spark, sf_dir)
+    return D.ann_ivf(
+        em,
+        em.where(F.col("vec_id") < 6),
+        em.where(F.col("vec_id") < 8),
+        k=5,
+        nprobe=2,
+    )
+
+
 _STOPS_SQL = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it']"
 
 
