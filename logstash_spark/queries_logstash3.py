@@ -229,6 +229,44 @@ def prune_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "de_dot_rename",
+    """
+    SELECT event_id, event_type AS event_meta_type
+    FROM events
+    """,
+)
+def de_dot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-de_dot: dotted field names → separator-joined
+    (pure driver-side schema rename, zero data movement)."""
+    from logstash_spark.functions import de_dot
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("event.meta.type")
+    )
+    out = de_dot(ev, separator="_")
+    return out.select("event_id", "event_meta_type")
+
+
+@query(
+    "environment_field",
+    """
+    SELECT event_id, 'bench' AS deploy_env FROM events
+    """,
+)
+def environment_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-environment: env var → literal column at PLAN time
+    (no per-row work; the value is a broadcast constant)."""
+    import os as _os
+
+    from logstash_spark.functions import environment
+
+    _os.environ["LS_DEPLOY_ENV"] = "bench"
+    ev = _ev(spark, sf_dir)
+    out = environment(ev, {"deploy_env": "LS_DEPLOY_ENV"})
+    return out.select("event_id", "deploy_env")
+
+
+@query(
     "translate_multi_enrich",
     """
     SELECT e.event_id, e.event_type,

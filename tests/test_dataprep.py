@@ -108,6 +108,22 @@ def test_token_counts_and_fingerprint(spark):
     assert r2.fp != r.fp
 
 
+def test_ann_ivf_recall_monotone(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(40)]
+    em = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = em.where(F.col("vec_id") < 4)
+    cent = em.where(F.col("vec_id") < 6)
+    bf = {(r.q_id, r.c_id) for r in D.ann_topk_bruteforce(em, q, k=3).collect()}
+    prev = -1
+    for nprobe in (1, 3, 6):
+        ivf = {(r.q_id, r.c_id) for r in D.ann_ivf(em, q, cent, k=3, nprobe=nprobe).collect()}
+        rec = len(ivf & bf)
+        assert rec >= prev
+        prev = rec
+    # probing every list reproduces brute force exactly
+    assert ivf == bf
+
+
 def test_binary_meta_decode_stub(spark):
     df = spark.createDataFrame([(1, "abcd"), (2, "a" * 700)], ["doc_id", "text"])
     df = df.withColumn("payload", F.encode(F.col("text"), "utf-8"))
