@@ -14,7 +14,12 @@ Scale design notes
 * MinHash/SimHash candidate generation is a self-equi-join on a band key:
   shuffle is hash-partitioned on (band_idx, band_key), so work per reducer
   is bounded by bucket size, never O(N²). Pathologically hot buckets (all-
-  identical docs) are bounded by `max_bucket` salt-and-cap.
+  identical docs) are star-paired against the bucket representative when
+  they exceed `max_bucket` — O(B) pairs instead of O(B²) — so a dup-heavy
+  crawl shard cannot blow up candidate generation (see minhash_lsh_pairs).
+* The band self-join carries ONLY (id, band, key) — shingle sets are
+  re-joined once per side AFTER candidate dedup, so shuffle bytes scale
+  with the candidate count, not candidates × shingle-set size.
 * Brute-force ANN broadcasts the (small) query set — zero shuffle on the
   corpus side; the LSH-bucketed variant shuffles once on the bucket id.
 * Every hash is derived from md5 (`portable_hash32`) so DuckDB oracles can
@@ -100,6 +105,7 @@ def shingle_sig_table(
     extra_cols: Sequence[str] = (),
     n: int = 3,
     k: int | None = 8,
+    short_doc: str = "drop",
 ) -> DataFrame:
     """Relational shingle+signature computation: posexplode words → lead
     window builds n-grams → hash → ONE groupBy computes the distinct
@@ -108,8 +114,14 @@ def shingle_sig_table(
     higher-order functions run interpreted per element; this path is
     whole-stage-codegen'd) and the single keyed shuffle scales out.
 
-    Docs with fewer than n words produce no output row. Output columns:
-    _id, *extra_cols, _sh (array<long>, distinct), _sig (array<long>).
+    `short_doc` controls docs with fewer than n words:
+      * 'drop' — no output row (such docs are excluded from dedup
+        coverage entirely; callers must filter or accept the gap);
+      * 'whole_text' — the whole text hashes to a single shingle, so
+        EXACT duplicates of short documents still collide in every band.
+
+    Output columns: _id, *extra_cols, _sh (array<long>, distinct),
+    _sig (array<long>).
     """
     from pyspark.sql.window import Window
 
@@ -141,6 +153,22 @@ def shingle_sig_table(
         out = out.withColumn(
             "_sig", F.array(*[F.col(f"_m{i}") for i in range(k)])
         ).drop(*[f"_m{i}" for i in range(k)])
+    if short_doc == "whole_text":
+        # single-shingle fallback: exact short-doc dups still collide
+        h = portable_hash32(F.col(text_col))
+        short = df.where(F.size(words_of(F.col(text_col))) < n).select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in extra_cols],
+            F.array(h).alias("_sh"),
+            *(
+                [F.array(
+                    *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+                      for a, b in MINHASH_AB[:k]]
+                ).alias("_sig")]
+                if k else []
+            ),
+        )
+        out = out.unionByName(short)
     return out
 
 
@@ -171,41 +199,69 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
+    short_doc: str = "drop",
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard ≥ threshold. Output: (doc_a, doc_b, jaccard).
 
-    Candidate generation is an equi-join on the band key — the only
-    shuffle besides the shingle groupBy, hash-partitioned and
-    AQE-skew-handled. Verification re-uses the shingle arrays carried on
-    both sides of the join.
-    """
-    rows = k // bands
-    base = shingle_sig_table(df, id_col, text_col, n=n, k=k)
-    banded = base.select(
-        "_id", "_sh", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("_bk")
-    ).select("_id", "_sh", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key"))
+    Scale topology (the three rules that keep this sub-quadratic at any
+    duplicate rate):
+      * the band self-join carries ONLY (id, band, key) — shingle arrays
+        are re-joined per side AFTER `dropDuplicates`, so the candidate
+        shuffle moves O(pairs) ids, not O(pairs × shingle-set) longs;
+      * buckets larger than `max_bucket` (a dup-heavy shard hashing to
+        one band key) are STAR-paired: every member pairs with the
+        bucket's min-id representative only — O(B) candidates instead of
+        O(B²), and identical docs still all link through the
+        representative. Normal buckets do the exact all-pairs join;
+      * bucket sizes come from a window over (band, key) — the same hash
+        partitioning the self-join uses, so AQE reuses the exchange.
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l._band") == F.col("r._band"))
-            & (F.col("l._key") == F.col("r._key"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("doc_a"),
-            F.col("r._id").alias("doc_b"),
-            F.col("l._sh").alias("_sha"),
-            F.col("r._sh").alias("_shb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    `sig_table` lets callers pass a persisted `shingle_sig_table` output
+    (columns _id/_sh/_sig) so the signature aggregation is computed once,
+    not re-derived for banding + both verify joins.
+    """
+    from pyspark.sql.window import Window
+
+    rows = k // bands
+    base = (
+        sig_table
+        if sig_table is not None
+        else shingle_sig_table(df, id_col, text_col, n=n, k=k, short_doc=short_doc)
+    )
+    banded = base.select(
+        "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("_bk")
+    ).select("_id", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key"))
+
+    w = Window.partitionBy("_band", "_key")
+    banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min("_id").over(w)
+    )
+
+    normal = banded.where(F.col("_bn") <= max_bucket)
+    left = normal.alias("l")
+    right = normal.alias("r")
+    pairs_normal = left.join(
+        right,
+        (F.col("l._band") == F.col("r._band"))
+        & (F.col("l._key") == F.col("r._key"))
+        & (F.col("l._id") < F.col("r._id")),
+    ).select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+    pairs_hot = banded.where(
+        (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("_id").alias("doc_b"))
+
+    cand = pairs_normal.unionByName(pairs_hot).dropDuplicates(["doc_a", "doc_b"])
+    sh = base.select("_id", "_sh")
+    scored = (
+        cand.join(sh.withColumnsRenamed({"_id": "doc_a", "_sh": "_sha"}), "doc_a")
+        .join(sh.withColumnsRenamed({"_id": "doc_b", "_sh": "_shb"}), "doc_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 4))
     )
     return (
-        pairs.withColumn("jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 4))
-        .where(F.col("jaccard") >= threshold)
+        scored.where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 

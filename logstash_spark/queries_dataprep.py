@@ -60,6 +60,18 @@ _SHINGLES_SQL = f"""
   WHERE len(w) >= 3
 """
 
+# shingles with the whole-text single-shingle fallback for docs < 3 words
+# (shingle_sig_table short_doc='whole_text')
+_SHINGLES_FALLBACK_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(
+                     range(1, len(w) - 1),
+                     i -> {_H32.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}))
+              ELSE [{_H32.format(x="text")}] END AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus)
+"""
+
 _MINHASH_FNS = [(2, 1), (3, 3), (5, 7), (7, 13), (11, 19), (13, 29), (17, 37), (19, 43)]
 _SIG_SQL = ", ".join(
     f"list_min(list_transform(sh, h -> ({a}*h + {b}) % 4294967311))" for a, b in _MINHASH_FNS
@@ -70,7 +82,7 @@ _SIG_SQL = ", ".join(
     "dedupe_minhash_lsh",
     f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
-    sh AS ({_SHINGLES_SQL}),
+    sh AS ({_SHINGLES_FALLBACK_SQL}),
     sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
     banded AS (
       SELECT doc_id, sh, b.band,
@@ -95,10 +107,14 @@ _SIG_SQL = ", ".join(
 )
 def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=8) + LSH(4 bands x 2 rows) near-dup pairs, exact-Jaccard
-    verified at >= 0.5, over documents + injected 2/3-prefix variants."""
+    verified at >= 0.5, over documents + injected 2/3-prefix variants.
+    Short docs (<3 words) fall back to a whole-text single shingle so
+    exact short-doc duplicates are still caught."""
     corpus = _dup_corpus(_docs(spark, sf_dir))
-    corpus = corpus.where(F.size(F.split(F.col("text"), " ")) >= 3)
-    return D.minhash_lsh_pairs(corpus, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
+    return D.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5,
+        short_doc="whole_text",
+    )
 
 
 @query(

@@ -33,6 +33,57 @@ def test_minhash_lsh_finds_near_dup(tiny_docs):
     assert abs(jac - round(7 / 9, 4)) < 1e-9
 
 
+def test_minhash_hot_bucket_star_guard(spark):
+    """A dup-heavy corpus (many identical docs) must produce O(B) star
+    candidates against the bucket representative, not O(B^2) all-pairs —
+    and every identical doc must still be linked to the representative."""
+    n_dup = 40
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n_dup)]
+    rows += [(100 + i, f"unique{i} filler{i} words{i} here{i} now{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5, max_bucket=10
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # star topology: all 39 dups link to representative doc 0, nothing else
+    assert found == {(0, i) for i in range(1, n_dup)}
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_minhash_normal_bucket_exact_pairs(spark):
+    """Below max_bucket the exact all-pairs join still runs (no recall
+    loss for normal buckets)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5, max_bucket=100
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert found == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_minhash_short_doc_fallback(spark):
+    """short_doc='whole_text': exact duplicates of docs shorter than n
+    words are still caught (single whole-text shingle); 'drop' excludes
+    them silently."""
+    rows = [
+        (1, "tiny doc"),
+        (2, "tiny doc"),
+        (3, "other short"),
+        (4, "a sufficiently long document with many distinct words inside"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5,
+        short_doc="whole_text",
+    ).collect()
+    assert {(r.doc_a, r.doc_b, r.jaccard) for r in pairs} == {(1, 2, 1.0)}
+    dropped = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5, short_doc="drop"
+    ).collect()
+    assert dropped == []
+
+
 def test_jaccard_exact(spark):
     df = spark.range(1).select(
         D.jaccard(F.array(F.lit(1), F.lit(2), F.lit(3)), F.array(F.lit(2), F.lit(3), F.lit(4))).alias("j")
