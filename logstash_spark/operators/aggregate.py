@@ -136,13 +136,17 @@ def throttle(
     period_seconds: int = 60,
     max_count: int = 100,
     tag: str = "throttled",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """logstash-filter-throttle, tumbling-window form: tag each event past
     the first `max_count` within (key, window). Event-order within the
-    window is defined by (ts, row identity) for determinism."""
+    window is (ts, tiebreak): pass a unique row-identity column as
+    `tiebreak` for full determinism — with ties on `ts` alone, WHICH rows
+    get tagged is engine-dependent (the tagged COUNT is always exact)."""
     win_start = F.window(F.col(ts), f"{period_seconds} seconds").getField("start")
     df = df.withColumn("_win", win_start)
-    w = Window.partitionBy(key, "_win").orderBy(F.col(ts).asc())
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key, "_win").orderBy(*order)
     seq = F.row_number().over(w)
     from logstash_spark.operators.common import add_tag_when
 

@@ -110,7 +110,10 @@ def _grok_native(
         repl = _SENT + _SEP + _SEP.join(f"${cap.index}" for cap in c.captures)
         # Consume the entire line so the replacement result is exactly the
         # pack; unmatched rows pass through unchanged (no leading SENT).
-        wrapped = "(?s)^(?:.*?)(?:" + c.regex + ")(?:.*)$"
+        # DOTALL is scoped to the wrapper's .* only — the user pattern keeps
+        # default '.' semantics (multi-line values: GREEDYDATA must not
+        # cross newlines, matching Oniguruma's default and the pandas path).
+        wrapped = "^(?s:.*?)(?:" + c.regex + ")(?s:.*)$"
         tmp_cols[f"_gk{pi}"] = F.split(F.regexp_replace(src, wrapped, repl), _SEP)
     df = df.withColumns(tmp_cols)
 
@@ -396,9 +399,19 @@ def json_filter(
         schema = rdr.json(df.sparkSession.sparkContext.parallelize(sample)).schema
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
+    if not isinstance(schema, T.StructType):
+        raise TypeError(
+            f"json filter schema must describe a JSON object (StructType), got {schema}"
+        )
     # PERMISSIVE from_json yields an all-null struct (never a NULL struct)
     # for invalid input — detect failures via the corrupt-record column.
+    # The column name must not collide with a legitimate field of the
+    # user's schema (a payload key named _corrupt_record would otherwise
+    # mis-tag valid rows).
     corrupt = "_corrupt_record"
+    taken = set(schema.fieldNames())
+    while corrupt in taken:
+        corrupt = "_" + corrupt
     schema_c = T.StructType(list(schema.fields) + [T.StructField(corrupt, T.StringType())])
     parsed = F.from_json(
         F.col(field), schema_c, {"columnNameOfCorruptRecord": corrupt, "mode": "PERMISSIVE"}

@@ -356,17 +356,22 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id,
              row_number() OVER (
-               PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
-               ORDER BY ts) AS rn
+               PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts, event_id) AS rn
       FROM events)
     SELECT user_id, CAST(count(*) AS BIGINT) AS throttled_cnt
-    FROM seq WHERE rn > 5 GROUP BY user_id
+    FROM seq WHERE rn > 2 GROUP BY user_id
     """,
 )
 def throttle_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """logstash-filter-throttle: events past the first 5 per (user, hour)."""
+    """logstash-filter-throttle: events past the first 2 per (user, day).
+    Deterministic tie-break on event_id; thresholds chosen so the gate is
+    non-trivial (nonzero tagged rows) at the driver's sf0.01."""
     ev = _t(spark, sf_dir, "events")
-    out = throttle(ev, "user_id", "ts", period_seconds=3600, max_count=5, tag="throttled")
+    out = throttle(
+        ev, "user_id", "ts", period_seconds=86400, max_count=2, tag="throttled",
+        tiebreak="event_id",
+    )
     return (
         out.where(F.array_contains("tags", "throttled"))
         .groupBy("user_id")

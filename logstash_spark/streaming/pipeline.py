@@ -67,10 +67,13 @@ def run_streaming_fanout(
     """Multi-sink conditional fan-out over a stream.
 
     foreachBatch gets the micro-batch as a plain DataFrame: apply the
-    batch transform once, persist, then one filtered parquet append per
+    batch transform once, persist, then one filtered parquet write per
     sink — the exact persist-before-fanout rule the batch path uses
-    (SURVEY.md §4). Exactly-once: foreachBatch + deterministic paths +
-    the streaming checkpoint (re-delivered batches overwrite by batch id).
+    (SURVEY.md §4). Exactly-once: each sink write is partitioned by
+    `_batch_id` with DYNAMIC partition overwrite, so a batch replayed
+    after a mid-fan-out crash overwrites its own partition in every sink
+    instead of appending duplicates (foreachBatch alone is only
+    at-least-once).
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,7 +85,9 @@ def run_streaming_fanout(
                 out = out.drop(routes_col, *drop_before_write)
                 (
                     out.withColumn("_batch_id", F.lit(batch_id))
-                    .write.mode("append")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
                     .parquet(f"{sinks_root}/{sink}")
                 )
         finally:
@@ -158,6 +163,11 @@ def streaming_token_bucket(
     `capacity`; a row is `allowed` if a token is available. State lives in
     the state store (checkpointed, partitioned by key — scales out like
     any keyed stream).
+
+    A key's micro-batch may arrive as several pandas chunks in arbitrary
+    order, so all chunks are materialized and sorted ONCE before the
+    walk — per-chunk sorting would let refill accounting diverge when a
+    key's batch spans chunks.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -171,8 +181,9 @@ def streaming_token_bucket(
         else:
             tokens, last = cap, 0.0
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(ts)
             for t in pdf[ts]:
                 now = t.timestamp()
                 if last > 0:

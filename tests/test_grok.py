@@ -96,3 +96,18 @@ def test_paths_agree_on_fixture(spark):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+def test_dotall_scoped_to_wrapper_only(spark):
+    """GREEDYDATA/DATA must not cross embedded newlines (Oniguruma default
+    '.' semantics) — only the native path's wrapper is DOTALL. Both
+    methods must agree on multi-line input (e.g. multiline-codec output)."""
+    df = spark.createDataFrame(
+        [("lvl=ERROR msg=first line\nsecond line",)], ["message"]
+    )
+    for method in ("native", "pandas"):
+        out = grok(
+            df, "message", r"lvl=%{WORD:lvl} msg=%{GREEDYDATA:msg}", method=method
+        ).collect()[0]
+        assert out["lvl"] == "ERROR", method
+        assert out["msg"] == "first line", method

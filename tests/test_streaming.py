@@ -70,6 +70,32 @@ def test_streaming_fanout_matches_batch(spark, landing, tmp_path):
     assert missing == 0
 
 
+def test_streaming_fanout_replay_is_exactly_once(spark, landing, tmp_path):
+    """A batch replayed after a mid-fan-out crash must overwrite its own
+    _batch_id partition, not append duplicates. Simulated by running the
+    same input through a FRESH checkpoint (same batch ids re-delivered
+    into already-written sinks)."""
+    path, schema = landing
+    sinks_root = str(tmp_path / "sinks")
+    for ckpt in ("ckpt_a", "ckpt_b"):
+        stream = file_stream_source(spark, path, schema, max_files_per_trigger=3)
+        q = run_streaming_fanout(
+            stream,
+            build_flagship,
+            SINKS,
+            sinks_root,
+            str(tmp_path / ckpt),
+            drop_before_write=("raw",),
+        )
+        q.awaitTermination(120)
+
+    batch_routed = build_flagship(spark.read.schema(schema).parquet(path))
+    for sink in SINKS:
+        expected = batch_routed.where(F.array_contains("routes", sink)).count()
+        got = spark.read.parquet(f"{sinks_root}/{sink}").count()
+        assert got == expected, f"{sink}: replay duplicated rows ({got} != {expected})"
+
+
 def test_streaming_metrics_incremental(spark, landing, tmp_path):
     path, schema = landing
     stream = file_stream_source(spark, path, schema)
