@@ -391,11 +391,15 @@ def ann_lsh_bucketed(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
     One shuffle (bucket equi-join). Recall < 1 by construction; the
     deterministic planes make results reproducible across engines.
+    `broadcast_queries` fits the dictionary-sized-query case (default);
+    pass False when queries ~ corpus (self-dedup) so BOTH sides shuffle
+    on the bucket key instead of broadcasting a corpus-sized table.
     """
     from pyspark.sql.window import Window
 
@@ -410,7 +414,7 @@ def ann_lsh_bucketed(
         hyperplane_sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
         .where(F.col("q_id") != F.col("c_id"))
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )
@@ -463,12 +467,19 @@ def ann_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their single nearest-centroid list;
     each query probes its `nprobe` nearest lists. One equi-join shuffle on
     `bucket`; recall grows with nprobe. The deterministic centroid set
     (caller-provided) makes results reproducible across engines — swap in
-    k-means centroids at production scale (same topology)."""
+    k-means centroids at production scale (same topology).
+
+    Default is a plain bucket equi-join (both sides shuffle) — correct
+    for the self-dedup case where queries == corpus. Set
+    `broadcast_queries=True` only when the query set is known
+    dictionary-sized; a hard-coded broadcast here would be a scale-killer
+    the day queries = corpus."""
     from pyspark.sql.window import Window
 
     cb = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
@@ -478,7 +489,7 @@ def ann_ivf(
     qb = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
     qb = qb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket")
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
         .where(F.col("q_id") != F.col("c_id"))
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )

@@ -368,6 +368,46 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_selfjoin",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+                  FROM embeddings WHERE vec_id < 8),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             round({_cos_sql('e.embedding', 'c.cent_vec')}, 6) AS ccos
+      FROM embeddings e, cent c
+    ),
+    cb AS (
+      SELECT vec_id AS c_id, embedding AS c_vec, cent_id AS bucket
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cent_id) AS pr FROM a)
+      WHERE pr = 1
+    ),
+    s AS (
+      SELECT q.c_id AS q_id, c.c_id AS c_id,
+             round({_cos_sql('q.c_vec', 'c.c_vec')}, 6) AS cos
+      FROM cb q JOIN cb c USING (bucket) WHERE q.c_id != c.c_id
+    )
+    SELECT q_id, c_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+          FROM s)
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale self-dedup: queries == corpus, nprobe=1 (every vector
+    searches its own list). NO query-side broadcast — the bucket
+    equi-join shuffles both sides, the only topology that survives when
+    |Q| = |C| = 10^12."""
+    em = _embs(spark, sf_dir)
+    return D.ann_ivf(
+        em, em, em.where(F.col("vec_id") < 8), k=3, nprobe=1,
+        broadcast_queries=False,
+    )
+
+
 _STOPS_SQL = "['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it']"
 
 

@@ -95,6 +95,29 @@ def test_ann_bruteforce_corpus_not_shuffled(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ann_ivf_no_query_side_broadcast_hint(spark):
+    """Self-dedup IVF (queries == corpus) must not FORCE a broadcast of
+    the query side: the only broadcast hints in the logical plan are the
+    two dictionary-sized centroid tables (one per ivf_assign). AQE may
+    still pick a broadcast physically at toy scale — the assertion is
+    about the plan we'd ship at 10^12 vectors."""
+    from logstash_spark.operators.dataprep import ann_ivf
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = em.where(F.col("vec_id") < 8)
+    def hints(df) -> int:
+        # hints live in the analyzed plan (EliminateResolvedHint strips
+        # them during optimization)
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    self_dedup = ann_ivf(em, em, cent, k=3, nprobe=1, broadcast_queries=False)
+    assert hints(self_dedup) == 2
+    dictionary_q = ann_ivf(
+        em, em.where(F.col("vec_id") < 3), cent, k=3, nprobe=1, broadcast_queries=True
+    )
+    assert hints(dictionary_q) == 3
+
+
 @pytest.mark.parametrize("qname", ["grok_parse", "route_fanout", "text_quality"])
 def test_whole_stage_codegen_present(spark, qname):
     """Hot paths stay inside whole-stage codegen (no interpreted fallback)."""
