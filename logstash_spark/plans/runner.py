@@ -52,27 +52,83 @@ class RunResult:
     lineage: DataFrame | None = None
 
 
-def apply_filters(df: DataFrame, spec: PipelineSpec) -> DataFrame:
+# Row-wise projection ops: output row i is a pure function of input row i
+# (no windows, joins on row position, or row multiplicity changes), so a
+# `when` gate compiles into a single conditional projection — ONE scan of
+# the input, matching DatasetCompiler's per-batch SplitDataset caching
+# without any cache. (translate/geoip/cidr join per-row against broadcast
+# dicts — still row-wise.)
+_ROW_PROJECTION_OPS = {
+    "grok", "dissect", "date", "kv", "json", "csv", "useragent", "syslog_pri",
+    "translate", "geoip", "cidr", "mutate", "fingerprint", "uuid", "bytes",
+    "truncate", "urldecode", "de_dot", "range", "environment",
+}
+
+
+def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
+    """Compile `if <cond> { <op> }` into one projection: snapshot the
+    pre-op value of every column, apply the op to ALL rows, then select
+    if(cond, new, old) per column (null for op-created columns on the
+    false branch — same shape unionByName(allowMissingColumns) gave).
+    The condition itself is materialized BEFORE the op so an op that
+    overwrites a referenced column cannot change the gate."""
+    orig_cols = list(df.columns)
+    pre = df.withColumn("_when_gate", cond)
+    pre = pre.withColumns({f"_pre_{c}": F.col(c) for c in orig_cols})
+    applied = fn(pre, **conf)
+    gate = F.col("_when_gate")
+    out = []
+    for c in applied.columns:
+        if c == "_when_gate" or c.startswith("_pre_"):
+            continue
+        if c in orig_cols:
+            out.append(F.when(gate, F.col(c)).otherwise(F.col(f"_pre_{c}")).alias(c))
+        else:
+            out.append(F.when(gate, F.col(c)).alias(c))
+    return applied.select(*out)
+
+
+def apply_filters(
+    df: DataFrame,
+    spec: PipelineSpec,
+    persist_tracker: list[DataFrame] | None = None,
+) -> DataFrame:
     """Apply the ordered filter chain; `when`-gated filters follow
     SplitDataset semantics: op on the true branch, pass-through on the
-    false branch, union back (columns align by name)."""
+    false branch. Row-wise ops compile to a single conditional projection
+    (one scan); row-multiplicity ops (split/clone/drop/aggregate...) fall
+    back to filter+union over a PERSISTED input so nested conditionals
+    never re-scan the source (persisted frames are appended to
+    `persist_tracker` for the caller to unpersist after its action)."""
     from logstash_spark.operators.route import compile_condition
 
     for f_ in spec.filters:
         fn = OPS[f_.op]
         if f_.when is None:
             df = fn(df, **f_.conf)
+            continue
+        cond = F.coalesce(compile_condition(f_.when, df), F.lit(False))
+        if f_.op in _ROW_PROJECTION_OPS:
+            df = _apply_gated_projection(df, fn, f_.conf, cond)
         else:
-            cond = compile_condition(f_.when, df)
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            if persist_tracker is not None:
+                persist_tracker.append(df)
             true_df = fn(df.where(cond), **f_.conf)
-            false_df = df.where(~F.coalesce(cond, F.lit(False)))
+            false_df = df.where(~cond)
             df = true_df.unionByName(false_df, allowMissingColumns=True)
     return df
 
 
-def build_plan(df: DataFrame, spec: PipelineSpec) -> DataFrame:
-    """Pure plan construction: filters + route flags. No actions."""
-    df = apply_filters(df, spec)
+def build_plan(
+    df: DataFrame,
+    spec: PipelineSpec,
+    persist_tracker: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Pure plan construction: filters + route flags. No actions (any
+    persists for gated multiplicity ops are lazy and land in
+    `persist_tracker`)."""
+    df = apply_filters(df, spec, persist_tracker)
     return add_routes(df, spec.routes, else_sink=spec.else_sink)
 
 
@@ -102,21 +158,36 @@ def run_pipeline(
     # per-partition lineage must be stamped BEFORE any repartitioning
     input_df = input_df.withColumn("_in_part", F.spark_partition_id())
 
-    routed = build_plan(input_df, spec)
+    persisted: list[DataFrame] = []
+    routed = build_plan(input_df, spec, persisted)
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
 
     result = RunResult(run_id=run_id)
 
-    # ONE job computes (sink, partition) → count for every sink's lineage
-    # (previously one job per sink — K extra cache scans at scale).
-    per_sink_part: dict[str, dict[int, int]] = {}
-    for r in (
-        routed.select(F.explode(ROUTES).alias("_sink"), "_in_part")
-        .groupBy("_sink", "_in_part")
-        .count()
-        .collect()
-    ):
-        per_sink_part.setdefault(r["_sink"], {})[int(r["_in_part"])] = r["count"]
+    # ---- per-(sink, input-partition) lineage: written DISTRIBUTED ------
+    # One job writes the (sink, partition, rows) table; only the K-row
+    # per-sink totals come back to the driver. Never O(K*P) driver rows —
+    # at 10^6 input partitions x 6 sinks the detail stays in the table.
+    sink_lineage_df = (
+        routed.select(F.explode(ROUTES).alias("sink"), "_in_part")
+        .groupBy("sink", "_in_part")
+        .agg(F.count("*").alias("rows"))
+        .withColumnRenamed("_in_part", "partition_id")
+        .withColumn("run_id", F.lit(run_id))
+    )
+    sl_table = SnapshotTable(os.path.join(sinks_root, "_sink_lineage"))
+    latest_sl = sl_table.latest()
+    if not (resume and latest_sl and latest_sl.lineage.get("run_id") == run_id):
+        sl_table.append(sink_lineage_df, lineage={"run_id": run_id})
+    totals = {
+        r["sink"]: (int(r["rows"]), int(r["n_parts"]))
+        for r in sl_table.read(spark)
+        .where(F.col("run_id") == run_id)
+        .dropDuplicates(["sink", "partition_id"])  # replays write identical rows
+        .groupBy("sink")
+        .agg(F.sum("rows").alias("rows"), F.count("*").alias("n_parts"))
+        .collect()  # K rows (one per sink) — bounded
+    }
 
     # ---- per-sink writes (idempotent via run_id in snapshot lineage) ----
     for sink in spec.sink_names():
@@ -126,19 +197,25 @@ def run_pipeline(
             result.skipped_sinks.append(sink)
             continue
         out = route_filter(routed, sink).drop(ROUTES, "_in_part", *drop_before_write)
-        parts = per_sink_part.get(sink, {})
+        rows, n_parts = totals.get(sink, (0, 0))
         table.append(
             out,
             lineage={
                 "run_id": run_id,
-                "processed_partitions": sorted(parts),
-                "rows_per_partition": {str(p): c for p, c in parts.items()},
+                "rows": rows,
+                "n_partitions": n_parts,
+                # per-partition detail lives in the _sink_lineage table,
+                # keyed by (run_id, sink) — unbounded detail never enters
+                # the driver-side manifest
+                "detail_table": "_sink_lineage",
             },
             meta={"pipeline": spec.name, "sink": sink},
         )
-        result.sink_counts[sink] = sum(parts.values())
+        result.sink_counts[sink] = rows
         if fail_after_sink == sink:
             routed.unpersist()
+            for p in persisted:
+                p.unpersist()
             raise RuntimeError(f"injected failure after sink {sink}")
 
     # ---- aggregates: ONE shuffle for all sinks via explode(routes) ----
@@ -187,4 +264,6 @@ def run_pipeline(
     result.lineage = lineage_df
 
     routed.unpersist()
+    for p in persisted:
+        p.unpersist()
     return result
