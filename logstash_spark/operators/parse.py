@@ -42,47 +42,84 @@ def _cast_type(cast: str | None) -> T.DataType:
     return _CAST_TYPES.get(cast or "", T.StringType())
 
 
-def _compile_all(
-    patterns: Sequence[str], pattern_definitions: dict[str, str] | None
-) -> list[grok_lib.CompiledGrok]:
-    return [grok_lib.compile_pattern(p, pattern_definitions) for p in patterns]
-
-
 @op("grok")
 def grok(
     df: DataFrame,
-    field: str,
-    match: str | Sequence[str],
+    field: str | None = None,
+    match: str | Sequence[str] | dict[str, str | Sequence[str]] | None = None,
     *,
     pattern_definitions: dict[str, str] | None = None,
     tag_on_failure: str = "_grokparsefailure",
     break_on_match: bool = True,
     overwrite: bool = True,
     method: str = "auto",
+    max_input_length: int | None = None,
+    tag_on_timeout: str = "_groktimeout",
 ) -> DataFrame:
-    """logstash-filter-grok. First-match-wins across the pattern list."""
-    pats = [match] if isinstance(match, str) else list(match)
-    compiled = _compile_all(pats, pattern_definitions)
-    if not break_on_match:
-        # non-break mode applies every matching pattern; fields from later
-        # patterns fill holes left by earlier ones → same coalesce shape.
-        pass
+    """logstash-filter-grok.
+
+    `match` accepts the full reference surface: one pattern, a pattern
+    list for `field`, or a per-field map {"field_a": [...], "field_b":
+    ...} (grok's `match` hash). Internally everything becomes an ordered
+    (source_field, pattern) pair list:
+
+    * break_on_match=True — the FIRST matching pair wins; later pairs'
+      captures stay null even if they would match (strict reference
+      stop-after-success semantics).
+    * break_on_match=False — every pair is attempted; a capture takes its
+      value from the first matching pair that binds it (later pairs fill
+      holes, never overwrite — the relational form of grok's accumulate
+      mode).
+
+    `max_input_length` is the bounded-work analog of the reference's
+    timeout_millis watchdog: neither java.util.regex nor Python `re`
+    supports a wall-clock kill, so rows whose source exceeds the bound
+    are not matched at all and are tagged `tag_on_timeout` (instead of a
+    task stalling on catastrophic backtracking over a multi-MB line).
+    """
+    pairs = _match_pairs(field, match)
+    compiled_pairs = [
+        (f, grok_lib.compile_pattern(p, pattern_definitions)) for f, p in pairs
+    ]
     use_pandas = method == "pandas"
 
     df = ensure_tags(df)
 
-    # Union of capture field names across patterns, preserving order.
+    # Union of capture field names across all pairs, preserving order.
     out_fields: list[tuple[str, str | None]] = []
     seen: set[str] = set()
-    for c in compiled:
+    for _, c in compiled_pairs:
         for cap in c.captures:
             if cap.name not in seen:
                 seen.add(cap.name)
                 out_fields.append((cap.name, cap.cast))
 
     if use_pandas:
-        return _grok_pandas(df, field, compiled, out_fields, tag_on_failure)
-    return _grok_native(df, field, compiled, out_fields, tag_on_failure)
+        return _grok_pandas(
+            df, compiled_pairs, out_fields, tag_on_failure,
+            break_on_match, max_input_length, tag_on_timeout,
+        )
+    return _grok_native(
+        df, compiled_pairs, out_fields, tag_on_failure,
+        break_on_match, max_input_length, tag_on_timeout,
+    )
+
+
+def _match_pairs(
+    field: str | None,
+    match: str | Sequence[str] | dict[str, str | Sequence[str]] | None,
+) -> list[tuple[str, str]]:
+    """Normalize the match argument to ordered (source_field, pattern)."""
+    if isinstance(match, dict):
+        pairs: list[tuple[str, str]] = []
+        for f, pats in match.items():
+            for p in [pats] if isinstance(pats, str) else list(pats):
+                pairs.append((f, p))
+        return pairs
+    if field is None:
+        raise ValueError("grok needs a field (or a match map keyed by field)")
+    pats = [match] if isinstance(match, str) else list(match or [])
+    return [(field, p) for p in pats]
 
 
 # Pack/split sentinels for the single-pass native path. \x01/\x02 cannot
@@ -94,19 +131,27 @@ _SENT = "\x02"
 
 def _grok_native(
     df: DataFrame,
-    field: str,
-    compiled: list[grok_lib.CompiledGrok],
+    compiled_pairs: list[tuple[str, grok_lib.CompiledGrok]],
     out_fields: list[tuple[str, str | None]],
     tag_on_failure: str,
+    break_on_match: bool,
+    max_input_length: int | None,
+    tag_on_timeout: str,
 ) -> DataFrame:
-    """Single-pass extraction: ONE regexp_replace per pattern rewrites the
-    whole line into SENT + SEP-joined capture values; split/element_at fans
-    the pack out into columns. One regex evaluation per pattern per row
-    (instead of one per capture), and the wide payload columns (token
-    arrays) cross only one extra projection. Pure Catalyst/codegen."""
-    src = F.col(field)
+    """Single-pass extraction: ONE regexp_replace per (field, pattern)
+    pair rewrites the whole line into SENT + SEP-joined capture values;
+    split/element_at fans the pack out into columns. One regex evaluation
+    per pair per row (instead of one per capture), and the wide payload
+    columns (token arrays) cross only one extra projection. Pure
+    Catalyst/codegen."""
     tmp_cols: dict[str, Column] = {}
-    for pi, c in enumerate(compiled):
+    over_limit: Column | None = None
+    for pi, (src_field, c) in enumerate(compiled_pairs):
+        src = F.col(src_field)
+        if max_input_length is not None:
+            guard = F.length(src) > max_input_length
+            over_limit = guard if over_limit is None else (over_limit | guard)
+            src = F.when(~F.coalesce(guard, F.lit(False)), src)
         repl = _SENT + _SEP + _SEP.join(f"${cap.index}" for cap in c.captures)
         # Consume the entire line so the replacement result is exactly the
         # pack; unmatched rows pass through unchanged (no leading SENT).
@@ -118,83 +163,173 @@ def _grok_native(
     df = df.withColumns(tmp_cols)
 
     flags = [
-        F.element_at(F.col(f"_gk{pi}"), 1) == F.lit(_SENT)
-        for pi in range(len(compiled))
+        F.coalesce(F.element_at(F.col(f"_gk{pi}"), 1) == F.lit(_SENT), F.lit(False))
+        for pi in range(len(compiled_pairs))
     ]
+    # effective[pi]: does pair pi's match BIND captures for this row?
+    # break mode: only if no earlier pair matched (strict stop-after-
+    # success); accumulate mode: whenever the pair matched.
+    if break_on_match:
+        effective: list[Column] = []
+        prev_any: Column = F.lit(False)
+        for flag in flags:
+            effective.append(flag & ~prev_any)
+            prev_any = prev_any | flag
+    else:
+        effective = flags
+
     new_cols: dict[str, Column] = {}
     for name, cast in out_fields:
-        expr: Column = F.lit(None).cast(_cast_type(cast))
-        # first-match-wins: reverse-fold when() chain
-        for pi in reversed(range(len(compiled))):
-            c = compiled[pi]
+        attempts: list[Column] = []
+        for pi, (_, c) in enumerate(compiled_pairs):
             pos = next((j for j, x in enumerate(c.captures) if x.name == name), None)
             if pos is None:
                 continue
             val = F.nullif(
                 F.element_at(F.col(f"_gk{pi}"), pos + 2), F.lit("")
             ).cast(_cast_type(cast))
-            expr = F.when(flags[pi], val).otherwise(expr)
-        new_cols[name] = expr
+            attempts.append(F.when(effective[pi], val))
+        new_cols[name] = (
+            F.coalesce(*attempts) if attempts else F.lit(None).cast(_cast_type(cast))
+        )
 
     any_match = F.lit(False)
     for flag in flags:
-        any_match = any_match | F.coalesce(flag, F.lit(False))
+        any_match = any_match | flag
     new_cols["_grok_any"] = any_match
     df = df.withColumns(new_cols)
+    if max_input_length is not None and over_limit is not None:
+        df = df.withColumn("_grok_to", F.coalesce(over_limit, F.lit(False)))
+        df = add_tag_when(df, F.col("_grok_to"), tag_on_timeout)
+        df = add_tag_when(df, ~F.col("_grok_any") & ~F.col("_grok_to"), tag_on_failure)
+        return df.drop("_grok_any", "_grok_to", *tmp_cols.keys())
     df = add_tag_when(df, ~F.col("_grok_any"), tag_on_failure)
     return df.drop("_grok_any", *tmp_cols.keys())
 
 
-def _grok_pandas(
-    df: DataFrame,
-    field: str,
-    compiled: list[grok_lib.CompiledGrok],
-    out_fields: list[tuple[str, str | None]],
-    tag_on_failure: str,
-) -> DataFrame:
-    """Single-pass multi-group extraction via Series.str.extract per pattern,
-    first-match-wins merge in pandas. Returns a struct column, expanded."""
-    struct_fields = [
-        T.StructField(name, _cast_type(cast), True) for name, cast in out_fields
-    ]
-    struct_fields.append(T.StructField("_grok_any", T.BooleanType(), True))
-    out_type = T.StructType(struct_fields)
-    pat_py = [grok_lib.to_python_regex(c) for c in compiled]
-    caps_per_pat = [{cap.name: cap.group for cap in c.captures} for c in compiled]
-    casts = {name: cast for name, cast in out_fields}
-    names = [name for name, _ in out_fields]
-
+def _make_extract_udf(out_type, pat_py, caps_per_pat, names, casts, break_):
     @F.pandas_udf(out_type)
     def extract(s: pd.Series) -> pd.DataFrame:
         out = pd.DataFrame(index=s.index, columns=names, dtype=object)
-        remaining = pd.Series(True, index=s.index)
+        present = s.notna()
+        remaining = present.copy()
+        matched = pd.Series(False, index=s.index)
         for rx, groups in zip(pat_py, caps_per_pat):
-            if not remaining.any():
-                break
-            sub = s[remaining]
+            active = remaining if break_ else present
+            if not active.any():
+                continue
+            sub = s[active]
             ext = sub.str.extract(rx)  # one vectorized pass, all groups
             hit = ext.notna().any(axis=1)
             hit_idx = sub.index[hit]
             for fname, gname in groups.items():
                 if gname in ext.columns:
-                    out.loc[hit_idx, fname] = ext.loc[hit_idx, gname]
+                    if break_:
+                        out.loc[hit_idx, fname] = ext.loc[hit_idx, gname]
+                    else:
+                        # accumulate mode: later patterns fill holes only
+                        holes = out.loc[hit_idx, fname].isna()
+                        idx2 = hit_idx[holes.values]
+                        out.loc[idx2, fname] = ext.loc[idx2, gname]
+            matched.loc[hit_idx] = True
             remaining.loc[hit_idx] = False
         for fname in names:
             if casts[fname] == "int":
                 out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("Int64")
             elif casts[fname] == "float":
                 out[fname] = pd.to_numeric(out[fname], errors="coerce").astype("float64")
-        out["_grok_any"] = ~remaining
+        out["_grok_any"] = matched
         return out
 
-    # Narrow projection through the UDF: only `field` crosses Arrow.
-    tmp = "_grok_struct"
-    df = df.withColumn(tmp, extract(F.col(field)))
-    new_cols = {name: F.col(tmp).getField(name) for name, _ in out_fields}
-    new_cols["_grok_any"] = F.col(tmp).getField("_grok_any")
+    return extract
+
+
+def _grok_pandas(
+    df: DataFrame,
+    compiled_pairs: list[tuple[str, grok_lib.CompiledGrok]],
+    out_fields: list[tuple[str, str | None]],
+    tag_on_failure: str,
+    break_on_match: bool,
+    max_input_length: int | None,
+    tag_on_timeout: str,
+) -> DataFrame:
+    """Single-pass multi-group extraction via Series.str.extract, one
+    Arrow UDF per SOURCE FIELD (patterns for the same field share a UDF;
+    contiguous grouping preserves pair order). Cross-field merge follows
+    the same strict-break / accumulate column logic as the native path."""
+    groups: list[tuple[str, list[grok_lib.CompiledGrok]]] = []
+    for f, c in compiled_pairs:
+        if groups and groups[-1][0] == f:
+            groups[-1][1].append(c)
+        else:
+            groups.append((f, [c]))
+
+    casts = {name: cast for name, cast in out_fields}
+    over_limit: Column | None = None
+    struct_cols: dict[str, Column] = {}
+    group_caps: list[list[str]] = []
+    for gi, (f, comps) in enumerate(groups):
+        names_g: list[str] = []
+        for c in comps:
+            for cap in c.captures:
+                if cap.name not in names_g:
+                    names_g.append(cap.name)
+        group_caps.append(names_g)
+        struct_fields = [
+            T.StructField(n, _cast_type(casts[n]), True) for n in names_g
+        ]
+        struct_fields.append(T.StructField("_grok_any", T.BooleanType(), True))
+        udf = _make_extract_udf(
+            T.StructType(struct_fields),
+            [grok_lib.to_python_regex(c) for c in comps],
+            [{cap.name: cap.group for cap in c.captures} for c in comps],
+            names_g,
+            casts,
+            break_on_match,
+        )
+        src = F.col(f)
+        if max_input_length is not None:
+            guard = F.length(src) > max_input_length
+            over_limit = guard if over_limit is None else (over_limit | guard)
+            src = F.when(~F.coalesce(guard, F.lit(False)), src)
+        struct_cols[f"_gs{gi}"] = udf(src)
+    df = df.withColumns(struct_cols)
+
+    flags = [
+        F.coalesce(F.col(f"_gs{gi}").getField("_grok_any"), F.lit(False))
+        for gi in range(len(groups))
+    ]
+    if break_on_match:
+        effective: list[Column] = []
+        prev_any: Column = F.lit(False)
+        for flag in flags:
+            effective.append(flag & ~prev_any)
+            prev_any = prev_any | flag
+    else:
+        effective = flags
+
+    new_cols: dict[str, Column] = {}
+    for name, cast in out_fields:
+        attempts = [
+            F.when(effective[gi], F.col(f"_gs{gi}").getField(name))
+            for gi in range(len(groups))
+            if name in group_caps[gi]
+        ]
+        new_cols[name] = (
+            F.coalesce(*attempts) if attempts else F.lit(None).cast(_cast_type(cast))
+        )
+    any_match = F.lit(False)
+    for flag in flags:
+        any_match = any_match | flag
+    new_cols["_grok_any"] = any_match
     df = df.withColumns(new_cols)
-    df = add_tag_when(df, ~F.coalesce(F.col("_grok_any"), F.lit(False)), tag_on_failure)
-    return df.drop(tmp, "_grok_any")
+    if max_input_length is not None and over_limit is not None:
+        df = df.withColumn("_grok_to", F.coalesce(over_limit, F.lit(False)))
+        df = add_tag_when(df, F.col("_grok_to"), tag_on_timeout)
+        df = add_tag_when(df, ~F.col("_grok_any") & ~F.col("_grok_to"), tag_on_failure)
+        return df.drop("_grok_any", "_grok_to", *struct_cols.keys())
+    df = add_tag_when(df, ~F.col("_grok_any"), tag_on_failure)
+    return df.drop("_grok_any", *struct_cols.keys())
 
 
 # ---------------------------------------------------------------------------

@@ -196,6 +196,70 @@ def date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "grok_multi_field",
+    r"""
+    SELECT event_id,
+           CASE WHEN m_fa THEN regexp_extract(fa, 'verb=(\w+)', 1) END AS verb,
+           CASE WHEN NOT m_fa AND m_fb
+                THEN CAST(regexp_extract(fb, 'uid=([0-9]+)', 1) AS BIGINT) END AS uid
+    FROM (SELECT event_id, fa, fb,
+                 regexp_matches(fa, 'verb=\w+') AS m_fa,
+                 regexp_matches(fb, 'uid=[0-9]+') AS m_fb
+          FROM (SELECT event_id,
+                       CASE WHEN event_id % 2 = 0
+                            THEN 'verb=' || event_type ELSE '-' END AS fa,
+                       'uid=' || CAST(user_id AS VARCHAR) AS fb
+                FROM events))
+    """,
+)
+def grok_multi_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok match map {field_a: ..., field_b: ...} with strict break
+    semantics: the first matching (field, pattern) pair binds; later
+    pairs stay null (logstash-filter-grok multi-field match)."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumns(
+        {
+            "fa": F.when(
+                F.col("event_id") % 2 == 0,
+                F.concat(F.lit("verb="), F.col("event_type")),
+            ).otherwise(F.lit("-")),
+            "fb": F.concat(F.lit("uid="), F.col("user_id").cast("string")),
+        }
+    )
+    g = grok(
+        df,
+        match={"fa": r"verb=%{WORD:verb}", "fb": r"uid=%{NONNEGINT:uid:int}"},
+    )
+    return g.select("event_id", "verb", "uid")
+
+
+@query(
+    "grok_no_break",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN event_type END AS lvl,
+           CAST(user_id AS BIGINT) AS val
+    FROM events
+    """,
+)
+def grok_no_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok break_on_match=false: every pattern applies, captures
+    accumulate (lvl only present on even rows, val on all rows)."""
+    ev = _t(spark, sf_dir, "events")
+    msg = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("lvl="), F.col("event_type"),
+                 F.lit(" val="), F.col("user_id").cast("string")),
+    ).otherwise(F.concat(F.lit("val="), F.col("user_id").cast("string")))
+    df = ev.withColumn("m", msg)
+    g = grok(
+        df, "m", [r"lvl=%{WORD:lvl}", r"val=%{NONNEGINT:val:int}"],
+        break_on_match=False,
+    )
+    return g.select("event_id", "lvl", "val")
+
+
 # ---------------------------------------------------------------------------
 # Mutate / scalar functions
 # ---------------------------------------------------------------------------

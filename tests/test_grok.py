@@ -111,3 +111,76 @@ def test_dotall_scoped_to_wrapper_only(spark):
         ).collect()[0]
         assert out["lvl"] == "ERROR", method
         assert out["msg"] == "first line", method
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_match_map_multi_field(spark, method):
+    """match => {fieldA => pat, fieldB => pat}: strict break semantics —
+    the first matching (field, pattern) pair binds, later pairs stay
+    null (logstash-filter-grok multi-field golden case)."""
+    df = spark.createDataFrame(
+        [
+            ("verb=GET", "status=200"),   # both match -> only fa binds
+            ("nope", "status=404"),       # only fb matches -> fb binds
+            ("nope", "zilch"),            # neither -> failure tag
+        ],
+        ["fa", "fb"],
+    )
+    out = grok(
+        df,
+        match={"fa": r"verb=%{WORD:verb}", "fb": r"status=%{NONNEGINT:status:int}"},
+        method=method,
+    ).collect()
+    r0, r1, r2 = out
+    assert r0["verb"] == "GET" and r0["status"] is None
+    assert r1["verb"] is None and r1["status"] == 404
+    assert r2["verb"] is None and r2["status"] is None
+    assert "_grokparsefailure" in r2["tags"]
+    assert "_grokparsefailure" not in (r0["tags"] or [])
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_break_on_match_false_accumulates(spark, method):
+    """break_on_match=false applies EVERY pattern; captures accumulate
+    (later patterns fill holes, never overwrite)."""
+    df = spark.createDataFrame(
+        [("lvl=INFO code=7 lvl=WRONG",)], ["message"]
+    )
+    out = grok(
+        df,
+        "message",
+        [r"lvl=%{WORD:lvl}", r"code=%{NONNEGINT:code:int}", r"lvl=%{WORD:lvl}"],
+        break_on_match=False,
+        method=method,
+    ).collect()[0]
+    assert out["lvl"] == "INFO"  # first binding wins, not overwritten
+    assert out["code"] == 7      # second pattern also applied
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_break_on_match_false_multi_field(spark, method):
+    df = spark.createDataFrame([("verb=GET", "status=200")], ["fa", "fb"])
+    out = grok(
+        df,
+        match={"fa": r"verb=%{WORD:verb}", "fb": r"status=%{NONNEGINT:status:int}"},
+        break_on_match=False,
+        method=method,
+    ).collect()[0]
+    assert out["verb"] == "GET" and out["status"] == 200
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_max_input_length_timeout_tag(spark, method):
+    """Bounded-work analog of timeout_millis: oversized lines are never
+    fed to the regex and get _groktimeout, not _grokparsefailure."""
+    df = spark.createDataFrame(
+        [("verb=GET",), ("verb=" + "A" * 500,), ("zilch",)], ["message"]
+    )
+    out = grok(
+        df, "message", r"verb=%{WORD:verb}", max_input_length=100, method=method
+    ).collect()
+    ok, big, bad = out
+    assert ok["verb"] == "GET" and not ok["tags"]
+    assert big["verb"] is None and "_groktimeout" in big["tags"]
+    assert "_grokparsefailure" not in big["tags"]
+    assert "_grokparsefailure" in bad["tags"]
