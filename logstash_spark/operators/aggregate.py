@@ -88,6 +88,39 @@ def aggregate_salted(
     return merged
 
 
+@op("aggregate_map")
+def aggregate_map(
+    df: DataFrame,
+    task_id: str | Sequence[str],
+    fn,
+    schema: str,
+    *,
+    sort_by: Sequence[str] = (),
+) -> DataFrame:
+    """logstash-filter-aggregate's arbitrary-code form, batch twin: the
+    reference runs user Ruby over a per-task_id state map (`code =>
+    "map['sum'] ||= 0; ..."`); here a grouped-map applyInPandas hands
+    the user function each task's FULL event set as one pandas frame
+    (event-time sorted via `sort_by`) and emits arbitrary rows per task.
+
+    This is the sanctioned escape hatch when the fixed agg functions of
+    `aggregate` can't express the state logic (SURVEY.md §2.8). Arrow
+    batch transfer, one shuffle on task_id; each group must fit an
+    executor (same constraint as the reference's per-task map). The
+    streaming twin is streaming/pipeline.streaming_token_bucket's
+    applyInPandasWithState pattern.
+    """
+    keys = [task_id] if isinstance(task_id, str) else list(task_id)
+    sort_cols = list(sort_by)
+
+    def run(pdf):
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols)
+        return fn(pdf)
+
+    return df.groupBy(*keys).applyInPandas(run, schema)
+
+
 @op("metrics")
 def metrics(
     df: DataFrame,
@@ -118,6 +151,77 @@ def metrics(
     if rates:
         out = out.withColumn("rate_per_sec", F.col("cnt") / F.lit(float(secs)))
     return out
+
+
+@op("metrics_ewma")
+def metrics_ewma(
+    df: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    *,
+    interval_seconds: int = 60,
+    periods: Mapping[str, int] = None,  # type: ignore[assignment]
+    horizon: int = 15,
+) -> DataFrame:
+    """logstash-filter-metrics EWMA rates (the reference's rate_1m/5m/15m
+    meters — MetricsFilter §flush computes alpha = 1-exp(-interval/period)
+    and rate += alpha * (instant_rate - rate) per flush tick).
+
+    Batch-relational derivation: per-key tumbling `interval_seconds`
+    ticks → DENSE tick grid per key (missing ticks contribute rate 0 —
+    without the grid an idle meter would never decay) → bounded-horizon
+    convolution rate_p(t) = Σ_{j<horizon} alpha·(1-alpha)^j · inst(t-j).
+    The weights are Python-computed double literals so any engine
+    reproduces the arithmetic bit-for-bit. `horizon` truncates the
+    geometric tail (documented approximation of the infinite recursion —
+    horizon≥4·period/interval keeps >98% of the weight).
+
+    Shuffle shape: one groupBy on (keys, tick), one window on keys —
+    both partition on the meter key, so the plan is two exchanges total
+    and the lag convolution is a single window over the dense grid.
+    """
+    import math
+
+    if periods is None:
+        periods = {"rate_1m": 60, "rate_5m": 300, "rate_15m": 900}
+    step = int(interval_seconds)
+    tick = (F.floor(F.unix_timestamp(F.col(ts).cast("timestamp")) / step) * step).cast(
+        "long"
+    )
+    counts = (
+        df.withColumn("_tick", tick)
+        .groupBy(*keys, "_tick")
+        .agg(F.count("*").alias("cnt"))
+    )
+    span = counts.groupBy(*keys).agg(
+        F.min("_tick").alias("_t0"), F.max("_tick").alias("_t1")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.lit(step))).alias("_tick"),
+    )
+    dense = grid.join(counts, [*keys, "_tick"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long")
+    )
+    w = Window.partitionBy(*keys).orderBy("_tick")
+    inst = F.col("cnt").cast("double") / F.lit(float(step))
+    dense = dense.withColumn("_inst", inst)
+    out_cols: dict[str, Column] = {}
+    for name, period in periods.items():
+        alpha = 1.0 - math.exp(-float(step) / float(period))
+        expr: Column | None = None
+        for j in range(horizon):
+            wj = alpha * ((1.0 - alpha) ** j)
+            term = F.coalesce(F.lag("_inst", j).over(w), F.lit(0.0)) * F.lit(wj)
+            expr = term if expr is None else expr + term
+        out_cols[name] = F.round(expr, 6)
+    dense = dense.withColumns(out_cols)
+    return dense.select(
+        F.timestamp_seconds(F.col("_tick")).alias("window_start"),
+        *keys,
+        "cnt",
+        *periods.keys(),
+    )
 
 
 def _duration_seconds(s: str) -> int:

@@ -397,6 +397,61 @@ def metrics_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ewma_sql_terms(period: int, step: int = 60, horizon: int = 15) -> str:
+    """Σ_j alpha·(1-alpha)^j · lag(inst, j) with Python-computed double
+    literals (repr = 17 sig digits) so DuckDB reproduces Spark's
+    arithmetic bit-for-bit, in the same left-to-right addition order."""
+    import math
+
+    alpha = 1.0 - math.exp(-float(step) / float(period))
+    terms = [
+        f"COALESCE(lag(inst, {j}) OVER w, 0.0) * {alpha * (1.0 - alpha) ** j!r}"
+        for j in range(horizon)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "metrics_ewma",
+    f"""
+    WITH counts AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS tick,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(tick) AS t0, max(tick) AS t1 FROM counts GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(t0, t1 + 60, 60)) AS tick FROM span),
+    dense AS (
+      SELECT g.event_type, g.tick,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+             CAST(COALESCE(c.cnt, 0) AS DOUBLE) / 60.0 AS inst
+      FROM grid g LEFT JOIN counts c USING (event_type, tick)
+    )
+    SELECT tick AS tick_epoch, event_type, cnt,
+           round({_ewma_sql_terms(60)}, 6) AS rate_1m,
+           round({_ewma_sql_terms(300)}, 6) AS rate_5m,
+           round({_ewma_sql_terms(900)}, 6) AS rate_15m
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY tick)
+    """,
+)
+def metrics_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-metrics EWMA 1/5/15-min rates per event_type meter
+    over dense 60s ticks (idle ticks decay the meter)."""
+    from logstash_spark.operators.aggregate import metrics_ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = metrics_ewma(ev, "ts", ["event_type"])
+    return out.select(
+        F.unix_timestamp("window_start").alias("tick_epoch"),
+        "event_type",
+        "cnt",
+        "rate_1m",
+        "rate_5m",
+        "rate_15m",
+    )
+
+
 @query(
     "rollup_agg",
     """
@@ -455,6 +510,56 @@ def elapsed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """logstash-filter-elapsed: time between first/last event per task id."""
     ev = _t(spark, sf_dir, "events")
     return elapsed(ev, "user_id", "ts").select("user_id", "elapsed_us")
+
+
+@query(
+    "aggregate_pandas_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+           max(CASE WHEN rn = n THEN event_type END) AS last_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS span_us
+    FROM ordered GROUP BY user_id
+    """,
+)
+def aggregate_pandas_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-aggregate arbitrary-code analog: custom pandas
+    state logic per task (first/last event type + span) via the
+    aggregate_map grouped-map escape hatch."""
+    import pandas as pd
+
+    from logstash_spark.operators.aggregate import aggregate_map
+
+    ev = _t(spark, sf_dir, "events")
+
+    def per_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        span = (pdf["ts"].iloc[-1] - pdf["ts"].iloc[0]) // pd.Timedelta(
+            microseconds=1
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "first_type": [pdf["event_type"].iloc[0]],
+                "last_type": [pdf["event_type"].iloc[-1]],
+                "n_events": [len(pdf)],
+                "span_us": [span],
+            }
+        )
+
+    return aggregate_map(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        "user_id",
+        per_task,
+        "user_id bigint, first_type string, last_type string, "
+        "n_events bigint, span_us bigint",
+        sort_by=("ts", "event_id"),
+    )
 
 
 @query(
