@@ -418,15 +418,123 @@ def dissect(
 # date
 # ---------------------------------------------------------------------------
 
-_JODA_TO_JDK = [
-    ("ZZ", "XXX"),  # Joda ZZ = +02:00 → JDK XXX
-]
+# Joda-Time → JDK DateTimeFormatter letter/run translation (reference:
+# logstash-filter-date uses JodaParser; SURVEY.md §7.3(b)). Exact-run
+# entries take precedence over per-letter entries; letters absent from
+# both maps are identical in the two dialects (y M d H h K k m s S a G
+# E D w z L) and pass through.
+_JODA_RUNS = {
+    "ZZZ": "VV",   # zone id (Europe/Paris)
+    "ZZ": "XXX",   # +02:00
+    "Z": "xx",     # +0200
+}
+_JODA_LETTERS = {
+    "x": "Y",  # Joda weekyear → JDK week-based-year
+    "Y": "y",  # Joda year-of-era → JDK year-of-era
+}
+
+# JDK letters Spark's parser REJECTS for parsing (week-based fields and
+# day-of-week throw DATETIME_PATTERN_RECOGNITION) — such formats route
+# through the vectorized strptime fallback below.
+_SPARK_UNPARSEABLE = set("YwWeEcuF")
+
+# Joda run → Python strptime directive (the pandas fallback dialect).
+_JODA_STRPTIME = {
+    "yyyy": "%Y", "yy": "%y", "y": "%Y",
+    "xxxx": "%G", "x": "%G",          # ISO week-year (with %V + %u)
+    "YYYY": "%Y", "Y": "%Y",
+    "MMMM": "%B", "MMM": "%b", "MM": "%m", "M": "%m",
+    "dd": "%d", "d": "%d", "DDD": "%j", "D": "%j",
+    "EEEE": "%A", "EEE": "%a", "EE": "%a", "E": "%a",
+    "e": "%u", "ww": "%V", "w": "%V",
+    "HH": "%H", "H": "%H", "hh": "%I", "h": "%I",
+    "mm": "%M", "m": "%M", "ss": "%S", "s": "%S",
+    "SSS": "%f", "SSSSSS": "%f", "S": "%f",
+    "a": "%p",
+    "ZZZ": "%z", "ZZ": "%z", "Z": "%z", "XXX": "%z", "XX": "%z", "X": "%z",
+    "zzz": "%Z", "zz": "%Z", "z": "%Z",
+}
+
+
+def _tokenize_fmt(fmt: str):
+    """Yield ('lit', text) | ('run', letters) tokens of a Joda/JDK-style
+    pattern; quoted sections ('T', with '' escapes) come out as literals."""
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "'":
+            j = i + 1
+            buf = []
+            while j < n:
+                if fmt[j] == "'":
+                    if j + 1 < n and fmt[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                buf.append(fmt[j])
+                j += 1
+            yield ("lit", "".join(buf) or "'")
+            i = j + 1
+        elif ch.isalpha():
+            j = i
+            while j < n and fmt[j] == ch:
+                j += 1
+            yield ("run", fmt[i:j])
+            i = j
+        else:
+            yield ("lit", ch)
+            i += 1
 
 
 def _translate_joda(fmt: str) -> str:
-    for a, b in _JODA_TO_JDK:
-        fmt = fmt.replace(a, b)
-    return fmt
+    """Joda pattern → JDK DateTimeFormatter pattern, run-tokenized (a
+    sequential string replace would corrupt x→Y→y chains)."""
+    out = []
+    for kind, tok in _tokenize_fmt(fmt):
+        if kind == "lit":
+            out.append("'" + tok.replace("'", "''") + "'" if tok.isalpha() or tok == "'" else tok)
+        elif tok in _JODA_RUNS:
+            out.append(_JODA_RUNS[tok])
+        elif tok[0] in _JODA_LETTERS:
+            out.append(_JODA_LETTERS[tok[0]] * len(tok))
+        else:
+            out.append(tok)
+    return "".join(out)
+
+
+def _spark_unparseable(jdk_fmt: str) -> bool:
+    return any(
+        kind == "run" and tok[0] in _SPARK_UNPARSEABLE
+        for kind, tok in _tokenize_fmt(jdk_fmt)
+    )
+
+
+def _joda_to_strptime(fmt: str) -> str:
+    out = []
+    for kind, tok in _tokenize_fmt(fmt):
+        if kind == "lit":
+            out.append(tok.replace("%", "%%"))
+        elif tok in _JODA_STRPTIME:
+            out.append(_JODA_STRPTIME[tok])
+        else:
+            raise ValueError(
+                f"date format token {tok!r} in {fmt!r} has no strptime analog"
+            )
+    return "".join(out)
+
+
+def _strptime_parse(src: Column, strptime_fmt: str) -> Column:
+    """Vectorized pandas fallback for formats Spark's parser rejects
+    (day-of-week / ISO-week-date fields). Arrow-batched, never per-row
+    Python; tz-aware inputs normalize to session-UTC naive timestamps."""
+
+    @F.pandas_udf(T.TimestampType())
+    def parse(s: pd.Series) -> pd.Series:
+        out = pd.to_datetime(s, format=strptime_fmt, errors="coerce", utc=True)
+        return out.dt.tz_localize(None)
+
+    return parse(src)
 
 
 @op("date")
@@ -461,7 +569,11 @@ def date(
                 F.try_to_timestamp(src, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
             )
         else:
-            attempts.append(F.try_to_timestamp(src, F.lit(_translate_joda(fmt))))
+            jdk = _translate_joda(fmt)
+            if _spark_unparseable(jdk):
+                attempts.append(_strptime_parse(src, _joda_to_strptime(fmt)))
+            else:
+                attempts.append(F.try_to_timestamp(src, F.lit(jdk)))
     parsed = F.coalesce(*attempts) if attempts else F.lit(None).cast("timestamp")
     if timezone:
         parsed = F.to_utc_timestamp(parsed, timezone)
