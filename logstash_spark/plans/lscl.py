@@ -1,0 +1,479 @@
+"""LSCL (.conf) front end: Logstash config text → PipelineSpec.
+
+Reference grammar: `logstash-core/lib/logstash/config/grammar.rb` (treetop)
+compiled by `lib/logstash/compiler/lscl.rb` — sections (input/filter/
+output), plugin blocks with `name => value` attributes, and
+if / else if / else branches whose conditions use the expression language
+`operators/route.compile_condition` already implements. This module
+re-derives that surface as a hand-rolled recursive-descent parser; the
+golden cases mirror `logstash-core/spec/logstash/compiler/compiler_spec.rb`
+shapes.
+
+Compilation model (axes with the reference):
+  * filter plugins inside conditionals get a `when` gate string —
+    `if c1 {...} else if c2 {...} else {...}` compiles each branch's
+    plugins with `(c1)`, `!(c1) and (c2)`, `!(c1) and !(c2)` — exactly
+    LSCL's Condition/Negation composition, and `plans/runner` turns each
+    gate into a single conditional projection (no per-branch re-scan).
+  * output plugins become route-table entries (sink → condition, `true`
+    for unconditional sinks) feeding `add_routes` graph fan-out.
+  * input plugins are parsed and returned for completeness; the runner
+    binds the input DataFrame explicitly (sources/*).
+
+Value syntax: "str", 'str', 42, 3.14, true/false, barewords,
+[array, ...], { key => value ... } hashes, # comments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from logstash_spark.plans.spec import FilterSpec, PipelineSpec
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Plugin:
+    name: str
+    attrs: dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class Branch:
+    # (condition string | None for else, body nodes); cases in order
+    cases: list[tuple[str | None, list[object]]] = field(default_factory=list)
+
+
+@dataclass
+class ConfigAST:
+    inputs: list[object] = field(default_factory=list)
+    filters: list[object] = field(default_factory=list)
+    outputs: list[object] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class LSCLError(ValueError):
+    pass
+
+
+class _P:
+    def __init__(self, text: str):
+        self.s = text
+        self.i = 0
+
+    # -- low-level ---------------------------------------------------------
+
+    def _ws(self) -> None:
+        s, n = self.s, len(self.s)
+        while self.i < n:
+            c = s[self.i]
+            if c in " \t\r\n":
+                self.i += 1
+            elif c == "#":
+                while self.i < n and s[self.i] != "\n":
+                    self.i += 1
+            else:
+                return
+
+    def eof(self) -> bool:
+        self._ws()
+        return self.i >= len(self.s)
+
+    def peek(self) -> str:
+        self._ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def expect(self, ch: str) -> None:
+        self._ws()
+        if self.i >= len(self.s) or self.s[self.i] != ch:
+            raise LSCLError(
+                f"expected {ch!r} at offset {self.i}: {self.s[self.i:self.i + 30]!r}"
+            )
+        self.i += 1
+
+    def word(self) -> str:
+        self._ws()
+        j = self.i
+        s, n = self.s, len(self.s)
+        while j < n and (s[j].isalnum() or s[j] in "_-"):
+            j += 1
+        if j == self.i:
+            raise LSCLError(f"expected word at offset {self.i}: {s[self.i:self.i+30]!r}")
+        w = s[self.i : j]
+        self.i = j
+        return w
+
+    def try_word(self) -> str | None:
+        save = self.i
+        try:
+            return self.word()
+        except LSCLError:
+            self.i = save
+            return None
+
+    # -- values ------------------------------------------------------------
+
+    def value(self) -> object:
+        c = self.peek()
+        if c in "\"'":
+            return self._string()
+        if c == "[":
+            return self._array()
+        if c == "{":
+            return self._hash()
+        if c.isdigit() or c == "-":
+            return self._number()
+        w = self.word()
+        if w == "true":
+            return True
+        if w == "false":
+            return False
+        return w  # bareword
+
+    def _string(self) -> str:
+        q = self.s[self.i]
+        self.i += 1
+        buf = []
+        s, n = self.s, len(self.s)
+        while self.i < n:
+            c = s[self.i]
+            if c == "\\" and self.i + 1 < n:
+                nxt = s[self.i + 1]
+                # only the reference's known escapes unescape; anything else
+                # (e.g. regex \[ \d inside grok patterns) keeps its backslash
+                known = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", q: q}
+                buf.append(known.get(nxt, c + nxt))
+                self.i += 2
+                continue
+            if c == q:
+                self.i += 1
+                return "".join(buf)
+            buf.append(c)
+            self.i += 1
+        raise LSCLError("unterminated string")
+
+    def _number(self) -> int | float:
+        j = self.i
+        s, n = self.s, len(self.s)
+        if s[j] == "-":
+            j += 1
+        while j < n and (s[j].isdigit() or s[j] == "."):
+            j += 1
+        raw = s[self.i : j]
+        self.i = j
+        return float(raw) if "." in raw else int(raw)
+
+    def _array(self) -> list:
+        self.expect("[")
+        out = []
+        while self.peek() != "]":
+            out.append(self.value())
+            if self.peek() == ",":
+                self.expect(",")
+        self.expect("]")
+        return out
+
+    def _hash(self) -> dict:
+        self.expect("{")
+        out: dict[str, object] = {}
+        while self.peek() != "}":
+            k = self._string() if self.peek() in "\"'" else self.word()
+            self._ws()
+            if self.s[self.i : self.i + 2] == "=>":
+                self.i += 2
+            out[k] = self.value()
+        self.expect("}")
+        return out
+
+    # -- conditions --------------------------------------------------------
+
+    def condition_text(self) -> str:
+        """Raw condition text up to the block-opening '{' (string/regex
+        aware — a '{' inside a quoted literal does not end it)."""
+        self._ws()
+        start = self.i
+        s, n = self.s, len(self.s)
+        while self.i < n:
+            c = s[self.i]
+            if c in "\"'":
+                q = c
+                self.i += 1
+                while self.i < n and s[self.i] != q:
+                    if s[self.i] == "\\":
+                        self.i += 1
+                    self.i += 1
+                self.i += 1
+                continue
+            if c == "{":
+                cond = s[start : self.i].strip()
+                if not cond:
+                    raise LSCLError("empty condition")
+                return cond
+            self.i += 1
+        raise LSCLError("condition never reaches a block")
+
+    # -- structure ---------------------------------------------------------
+
+    def parse_config(self) -> ConfigAST:
+        ast = ConfigAST()
+        while not self.eof():
+            section = self.word()
+            if section not in ("input", "filter", "output"):
+                raise LSCLError(f"unknown section {section!r}")
+            self.expect("{")
+            body = self.section_body()
+            self.expect("}")
+            getattr(
+                ast,
+                {"input": "inputs", "filter": "filters", "output": "outputs"}[section],
+            ).extend(body)
+        return ast
+
+    def section_body(self) -> list[object]:
+        out: list[object] = []
+        while self.peek() != "}":
+            w = self.try_word()
+            if w is None:
+                raise LSCLError(f"bad section body at offset {self.i}")
+            if w == "if":
+                out.append(self._branch())
+            else:
+                out.append(self._plugin(w))
+        return out
+
+    def _branch(self) -> Branch:
+        br = Branch()
+        cond = self.condition_text()
+        self.expect("{")
+        br.cases.append((cond, self.section_body()))
+        self.expect("}")
+        while True:
+            save = self.i
+            w = self.try_word()
+            if w != "else":
+                self.i = save
+                return br
+            w2_save = self.i
+            w2 = self.try_word()
+            if w2 == "if":
+                cond = self.condition_text()
+                self.expect("{")
+                br.cases.append((cond, self.section_body()))
+                self.expect("}")
+            else:
+                self.i = w2_save
+                self.expect("{")
+                br.cases.append((None, self.section_body()))
+                self.expect("}")
+                return br
+
+    def _plugin(self, name: str) -> Plugin:
+        self.expect("{")
+        attrs: dict[str, object] = {}
+        while self.peek() != "}":
+            k = self._string() if self.peek() in "\"'" else self.word()
+            self._ws()
+            if self.s[self.i : self.i + 2] != "=>":
+                raise LSCLError(f"expected => after attribute {k!r}")
+            self.i += 2
+            attrs[k] = self.value()
+        self.expect("}")
+        return Plugin(name, attrs)
+
+
+def parse_config(text: str) -> ConfigAST:
+    return _P(text).parse_config()
+
+
+# ---------------------------------------------------------------------------
+# Plugin-attr adapters: LSCL attribute surface → our operator kwargs
+# ---------------------------------------------------------------------------
+
+
+def _first(v):
+    return v[0] if isinstance(v, list) else v
+
+
+def _adapt_grok(a: dict) -> dict:
+    conf: dict[str, object] = {"match": a["match"]}
+    if "tag_on_failure" in a:
+        conf["tag_on_failure"] = _first(a["tag_on_failure"])
+    for k in ("break_on_match", "pattern_definitions", "overwrite", "method"):
+        if k in a:
+            conf[k] = a[k]
+    return conf
+
+
+def _adapt_date(a: dict) -> dict:
+    m = a["match"]
+    conf: dict[str, object] = {"field": m[0], "formats": list(m[1:])}
+    for k in ("target", "timezone"):
+        if k in a:
+            conf[k] = a[k]
+    if "tag_on_failure" in a:
+        conf["tag_on_failure"] = _first(a["tag_on_failure"])
+    return conf
+
+
+def _adapt_dissect(a: dict) -> dict:
+    fld, mapping = next(iter(a["mapping"].items()))
+    conf: dict[str, object] = {"field": fld, "mapping": mapping}
+    if "tag_on_failure" in a:
+        conf["tag_on_failure"] = _first(a["tag_on_failure"])
+    return conf
+
+
+def _adapt_source(a: dict, extra: dict[str, str] | None = None) -> dict:
+    """Common `source => field` rename plus passthrough renames."""
+    ren = {"source": "field"}
+    ren.update(extra or {})
+    return {ren.get(k, k): v for k, v in a.items()}
+
+
+def _adapt_mutate(a: dict) -> dict:
+    conf = dict(a)
+    if "gsub" in conf:
+        flat = conf["gsub"]
+        # LSCL flattens gsub triples into one array
+        conf["gsub"] = [tuple(flat[i : i + 3]) for i in range(0, len(flat), 3)]
+    return conf
+
+
+def _adapt_translate(a: dict) -> dict:
+    conf: dict[str, object] = {
+        "source": a.get("source", a.get("field")),
+        "target": a.get("target", a.get("destination", "translation")),
+        "dictionary": a["dictionary"],
+    }
+    if "fallback" in a:
+        conf["fallback"] = a["fallback"]
+    if a.get("regex"):
+        conf["regex"] = True
+    return conf
+
+
+def _adapt_clone(a: dict) -> dict:
+    return {"types": a["clones"]}
+
+
+_ADAPTERS = {
+    "grok": _adapt_grok,
+    "date": _adapt_date,
+    "dissect": _adapt_dissect,
+    "mutate": _adapt_mutate,
+    "translate": _adapt_translate,
+    "clone": _adapt_clone,
+    "kv": lambda a: _adapt_source(a),
+    "json": lambda a: _adapt_source(a),
+    "csv": lambda a: _adapt_source(a),
+    "useragent": lambda a: _adapt_source(a),
+    "urldecode": lambda a: _adapt_source(a),
+    "bytes": lambda a: _adapt_source(a),
+    "fingerprint": lambda a: dict(a),
+    "throttle": lambda a: {
+        {"period": "period_seconds", "after_count": "max_count"}.get(k, k): v
+        for k, v in a.items()
+    },
+}
+
+
+def _adapt(plugin: Plugin) -> dict:
+    fn = _ADAPTERS.get(plugin.name)
+    return fn(plugin.attrs) if fn else dict(plugin.attrs)
+
+
+# ---------------------------------------------------------------------------
+# AST → PipelineSpec
+# ---------------------------------------------------------------------------
+
+
+def _gate(preds: list[str]) -> str | None:
+    return " and ".join(preds) if preds else None
+
+
+def _walk_filters(
+    nodes: list[object], preds: list[str], out: list[FilterSpec]
+) -> None:
+    for node in nodes:
+        if isinstance(node, Plugin):
+            out.append(FilterSpec(op=node.name, conf=_adapt(node), when=_gate(preds)))
+        else:  # Branch: case k sees !(c1..ck-1) and (ck)
+            assert isinstance(node, Branch)
+            negations: list[str] = []
+            for cond, body in node.cases:
+                case_preds = preds + negations + (
+                    [f"({cond})"] if cond is not None else []
+                )
+                _walk_filters(body, case_preds, out)
+                if cond is not None:
+                    negations.append(f"!({cond})")
+
+
+def _sink_name(plugin: Plugin, taken: set[str]) -> str:
+    base = plugin.attrs.get("id") or plugin.attrs.get("path") or plugin.name
+    name = str(base)
+    i = 1
+    while name in taken:
+        i += 1
+        name = f"{base}_{i}"
+    taken.add(name)
+    return name
+
+
+def _walk_outputs(
+    nodes: list[object],
+    preds: list[str],
+    routes: dict[str, str],
+    sinks: dict[str, Plugin],
+    taken: set[str],
+) -> None:
+    for node in nodes:
+        if isinstance(node, Plugin):
+            name = _sink_name(node, taken)
+            routes[name] = _gate(preds) or "true"
+            sinks[name] = node
+        else:
+            assert isinstance(node, Branch)
+            negations: list[str] = []
+            for cond, body in node.cases:
+                case_preds = preds + negations + (
+                    [f"({cond})"] if cond is not None else []
+                )
+                _walk_outputs(body, case_preds, routes, sinks, taken)
+                if cond is not None:
+                    negations.append(f"!({cond})")
+
+
+def compile_conf(
+    text: str,
+    *,
+    name: str = "lscl",
+    aggregate_dims: list[str] | None = None,
+    aggregate_sum: str | None = None,
+    metrics_ts: str | None = None,
+) -> tuple[PipelineSpec, ConfigAST]:
+    """Parse `.conf` text and compile it to a PipelineSpec (+ the raw AST
+    for callers that need the input/output plugin attrs, e.g. to bind
+    sources or sink paths)."""
+    ast = parse_config(text)
+    filters: list[FilterSpec] = []
+    _walk_filters(ast.filters, [], filters)
+    routes: dict[str, str] = {}
+    sinks: dict[str, Plugin] = {}
+    _walk_outputs(ast.outputs, [], routes, sinks, set())
+    spec = PipelineSpec(
+        name=name,
+        filters=filters,
+        routes=routes,
+        aggregate_dims=aggregate_dims if aggregate_dims is not None else ["source"],
+        aggregate_sum=aggregate_sum,
+        metrics_ts=metrics_ts,
+    )
+    return spec, ast

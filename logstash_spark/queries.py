@@ -372,6 +372,49 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSCL_CONF = """
+filter {
+  if [value] > 100 { mutate { add_field => { "tier" => "high" } } }
+  else { mutate { add_field => { "tier" => "low" } } }
+}
+output {
+  if [event_type] == "error" { file { id => "s_err" } }
+  else if [tier] == "high" { file { id => "s_high" } }
+  else { file { id => "s_rest" } }
+}
+"""
+
+
+@query(
+    "lscl_conf_pipeline",
+    """
+    SELECT 's_err' AS sink, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 's_high', CAST(count(*) AS BIGINT)
+      FROM events WHERE event_type != 'error' AND value > 100
+    UNION ALL
+    SELECT 's_rest', CAST(count(*) AS BIGINT)
+      FROM events WHERE event_type != 'error' AND value <= 100
+    """,
+)
+def lscl_conf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logstash .conf text end-to-end: parse LSCL (sections, if/else-if/
+    else, attribute hashes) → PipelineSpec → gated filters + route
+    fan-out → per-sink counts."""
+    from logstash_spark.plans.lscl import compile_conf
+    from logstash_spark.plans.runner import build_plan
+
+    spec, _ = compile_conf(_LSCL_CONF, name="lscl_gate")
+    ev = _t(spark, sf_dir, "events")
+    routed = build_plan(ev, spec)
+    return (
+        routed.select(F.explode("routes").alias("sink"))
+        .groupBy("sink")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows
 # ---------------------------------------------------------------------------

@@ -88,7 +88,11 @@ def spec_from_json(doc: dict):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--spec", help="pipeline spec JSON file")
+    ap.add_argument(
+        "--spec",
+        help="pipeline spec: JSON file, or Logstash .conf text (LSCL) when "
+        "the filename ends in .conf",
+    )
     ap.add_argument("--input", help="input table path (parquet/iceberg dir)")
     ap.add_argument("--sinks-root", help="root directory for sink tables")
     ap.add_argument("--master", default=None, help="spark master override")
@@ -107,10 +111,17 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.spec and args.input and args.sinks_root):
         ap.error("--spec, --input and --sinks-root are required")
 
-    with open(args.spec) as f:
-        doc = json.load(f)
-    spec = spec_from_json(doc)
-    drop = tuple(doc.get("drop_before_write", ()))
+    if args.spec.endswith(".conf"):
+        from logstash_spark.plans.lscl import compile_conf
+
+        with open(args.spec) as f:
+            spec, _ = compile_conf(f.read(), name=args.spec.rsplit("/", 1)[-1])
+        drop: tuple[str, ...] = ()
+    else:
+        with open(args.spec) as f:
+            doc = json.load(f)
+        spec = spec_from_json(doc)
+        drop = tuple(doc.get("drop_before_write", ()))
 
     from logstash_spark.session import get_spark
 
