@@ -19,6 +19,30 @@ from pyspark.sql.window import Window
 from logstash_spark.operators import op
 
 
+@op("line")
+def line_codec(
+    df: DataFrame,
+    field: str,
+    *,
+    delimiter: str = "\n",
+    target: str = "message",
+    keep_empty: bool = False,
+    line_no: str = "line_no",
+) -> DataFrame:
+    """logstash-codec-line / plain: one event per delimiter-separated line
+    of a blob field (the decode direction; encode is just concat_ws).
+    posexplode keeps the 0-based line number for downstream ordering —
+    a narrow explode, no shuffle."""
+    parts = F.split(F.col(field), delimiter)
+    out = df.select(
+        *[c for c in df.columns if c != field],
+        F.posexplode(parts).alias(line_no, target),
+    )
+    if not keep_empty:
+        out = out.where(F.col(target) != "")
+    return out
+
+
 @op("multiline")
 def multiline(
     df: DataFrame,

@@ -635,9 +635,20 @@ def json_filter(
     """logstash-filter-json: parse a JSON string field into event fields.
 
     Schema may be given (DDL string / StructType) or inferred at the driver
-    from a bounded sample (one extra small job, never per-row inference).
+    from a bounded sample. Inference costs ONE extra (bounded) Spark job
+    and can miss fields absent from the sample — fine in a notebook,
+    wrong in a production pipeline spec, so it warns. Always pass an
+    explicit schema in specs.
     """
     if schema is None:
+        import warnings
+
+        warnings.warn(
+            "json filter inferring schema from a driver-side sample "
+            f"(limit {sample_rows}); pass an explicit schema in pipeline "
+            "specs — inference adds a job and may miss rare fields",
+            stacklevel=2,
+        )
         sample = [
             r[0]
             for r in df.select(field).where(F.col(field).isNotNull()).limit(sample_rows).collect()

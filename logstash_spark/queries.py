@@ -372,6 +372,28 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "line_codec_split",
+    """
+    SELECT event_id, 0 AS line_no, 'a=' || event_type AS message FROM events
+    UNION ALL
+    SELECT event_id, 1, 'b=' || CAST(user_id AS VARCHAR) FROM events
+    """,
+)
+def line_codec_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-codec-line: a two-line blob decodes to one event per line
+    with its 0-based line number (trailing empty line dropped)."""
+    from logstash_spark.operators.codec import line_codec
+
+    ev = _t(spark, sf_dir, "events")
+    blob = F.concat(
+        F.lit("a="), F.col("event_type"), F.lit("\nb="),
+        F.col("user_id").cast("string"), F.lit("\n"),
+    )
+    df = ev.select("event_id", blob.alias("blob"))
+    return line_codec(df, "blob").select("event_id", "line_no", "message")
+
+
 _LSCL_CONF = """
 filter {
   if [value] > 100 { mutate { add_field => { "tier" => "high" } } }
