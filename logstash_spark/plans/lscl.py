@@ -451,6 +451,39 @@ def _walk_outputs(
                     negations.append(f"!({cond})")
 
 
+def bind_input(spark, ast: ConfigAST):
+    """Bind the conf's FIRST input plugin to a DataFrame:
+      * generator { count => N }      → sources.gen.input_sequences
+      * file { path => p, format => parquet|json|csv|text }  → spark.read
+    Multiple inputs union by name (the reference's multi-input merge).
+    Returns None when the conf declares no inputs (caller passes
+    --input explicitly)."""
+    frames = []
+    for p in ast.inputs:
+        if not isinstance(p, Plugin):
+            raise LSCLError("conditionals are not valid in input sections")
+        if p.name == "generator":
+            from logstash_spark.sources.gen import input_sequences
+
+            frames.append(input_sequences(spark, int(p.attrs.get("count", 1000))))
+        elif p.name == "file":
+            fmt = str(p.attrs.get("format", "parquet"))
+            rdr = spark.read
+            path = str(p.attrs["path"])
+            frames.append(getattr(rdr, fmt)(path))
+        else:
+            raise LSCLError(
+                f"input plugin {p.name!r} has no offline binding "
+                "(network transports are out of scope)"
+            )
+    if not frames:
+        return None
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f, allowMissingColumns=True)
+    return df
+
+
 def compile_conf(
     text: str,
     *,

@@ -85,6 +85,11 @@ def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
             out.append(F.when(gate, F.col(c)).otherwise(F.col(f"_pre_{c}")).alias(c))
         else:
             out.append(F.when(gate, F.col(c)).alias(c))
+    # columns the op dropped/renamed away still exist for FALSE-branch
+    # rows (matches unionByName(allowMissingColumns) split semantics)
+    for c in orig_cols:
+        if c not in applied.columns:
+            out.append(F.when(~gate, F.col(f"_pre_{c}")).alias(c))
     return applied.select(*out)
 
 

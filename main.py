@@ -108,14 +108,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.write_example_spec}")
         return 0
 
-    if not (args.spec and args.input and args.sinks_root):
-        ap.error("--spec, --input and --sinks-root are required")
+    if not (args.spec and args.sinks_root):
+        ap.error("--spec and --sinks-root are required")
+    if not args.input and not args.spec.endswith(".conf"):
+        ap.error("--input is required (or a .conf spec with an input section)")
 
+    conf_ast = None
     if args.spec.endswith(".conf"):
         from logstash_spark.plans.lscl import compile_conf
 
         with open(args.spec) as f:
-            spec, _ = compile_conf(f.read(), name=args.spec.rsplit("/", 1)[-1])
+            spec, conf_ast = compile_conf(f.read(), name=args.spec.rsplit("/", 1)[-1])
         drop: tuple[str, ...] = ()
     else:
         with open(args.spec) as f:
@@ -149,7 +152,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from logstash_spark.plans.runner import run_pipeline
 
-    input_df = spark.read.parquet(args.input)
+    if args.input:
+        input_df = spark.read.parquet(args.input)
+    else:
+        from logstash_spark.plans.lscl import bind_input
+
+        input_df = bind_input(spark, conf_ast)
+        if input_df is None:
+            ap.error("--input required: the .conf declares no input section")
     result = run_pipeline(
         spark, input_df, spec, args.sinks_root,
         resume=not args.no_resume, drop_before_write=drop,

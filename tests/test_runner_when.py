@@ -85,6 +85,21 @@ def test_gated_multiplicity_op_filter_union_semantics(spark):
     assert got == [(1, "copy"), (1, "orig"), (2, "orig")]
 
 
+def test_gated_rename_keeps_old_column_for_false_branch(spark):
+    """mutate rename under a gate: renamed column for matching rows, the
+    ORIGINAL column survives (null on the true branch) for the rest —
+    exactly what the filter+union split would produce."""
+    df = spark.createDataFrame([(1, "app", "x"), (2, "web", "y")],
+                               ["id", "source", "old"])
+    spec = _spec([
+        FilterSpec(op="mutate", conf={"rename": {"old": "new"}},
+                   when='[source] == "app"')
+    ])
+    rows = {r["id"]: r for r in apply_filters(df, spec).collect()}
+    assert rows[1]["new"] == "x" and rows[1]["old"] is None
+    assert rows[2]["new"] is None and rows[2]["old"] == "y"
+
+
 def test_nested_gates_still_single_scan(spark, tmp_path):
     src = str(tmp_path / "src2")
     spark.createDataFrame(
