@@ -26,6 +26,7 @@ def translate(
     fallback: object | None = None,
     regex: bool = False,
     exact: bool = True,
+    dictionary_path: str | None = None,
 ) -> DataFrame:
     """logstash-filter-translate.
 
@@ -34,7 +35,13 @@ def translate(
                   DataFrame(key, value).
     regex mode  → ordered when(rlike) chain (dictionary keys are patterns);
                   small-N only, stays fully codegen'd.
+    dictionary_path → the reference's file-backed dictionary: a .json
+                  object or two-column .csv loaded DRIVER-side (lookup
+                  dictionaries are broadcast-sized by definition; a big
+                  side table should be a DataFrame join instead).
     """
+    if dictionary_path is not None:
+        dictionary = _load_dictionary(dictionary_path)
     if regex or not exact:
         assert isinstance(dictionary, Mapping)
         expr: Column = F.lit(fallback) if fallback is not None else F.lit(None)
@@ -53,6 +60,24 @@ def translate(
     if fallback is not None:
         joined = joined.withColumn(target, F.coalesce(F.col(target), F.lit(fallback)))
     return joined
+
+
+def _load_dictionary(path: str) -> dict:
+    """Driver-side load of a translate dictionary file (.json object or
+    2-column .csv, the reference's common formats)."""
+    import csv
+    import json as _json
+
+    if path.endswith(".json"):
+        with open(path) as f:
+            d = _json.load(f)
+        if not isinstance(d, dict):
+            raise ValueError(f"dictionary file {path} must hold a JSON object")
+        return d
+    if path.endswith(".csv"):
+        with open(path, newline="") as f:
+            return {row[0]: row[1] for row in csv.reader(f) if len(row) >= 2}
+    raise ValueError(f"unsupported dictionary file type: {path} (.json/.csv)")
 
 
 def translate_multi(

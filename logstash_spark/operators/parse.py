@@ -332,6 +332,32 @@ def _grok_pandas(
     return df.drop("_grok_any", *struct_cols.keys())
 
 
+@op("script_field")
+def script_field(
+    df: DataFrame,
+    target: str,
+    fn,
+    returns: str,
+    *,
+    args: Sequence[str],
+) -> DataFrame:
+    """logstash-filter-ruby analog, first-class: arbitrary per-event
+    logic as ONE Arrow-vectorized pandas UDF producing `target` from the
+    named input columns. The reference runs inline Ruby per event
+    (`code => 'event.set(...)'`); here the user function receives whole
+    pandas Series (batch of 10k rows per Arrow transfer, session conf),
+    never row-at-a-time Python. Only `args` columns cross the Arrow
+    boundary — wide payloads stay JVM-side."""
+    # annotation-free shim: user functions often carry stringified type
+    # hints (PEP 563) that pandas_udf's hint inference cannot resolve;
+    # the shim pins the legacy SCALAR eval type regardless.
+    def _shim(*cols):
+        return fn(*cols)
+
+    udf = F.pandas_udf(_shim, returns)
+    return df.withColumn(target, udf(*[F.col(a) for a in args]))
+
+
 # ---------------------------------------------------------------------------
 # dissect
 # ---------------------------------------------------------------------------

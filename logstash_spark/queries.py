@@ -373,6 +373,28 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "script_field_pandas",
+    """
+    SELECT event_id, value * 2 + length(event_type) AS scored FROM events
+    """,
+)
+def script_field_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-ruby analog: arbitrary per-event scoring as one
+    Arrow-vectorized pandas UDF (script_field op)."""
+    import pandas as pd
+
+    from logstash_spark.operators.parse import script_field
+
+    ev = _t(spark, sf_dir, "events")
+
+    def score(v: pd.Series, t: pd.Series) -> pd.Series:
+        return v * 2 + t.str.len()
+
+    out = script_field(ev, "scored", score, "double", args=["value", "event_type"])
+    return out.select("event_id", "scored")
+
+
+@query(
     "line_codec_split",
     """
     SELECT event_id, 0 AS line_no, 'a=' || event_type AS message FROM events

@@ -78,3 +78,21 @@ def test_sessionize_gap_boundaries(spark):
     assert sessions[(1, "2026-01-01 00:00:00")] == sessions[(1, "2026-01-01 00:04:00")]
     assert sessions[(1, "2026-01-01 00:20:00")] != sessions[(1, "2026-01-01 00:00:00")]
     assert sessions[(2, "2026-01-01 00:00:00")] == "2#1"
+
+
+def test_translate_dictionary_path(spark, tmp_path):
+    import json as _json
+
+    from logstash_spark.operators.enrich import translate
+
+    p = tmp_path / "dict.json"
+    p.write_text(_json.dumps({"click": "engagement", "purchase": "revenue"}))
+    df = spark.createDataFrame([("click",), ("purchase",), ("other",)], ["et"])
+    out = translate(df, "et", "cat", None, dictionary_path=str(p), fallback="misc")
+    got = {r["et"]: r["cat"] for r in out.collect()}
+    assert got == {"click": "engagement", "purchase": "revenue", "other": "misc"}
+
+    c = tmp_path / "dict.csv"
+    c.write_text("click,engagement\npurchase,revenue\n")
+    out2 = translate(df, "et", "cat", None, dictionary_path=str(c), fallback="misc")
+    assert {r["et"]: r["cat"] for r in out2.collect()} == got
