@@ -581,6 +581,134 @@ def rolling_fingerprint(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Training-sequence assembly over token arrays (the 10^12-sequence payload)
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    seq_len: int = 2048,
+    stride: int | None = None,
+    drop_last_partial: bool = False,
+) -> DataFrame:
+    """Per-document sliding-window chunking: each doc's token array is cut
+    into windows of `seq_len` advancing by `stride` (default = seq_len,
+    i.e. non-overlapping). Pure column expressions — sequence + slice, no
+    shuffle at all; 1→N rows via one explode.
+
+    Output: (id_col, chunk_id int, tokens array, n_tok int).
+    """
+    step = stride or seq_len
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(step)).cast("int") + 1
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda c: F.slice(toks, c * step + 1, seq_len),
+            )
+        ).alias("chunk_id", tokens_col),
+    ).where(F.size(F.col(tokens_col)) > 0)
+    if drop_last_partial:
+        out = out.where(F.size(F.col(tokens_col)) == seq_len)
+    return out.withColumn("n_tok", F.size(F.col(tokens_col)))
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    seq_len: int = 2048,
+    drop_last_partial: bool = False,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    assembly): within each `group_col` stream, documents are concatenated
+    in `id_col` order and the token stream is cut every `seq_len` tokens;
+    docs straddle chunk boundaries.
+
+    Relational derivation that NEVER creates per-token rows:
+      1. window cumsum over (group ORDER BY id) → each doc's global
+         start offset — one shuffle on the group key;
+      2. each doc explodes to only the chunks it OVERLAPS (≤ n_tok/L+1
+         rows per doc, not n_tok rows) with the matching array slice;
+      3. groupBy (group, chunk) reassembles pieces in offset order via
+         array_sort + flatten — second shuffle, map-side combined.
+
+    Deterministic given (group, id) order, so any engine reproduces the
+    exact packed sequences. Output: (group_col, seq_id bigint,
+    tokens array, n_tok int).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    toks = F.col(tokens_col)
+    off = (F.sum(n_tok_col).over(w) - F.col(n_tok_col)).cast("long")
+    L = F.lit(seq_len)
+    first_c = F.floor(off / L).cast("long")
+    last_c = F.floor((off + F.col(n_tok_col) - 1) / L).cast("long")
+    pieces = (
+        df.select(
+            F.col(group_col),
+            off.alias("_off"),
+            F.col(n_tok_col).alias("_n"),
+            toks.alias("_t"),
+            first_c.alias("_c0"),
+            last_c.alias("_c1"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            group_col,
+            "_off",
+            "_n",
+            "_t",
+            F.explode(F.sequence(F.col("_c0"), F.col("_c1"))).alias("seq_id"),
+        )
+        .select(
+            group_col,
+            "seq_id",
+            "_off",
+            F.slice(
+                F.col("_t"),
+                (F.greatest(F.col("seq_id") * L - F.col("_off"), F.lit(0)) + 1).cast(
+                    "int"
+                ),
+                (
+                    F.least((F.col("seq_id") + 1) * L, F.col("_off") + F.col("_n"))
+                    - F.greatest(F.col("seq_id") * L, F.col("_off"))
+                ).cast("int"),
+            ).alias("_piece"),
+        )
+    )
+    out = (
+        pieces.groupBy(group_col, "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_off"), F.col("_piece")))
+                    ),
+                    lambda s: s.getField("_piece"),
+                )
+            ).alias(tokens_col)
+        )
+        .withColumn("n_tok", F.size(F.col(tokens_col)))
+    )
+    if drop_last_partial:
+        out = out.where(F.col("n_tok") == seq_len)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; decode stubbed)
 # ---------------------------------------------------------------------------
 

@@ -505,3 +505,80 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL/ffmpeg per batch). Exercises binary schema + batch iteration."""
     docs = _docs(spark, sf_dir).withColumn("payload", F.encode(F.col("text"), "utf-8"))
     return D.binary_meta_decode(docs, "payload")
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence assembly (tokens synthesized deterministically from
+# doc_id so DuckDB derives the identical arrays)
+# ---------------------------------------------------------------------------
+
+_TOK_N = "(doc_id % 37) + 3"
+_TOK_SQL = (
+    f"list_transform(range(0, {_TOK_N}), "
+    "i -> CAST((doc_id * 7 + i * 13) % 50000 AS INTEGER))"
+)
+
+
+def _tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = (F.col("doc_id") % 37 + 3).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ((F.col("doc_id") * 7 + i * 13) % 50000).cast("int"),
+    )
+    return d.select("doc_id", "source", n.alias("n_tok"), toks.alias("tokens"))
+
+
+@query(
+    "token_chunking",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOK_N} AS n, {_TOK_SQL} AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(c.c AS INTEGER) AS chunk_id,
+             t[CAST(c.c * 8 + 1 AS BIGINT) : CAST(least(c.c * 8 + 16, n) AS BIGINT)] AS tokens
+      FROM docs, LATERAL (SELECT unnest(range(0, (n - 1) // 8 + 1)) AS c) c
+    )
+    SELECT doc_id, chunk_id, tokens, CAST(len(tokens) AS INTEGER) AS n_tok
+    FROM chunks WHERE len(tokens) > 0
+    """,
+)
+def token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sliding-window token chunking (seq_len=16, stride=8) —
+    zero-shuffle sequence+slice, 1->N via one explode."""
+    return D.chunk_tokens(
+        _tok_docs(spark, sf_dir), seq_len=16, stride=8
+    )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, {_TOK_N} AS n, {_TOK_SQL} AS t FROM documents
+    ),
+    offs AS (
+      SELECT *, CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS BIGINT) AS off
+      FROM docs
+    ),
+    pieces AS (
+      SELECT source, cs.seq_id, off,
+             t[CAST(greatest(cs.seq_id * 64 - off, 0) + 1 AS BIGINT) :
+               CAST(least((cs.seq_id + 1) * 64, off + n) - off AS BIGINT)] AS piece
+      FROM offs,
+           LATERAL (SELECT unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id) cs
+    )
+    SELECT source, seq_id,
+           flatten(list(piece ORDER BY off)) AS tokens,
+           CAST(len(flatten(list(piece ORDER BY off))) AS INTEGER) AS n_tok
+    FROM pieces GROUP BY source, seq_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk LLM sequence packing: per-source token streams in
+    doc_id order cut every 64 tokens, docs straddling boundaries. No
+    per-token rows — docs explode only to the chunks they overlap."""
+    return D.pack_concat_chunks(
+        _tok_docs(spark, sf_dir), group_col="source", seq_len=64
+    )

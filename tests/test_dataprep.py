@@ -181,3 +181,43 @@ def test_binary_meta_decode_stub(spark):
     out = {r.doc_id: r for r in D.binary_meta_decode(df, "payload").collect()}
     assert out[1].n_bytes == 4 and out[1].width == 4 and out[1].height == 28
     assert out[2].n_bytes == 700 and out[2].width == 60 and out[2].n_frames == 700 % 16
+
+
+def test_chunk_tokens_sliding(spark):
+    df = spark.createDataFrame([(1, list(range(10)))], ["doc_id", "tokens"])
+    out = sorted(
+        (r["chunk_id"], r["tokens"], r["n_tok"])
+        for r in D.chunk_tokens(df, seq_len=4, stride=3).collect()
+    )
+    assert out == [
+        (0, [0, 1, 2, 3], 4),
+        (1, [3, 4, 5, 6], 4),
+        (2, [6, 7, 8, 9], 4),
+        (3, [9], 1),
+    ]
+    full = D.chunk_tokens(df, seq_len=4, stride=3, drop_last_partial=True).collect()
+    assert all(r["n_tok"] == 4 for r in full) and len(full) == 3
+
+
+def test_pack_concat_chunks_straddles_boundaries(spark):
+    """Docs concatenate in id order per group; chunk boundary cuts
+    straight through doc 2; trailing partial kept unless dropped."""
+    rows = [
+        ("s", 1, [1, 2, 3], 3),
+        ("s", 2, [4, 5, 6, 7], 4),
+        ("s", 3, [8, 9], 2),
+        ("t", 9, [100], 1),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "tokens", "n_tok"])
+    out = {
+        (r["source"], r["seq_id"]): r["tokens"]
+        for r in D.pack_concat_chunks(df, seq_len=4).collect()
+    }
+    assert out == {
+        ("s", 0): [1, 2, 3, 4],
+        ("s", 1): [5, 6, 7, 8],
+        ("s", 2): [9],
+        ("t", 0): [100],
+    }
+    dropped = D.pack_concat_chunks(df, seq_len=4, drop_last_partial=True).collect()
+    assert {(r["source"], r["seq_id"]) for r in dropped} == {("s", 0), ("s", 1)}
