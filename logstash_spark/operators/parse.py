@@ -759,6 +759,17 @@ _UA_OS = [
     ("Linux", r"Linux|X11"),
 ]
 
+# major-version extraction per family (uap-core: Safari's version comes
+# from the Version/ token, IE from MSIE or the Trident rv: token)
+_UA_VERSION = {
+    "Edge": r"Edg(?:e|A|iOS)?/(\d+)",
+    "Opera": r"(?:OPR|Opera)[/ ](\d+)",
+    "Firefox": r"Firefox/(\d+)",
+    "Chrome": r"Chrome/(\d+)",
+    "Safari": r"Version/(\d+)",
+    "IE": r"(?:MSIE |rv:)(\d+)",
+}
+
 
 @op("useragent")
 def useragent(
@@ -767,7 +778,8 @@ def useragent(
     """logstash-filter-useragent, coarse mode: ordered rlike when-chains
     classify browser family and OS family (reference uses the uap-core
     regex set; the chain order mirrors its precedence — e.g. Edge/Opera
-    before Chrome, Chrome before Safari)."""
+    before Chrome, Chrome before Safari), plus the browser's major
+    version (`ua_major`, null for bots/unknowns)."""
     src = F.col(field)
 
     def chain(table: list[tuple[str, str]]) -> Column:
@@ -776,10 +788,17 @@ def useragent(
             out = F.when(src.rlike(rx), F.lit(name)).otherwise(out)
         return out
 
+    family = chain(_UA_BROWSERS)
+    major: Column = F.lit(None).cast("int")
+    for name, rx in _UA_VERSION.items():
+        major = F.when(
+            family == name, F.nullif(F.regexp_extract(src, rx, 1), F.lit("")).cast("int")
+        ).otherwise(major)
     return df.withColumns(
         {
-            f"{target_prefix}name": chain(_UA_BROWSERS),
+            f"{target_prefix}name": family,
             f"{target_prefix}os": chain(_UA_OS),
+            f"{target_prefix}major": major,
         }
     )
 

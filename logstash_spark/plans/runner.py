@@ -202,6 +202,11 @@ def run_pipeline(
             result.skipped_sinks.append(sink)
             continue
         out = route_filter(routed, sink).drop(ROUTES, "_in_part", *drop_before_write)
+        if sink == spec.dlq_sink and "tags" in out.columns:
+            # DLQ entries carry failure metadata like the reference's DLQ
+            # (org.logstash DLQWriter stores the event + reason): the
+            # failure tags that routed the event here.
+            out = out.withColumn("_dlq_reason", F.concat_ws(",", F.col("tags")))
         rows, n_parts = totals.get(sink, (0, 0))
         table.append(
             out,

@@ -48,6 +48,9 @@ class PipelineSpec:
     aggregate_sum: str | None = "n_tok"
     metrics_ts: str | None = None  # timestamp col for the metrics side table
     metrics_window: str = "5 minutes"
+    # sink that receives failed events; its rows gain a _dlq_reason
+    # column (joined failure tags — the reference DLQ's reason metadata)
+    dlq_sink: str = "dlq"
 
     def sink_names(self) -> list[str]:
         names = list(self.routes)

@@ -518,3 +518,28 @@ def cardinality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.count_distinct("user_id").alias("users")
     )
+
+
+@query(
+    "useragent_version",
+    """
+    SELECT CASE event_type
+             WHEN 'click' THEN 'Chrome' WHEN 'view' THEN 'Safari'
+             WHEN 'purchase' THEN 'Firefox' WHEN 'signup' THEN 'Other'
+             ELSE 'bot' END AS ua_name,
+           CASE event_type
+             WHEN 'click' THEN 120 WHEN 'view' THEN 17
+             WHEN 'purchase' THEN 120 END AS ua_major,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def useragent_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """useragent major-version extraction (uap precedence: Safari's
+    version from the Version/ token; bots/unknowns null)."""
+    ev = _ev(spark, sf_dir)
+    ua: Column = F.lit(_UA_BY_TYPE["error"])
+    for etype, s in _UA_BY_TYPE.items():
+        ua = F.when(F.col("event_type") == etype, F.lit(s)).otherwise(ua)
+    df = useragent(ev.withColumn("ua", ua), "ua")
+    return df.groupBy("ua_name", "ua_major").agg(F.count("*").alias("cnt"))

@@ -83,6 +83,15 @@ def test_token_array_equality_through_pipeline(spark, run):
         assert missing == 0, f"{sink} has mutated token arrays"
 
 
+def test_dlq_rows_carry_failure_reason(spark, run):
+    """DLQ entries carry the failure tags that routed them (the
+    reference DLQ's reason metadata)."""
+    root, _ = run
+    dlq = SnapshotTable(os.path.join(root, "dlq")).read(spark)
+    assert "_dlq_reason" in dlq.columns
+    assert dlq.where(~F.col("_dlq_reason").contains("_grokparsefailure")).count() == 0
+
+
 def test_fanout_multiplicity(spark, run):
     """An event may reach several sinks (graph fan-out, not first-match)."""
     root, res = run
