@@ -153,6 +153,56 @@ def metrics(
     return out
 
 
+@op("metrics_timer")
+def metrics_timer(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: Sequence[str],
+    *,
+    window_duration: str = "5 minutes",
+    percentiles: Sequence[float] = (0.9, 0.95),
+) -> DataFrame:
+    """logstash-filter-metrics `timer` meters: per-window count / min /
+    max / mean / stddev / configured percentiles of a numeric field
+    (MetricsFilter emits rt.min, rt.max, rt.p90... per flush).
+
+    Exact interpolated percentiles (Spark `percentile`, == SQL
+    percentile_cont) rather than approx sketches so any engine
+    reproduces the numbers; at extreme cardinality swap in
+    approx_percentile (same plan shape, sketch mergeable map-side).
+    One shuffle on (keys, window), map-side partial for the
+    decomposable aggs.
+    """
+    win = F.window(F.col(ts), window_duration)
+    v = F.col(value)
+    aggs = [
+        F.count(v).alias("cnt"),
+        F.round(F.min(v), 6).alias("v_min"),
+        F.round(F.max(v), 6).alias("v_max"),
+        F.round(F.avg(v), 6).alias("v_mean"),
+        F.round(F.stddev(v), 6).alias("v_stddev"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.round(F.percentile(v, F.lit(float(p))), 6).alias(f"p{int(p * 100)}")
+        )
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "cnt",
+            "v_min",
+            "v_max",
+            "v_mean",
+            "v_stddev",
+            *[f"p{int(p * 100)}" for p in percentiles],
+        )
+    )
+
+
 @op("metrics_ewma")
 def metrics_ewma(
     df: DataFrame,

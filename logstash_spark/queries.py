@@ -484,6 +484,37 @@ def metrics_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "metrics_timer_percentiles",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(value) AS BIGINT) AS cnt,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max,
+           round(avg(value), 6) AS v_mean,
+           round(stddev(value), 6) AS v_stddev,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY 1, 2
+    """,
+)
+def metrics_timer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-metrics timer meters: per-(hour, event_type)
+    min/max/mean/stddev + exact interpolated p90/p95 of `value`."""
+    from logstash_spark.operators.aggregate import metrics_timer
+
+    ev = _t(spark, sf_dir, "events")
+    out = metrics_timer(
+        ev, "ts", "value", ["event_type"], window_duration="1 hour",
+        percentiles=(0.9, 0.95),
+    )
+    return out.withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
 def _ewma_sql_terms(period: int, step: int = 60, horizon: int = 15) -> str:
     """Σ_j alpha·(1-alpha)^j · lag(inst, j) with Python-computed double
     literals (repr = 17 sig digits) so DuckDB reproduces Spark's
