@@ -642,7 +642,13 @@ def pack_concat_chunks(
       2. each doc explodes to only the chunks it OVERLAPS (≤ n_tok/L+1
          rows per doc, not n_tok rows) with the matching array slice;
       3. groupBy (group, chunk) reassembles pieces in offset order via
-         array_sort + flatten — second shuffle, map-side combined.
+         array_sort + flatten — Catalyst ELIDES this second exchange
+         (hash partitioning on the group key already clusters
+         (group, chunk)), so the whole op is ONE shuffle
+         (test_plan_shape asserts it). With few giant groups,
+         repartition the output by (group, seq_id) before writing to
+         rebalance — the assembly itself is unaffected by group skew
+         because pieces combine map-side.
 
     Deterministic given (group, id) order, so any engine reproduces the
     exact packed sequences. Output: (group_col, seq_id bigint,

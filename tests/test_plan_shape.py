@@ -118,6 +118,35 @@ def test_ann_ivf_no_query_side_broadcast_hint(spark):
     assert hints(dictionary_q) == 3
 
 
+def test_sequence_packing_two_exchanges_no_token_rows(spark):
+    """pack_concat_chunks: exactly two exchanges (offset window on the
+    group key + chunk groupBy) and no per-token row explosion — the only
+    Generate explodes the ≤ n_tok/L+1 chunk ids a doc overlaps."""
+    from logstash_spark.operators.dataprep import pack_concat_chunks
+
+    docs = spark.createDataFrame(
+        [("s", i, list(range(i % 7 + 1)), i % 7 + 1) for i in range(50)],
+        ["source", "doc_id", "tokens", "n_tok"],
+    )
+    out = pack_concat_chunks(docs, seq_len=8)
+    plan = optimized_of(out)
+    assert plan.count("Generate explode") == 1  # chunk ids only
+    phys = plan_of(out)
+    # ONE shuffle total: the chunk groupBy's ClusteredDistribution on
+    # (group, seq_id) is satisfied by the window's hash partitioning on
+    # the group key, so Catalyst elides the second exchange.
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_chunk_tokens_no_shuffle(spark):
+    from logstash_spark.operators.dataprep import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, list(range(20)))], ["doc_id", "tokens"]
+    )
+    assert "Exchange" not in plan_of(chunk_tokens(docs, seq_len=8, stride=4))
+
+
 @pytest.mark.parametrize("qname", ["grok_parse", "route_fanout", "text_quality"])
 def test_whole_stage_codegen_present(spark, qname):
     """Hot paths stay inside whole-stage codegen (no interpreted fallback)."""
