@@ -183,10 +183,10 @@ def metrics_timer(
         F.round(F.avg(v), 6).alias("v_mean"),
         F.round(F.stddev(v), 6).alias("v_stddev"),
     ]
-    for p in percentiles:
-        aggs.append(
-            F.round(F.percentile(v, F.lit(float(p))), 6).alias(f"p{int(p * 100)}")
-        )
+    # round(), not int(): 0.29*100 = 28.999... would truncate to p28
+    p_names = [f"p{round(p * 100)}" for p in percentiles]
+    for p, name in zip(percentiles, p_names):
+        aggs.append(F.round(F.percentile(v, F.lit(float(p))), 6).alias(name))
     return (
         df.groupBy(win.alias("w"), *keys)
         .agg(*aggs)
@@ -198,7 +198,7 @@ def metrics_timer(
             "v_max",
             "v_mean",
             "v_stddev",
-            *[f"p{int(p * 100)}" for p in percentiles],
+            *p_names,
         )
     )
 

@@ -32,8 +32,11 @@ def line_codec(
     """logstash-codec-line / plain: one event per delimiter-separated line
     of a blob field (the decode direction; encode is just concat_ws).
     posexplode keeps the 0-based line number for downstream ordering —
-    a narrow explode, no shuffle."""
-    parts = F.split(F.col(field), delimiter)
+    a narrow explode, no shuffle. The delimiter is a LITERAL string
+    (reference semantics), so it is regex-escaped before F.split."""
+    import re as _re2
+
+    parts = F.split(F.col(field), _re2.escape(delimiter))
     out = df.select(
         *[c for c in df.columns if c != field],
         F.posexplode(parts).alias(line_no, target),

@@ -161,6 +161,10 @@ def _grok_native(
         wrapped = "^(?s:.*?)(?:" + c.regex + ")(?s:.*)$"
         tmp_cols[f"_gk{pi}"] = F.split(F.regexp_replace(src, wrapped, repl), _SEP)
     df = df.withColumns(tmp_cols)
+    if max_input_length is not None and over_limit is not None:
+        # materialize BEFORE captures may overwrite the source field —
+        # a stale reference would read the (nulled) capture instead
+        df = df.withColumn("_grok_to", F.coalesce(over_limit, F.lit(False)))
 
     flags = [
         F.coalesce(F.element_at(F.col(f"_gk{pi}"), 1) == F.lit(_SENT), F.lit(False))
@@ -199,7 +203,6 @@ def _grok_native(
     new_cols["_grok_any"] = any_match
     df = df.withColumns(new_cols)
     if max_input_length is not None and over_limit is not None:
-        df = df.withColumn("_grok_to", F.coalesce(over_limit, F.lit(False)))
         df = add_tag_when(df, F.col("_grok_to"), tag_on_timeout)
         df = add_tag_when(df, ~F.col("_grok_any") & ~F.col("_grok_to"), tag_on_failure)
         return df.drop("_grok_any", "_grok_to", *tmp_cols.keys())
@@ -294,6 +297,9 @@ def _grok_pandas(
             src = F.when(~F.coalesce(guard, F.lit(False)), src)
         struct_cols[f"_gs{gi}"] = udf(src)
     df = df.withColumns(struct_cols)
+    if max_input_length is not None and over_limit is not None:
+        # materialize before captures may overwrite a source field
+        df = df.withColumn("_grok_to", F.coalesce(over_limit, F.lit(False)))
 
     flags = [
         F.coalesce(F.col(f"_gs{gi}").getField("_grok_any"), F.lit(False))
@@ -324,7 +330,6 @@ def _grok_pandas(
     new_cols["_grok_any"] = any_match
     df = df.withColumns(new_cols)
     if max_input_length is not None and over_limit is not None:
-        df = df.withColumn("_grok_to", F.coalesce(over_limit, F.lit(False)))
         df = add_tag_when(df, F.col("_grok_to"), tag_on_timeout)
         df = add_tag_when(df, ~F.col("_grok_any") & ~F.col("_grok_to"), tag_on_failure)
         return df.drop("_grok_any", "_grok_to", *struct_cols.keys())
@@ -483,8 +488,9 @@ _JODA_STRPTIME = {
 
 
 def _tokenize_fmt(fmt: str):
-    """Yield ('lit', text) | ('run', letters) tokens of a Joda/JDK-style
-    pattern; quoted sections ('T', with '' escapes) come out as literals."""
+    """Yield ('lit', ch) | ('qlit', text) | ('run', letters) tokens of a
+    Joda/JDK-style pattern; quoted sections ('T', with '' escapes) come
+    out as 'qlit' so translators can re-quote them faithfully."""
     i, n = 0, len(fmt)
     while i < n:
         ch = fmt[i]
@@ -500,7 +506,7 @@ def _tokenize_fmt(fmt: str):
                     break
                 buf.append(fmt[j])
                 j += 1
-            yield ("lit", "".join(buf) or "'")
+            yield ("qlit", "".join(buf) or "'")
             i = j + 1
         elif ch.isalpha():
             j = i
@@ -515,11 +521,15 @@ def _tokenize_fmt(fmt: str):
 
 def _translate_joda(fmt: str) -> str:
     """Joda pattern → JDK DateTimeFormatter pattern, run-tokenized (a
-    sequential string replace would corrupt x→Y→y chains)."""
+    sequential string replace would corrupt x→Y→y chains). Quoted
+    literal sections are ALWAYS re-quoted — "' at '" must not leak an
+    unquoted 'a' (am/pm letter) into the pattern."""
     out = []
     for kind, tok in _tokenize_fmt(fmt):
-        if kind == "lit":
-            out.append("'" + tok.replace("'", "''") + "'" if tok.isalpha() or tok == "'" else tok)
+        if kind == "qlit":
+            out.append("'" + tok.replace("'", "''") + "'")
+        elif kind == "lit":
+            out.append(tok)
         elif tok in _JODA_RUNS:
             out.append(_JODA_RUNS[tok])
         elif tok[0] in _JODA_LETTERS:
@@ -539,7 +549,7 @@ def _spark_unparseable(jdk_fmt: str) -> bool:
 def _joda_to_strptime(fmt: str) -> str:
     out = []
     for kind, tok in _tokenize_fmt(fmt):
-        if kind == "lit":
+        if kind in ("lit", "qlit"):
             out.append(tok.replace("%", "%%"))
         elif tok in _JODA_STRPTIME:
             out.append(_JODA_STRPTIME[tok])

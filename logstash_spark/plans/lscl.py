@@ -195,8 +195,9 @@ class _P:
     # -- conditions --------------------------------------------------------
 
     def condition_text(self) -> str:
-        """Raw condition text up to the block-opening '{' (string/regex
-        aware — a '{' inside a quoted literal does not end it)."""
+        """Raw condition text up to the block-opening '{' — string AND
+        regex aware: a '{' inside a quoted literal or a /regex/ literal
+        (e.g. a {2} quantifier after =~) does not end the condition."""
         self._ws()
         start = self.i
         s, n = self.s, len(self.s)
@@ -206,6 +207,15 @@ class _P:
                 q = c
                 self.i += 1
                 while self.i < n and s[self.i] != q:
+                    if s[self.i] == "\\":
+                        self.i += 1
+                    self.i += 1
+                self.i += 1
+                continue
+            if c == "/" and s[start : self.i].rstrip()[-2:] in ("=~", "!~"):
+                # regex literal: skip to the closing unescaped '/'
+                self.i += 1
+                while self.i < n and s[self.i] != "/":
                     if s[self.i] == "\\":
                         self.i += 1
                     self.i += 1
@@ -302,7 +312,14 @@ def _first(v):
 
 
 def _adapt_grok(a: dict) -> dict:
-    conf: dict[str, object] = {"match": a["match"]}
+    match = a["match"]
+    if isinstance(match, list):
+        # legacy array form: ["field", "pat", "field2", "pat2", ...]
+        as_map: dict[str, list] = {}
+        for f, p in zip(match[::2], match[1::2]):
+            as_map.setdefault(f, []).append(p)
+        match = as_map
+    conf: dict[str, object] = {"match": match}
     if "tag_on_failure" in a:
         conf["tag_on_failure"] = _first(a["tag_on_failure"])
     for k in ("break_on_match", "pattern_definitions", "overwrite", "method"):
@@ -322,12 +339,15 @@ def _adapt_date(a: dict) -> dict:
     return conf
 
 
-def _adapt_dissect(a: dict) -> dict:
-    fld, mapping = next(iter(a["mapping"].items()))
-    conf: dict[str, object] = {"field": fld, "mapping": mapping}
-    if "tag_on_failure" in a:
-        conf["tag_on_failure"] = _first(a["tag_on_failure"])
-    return conf
+def _adapt_dissect(a: dict) -> list[dict]:
+    # one FilterSpec per mapping entry (the reference applies them all)
+    out = []
+    for fld, mapping in a["mapping"].items():
+        conf: dict[str, object] = {"field": fld, "mapping": mapping}
+        if "tag_on_failure" in a:
+            conf["tag_on_failure"] = _first(a["tag_on_failure"])
+        out.append(conf)
+    return out
 
 
 def _adapt_source(a: dict, extra: dict[str, str] | None = None) -> dict:
@@ -384,9 +404,12 @@ _ADAPTERS = {
 }
 
 
-def _adapt(plugin: Plugin) -> dict:
+def _adapt(plugin: Plugin) -> list[dict]:
+    """One plugin → one or more op confs (dissect's mapping hash expands
+    to one conf per entry)."""
     fn = _ADAPTERS.get(plugin.name)
-    return fn(plugin.attrs) if fn else dict(plugin.attrs)
+    confs = fn(plugin.attrs) if fn else dict(plugin.attrs)
+    return confs if isinstance(confs, list) else [confs]
 
 
 # ---------------------------------------------------------------------------
@@ -403,7 +426,8 @@ def _walk_filters(
 ) -> None:
     for node in nodes:
         if isinstance(node, Plugin):
-            out.append(FilterSpec(op=node.name, conf=_adapt(node), when=_gate(preds)))
+            for conf in _adapt(node):
+                out.append(FilterSpec(op=node.name, conf=conf, when=_gate(preds)))
         else:  # Branch: case k sees !(c1..ck-1) and (ck)
             assert isinstance(node, Branch)
             negations: list[str] = []
@@ -418,8 +442,11 @@ def _walk_filters(
 
 def _sink_name(plugin: Plugin, taken: set[str]) -> str:
     base = plugin.attrs.get("id") or plugin.attrs.get("path") or plugin.name
-    name = str(base)
+    # sink names become table dirs under sinks_root — a path-like base
+    # (file { path => "/var/log/x" }) must not escape the root
+    name = str(base).strip("/").replace("/", "_") or plugin.name
     i = 1
+    base = name
     while name in taken:
         i += 1
         name = f"{base}_{i}"

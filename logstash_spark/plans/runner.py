@@ -72,9 +72,14 @@ def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
     false branch — same shape unionByName(allowMissingColumns) gave).
     The condition itself is materialized BEFORE the op so an op that
     overwrites a referenced column cannot change the gate."""
+    def q(name: str):
+        # backtick-quote so literal dots (de_dot's whole use case) are
+        # column names, not nested-field paths
+        return F.col("`" + name.replace("`", "``") + "`")
+
     orig_cols = list(df.columns)
     pre = df.withColumn("_when_gate", cond)
-    pre = pre.withColumns({f"_pre_{c}": F.col(c) for c in orig_cols})
+    pre = pre.withColumns({f"_pre_{c}": q(c) for c in orig_cols})
     applied = fn(pre, **conf)
     gate = F.col("_when_gate")
     out = []
@@ -82,14 +87,14 @@ def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
         if c == "_when_gate" or c.startswith("_pre_"):
             continue
         if c in orig_cols:
-            out.append(F.when(gate, F.col(c)).otherwise(F.col(f"_pre_{c}")).alias(c))
+            out.append(F.when(gate, q(c)).otherwise(q(f"_pre_{c}")).alias(c))
         else:
-            out.append(F.when(gate, F.col(c)).alias(c))
+            out.append(F.when(gate, q(c)).alias(c))
     # columns the op dropped/renamed away still exist for FALSE-branch
     # rows (matches unionByName(allowMissingColumns) split semantics)
     for c in orig_cols:
         if c not in applied.columns:
-            out.append(F.when(~gate, F.col(f"_pre_{c}")).alias(c))
+            out.append(F.when(~gate, q(f"_pre_{c}")).alias(c))
     return applied.select(*out)
 
 
@@ -139,12 +144,32 @@ def build_plan(
 
 def _input_fingerprint(df: DataFrame, spec: PipelineSpec) -> str:
     """Deterministic run id from the input's files/plan + spec shape, so a
-    restarted identical job maps to the same run (resume key)."""
+    restarted identical job maps to the same run (resume key).
+
+    File-less inputs (generator / in-memory frames) have no inputFiles,
+    which would make the id content-free — a changed `generator count`
+    would silently resume against stale sinks. For those, the analyzed
+    plan string (exprIds stripped — they differ per session; RDD-backed
+    relations also break semanticHash) joins the basis: stable for an
+    identical plan, and at worst a differing id disables resume, never
+    silently skips."""
+    import re as _re
+
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
-    basis = "|".join(files) + "||" + df.schema.simpleString() + "||" + str(spec.routes)
+    plan_part = ""
+    if not files:
+        plan_part = df._jdf.queryExecution().analyzed().toString()
+        # strip per-session counters: exprIds (#123) and lambda variable
+        # ids (x_7) so identical plans built at different times match
+        plan_part = _re.sub(r"#\d+L?", "", plan_part)
+        plan_part = _re.sub(r"\blambda x_\d+\b", "lambda x", plan_part)
+    basis = (
+        "|".join(files) + "||" + plan_part + "||"
+        + df.schema.simpleString() + "||" + str(spec.routes)
+    )
     return hashlib.sha256(basis.encode()).hexdigest()[:16]
 
 

@@ -90,3 +90,17 @@ def test_first_matching_format_wins_across_paths(spark):
         ).collect()
     ]
     assert vals == ["2023-10-05 10:11:12", "2023-10-05 10:11:12"]
+
+
+def test_quoted_literal_with_spaces_stays_quoted():
+    """"' at '" must not leak an unquoted 'a' (am/pm letter) into the
+    JDK pattern."""
+    assert _translate_joda("yyyy-MM-dd' at 'HH:mm") == "yyyy-MM-dd' at 'HH:mm"
+
+
+def test_quoted_literal_parse_golden(spark):
+    df = spark.createDataFrame([("2023-10-05 at 10:11",)], ["raw"])
+    out = date_op(df, "raw", ["yyyy-MM-dd' at 'HH:mm"], target="t").select(
+        F.date_format("t", "yyyy-MM-dd HH:mm").alias("t"), "tags"
+    ).collect()[0]
+    assert out["t"] == "2023-10-05 10:11" and not out["tags"]

@@ -184,3 +184,16 @@ def test_max_input_length_timeout_tag(spark, method):
     assert big["verb"] is None and "_groktimeout" in big["tags"]
     assert "_grokparsefailure" not in big["tags"]
     assert "_grokparsefailure" in bad["tags"]
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_timeout_tag_when_capture_overwrites_source(spark, method):
+    """The over-limit check must read the PRE-capture source even when a
+    capture overwrites the source field itself."""
+    df = spark.createDataFrame([("ok",), ("A" * 500,)], ["message"])
+    out = grok(
+        df, "message", r"%{GREEDYDATA:message}", max_input_length=100, method=method
+    ).collect()
+    ok, big = out
+    assert ok["message"] == "ok" and not ok["tags"]
+    assert "_groktimeout" in big["tags"] and "_grokparsefailure" not in big["tags"]

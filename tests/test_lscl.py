@@ -195,3 +195,39 @@ def test_flagship_conf_e2e_equals_python_spec(spark, tmp_path):
         spark, df, spec, str(tmp_path / "conf"), drop_before_write=("raw",)
     )
     assert res.sink_counts == ref.sink_counts
+
+
+def test_condition_with_regex_brace_quantifier():
+    """A '{' inside a /regex/ literal (brace quantifier) must not end
+    the condition."""
+    ast = parse_config(
+        'filter { if [msg] =~ /ab{2}c/ { mutate { add_tag => ["x"] } } }'
+    )
+    assert ast.filters[0].cases[0][0] == "[msg] =~ /ab{2}c/"
+
+
+def test_grok_legacy_array_match_form():
+    spec, _ = compile_conf(
+        'filter { grok { match => ["message", "%{WORD:verb}", "message", "%{WORD:w2}"] } }'
+    )
+    assert spec.filters[0].conf["match"] == {
+        "message": ["%{WORD:verb}", "%{WORD:w2}"]
+    }
+
+
+def test_dissect_multi_entry_mapping_expands():
+    spec, _ = compile_conf(
+        'filter { dissect { mapping => { "message" => "%{a} %{b}" "other" => "%{x}" } } }'
+    )
+    confs = [(f.op, f.conf["field"], f.conf["mapping"]) for f in spec.filters]
+    assert confs == [
+        ("dissect", "message", "%{a} %{b}"),
+        ("dissect", "other", "%{x}"),
+    ]
+
+
+def test_path_sink_name_cannot_escape_root():
+    spec, _ = compile_conf(
+        'output { file { path => "/var/log/out.log" } }'
+    )
+    assert list(spec.routes) == ["var_log_out.log"]

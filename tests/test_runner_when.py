@@ -115,3 +115,18 @@ def test_nested_gates_still_single_scan(spark, tmp_path):
     out = apply_filters(df, spec)
     assert _scan_count(out) == 1
     assert out.count() == 10
+
+
+def test_fileless_input_run_id_tracks_content(spark):
+    """A generator input with a different count must get a different
+    run_id (file-less inputs hash the normalized analyzed plan), while
+    identical rebuilds map to the same id (resume key)."""
+    from logstash_spark.plans.runner import _input_fingerprint
+    from logstash_spark.sources.gen import input_sequences
+
+    spec = _spec([])
+    a1 = _input_fingerprint(input_sequences(spark, 100), spec)
+    a2 = _input_fingerprint(input_sequences(spark, 100), spec)
+    b = _input_fingerprint(input_sequences(spark, 200), spec)
+    assert a1 == a2
+    assert a1 != b
