@@ -10,6 +10,7 @@ inherently sequential per-stream buffer.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -34,9 +35,7 @@ def line_codec(
     posexplode keeps the 0-based line number for downstream ordering —
     a narrow explode, no shuffle. The delimiter is a LITERAL string
     (reference semantics), so it is regex-escaped before F.split."""
-    import re as _re2
-
-    parts = F.split(F.col(field), _re2.escape(delimiter))
+    parts = F.split(F.col(field), re.escape(delimiter))
     out = df.select(
         *[c for c in df.columns if c != field],
         F.posexplode(parts).alias(line_no, target),

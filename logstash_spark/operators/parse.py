@@ -614,9 +614,20 @@ def date(
     if timezone:
         parsed = F.to_utc_timestamp(parsed, timezone)
     df = ensure_tags(df)
-    prev = F.col(target) if target in df.columns else F.lit(None).cast("timestamp")
+    # try_cast, not cast: when target == field (or holds strings), the
+    # coalesce fallback must not ANSI-throw on unparseable rows —
+    # failure is data (tag), never an exception
+    prev = (
+        F.col(target).try_cast("timestamp")
+        if target in df.columns
+        else F.lit(None).cast("timestamp")
+    )
+    # materialize the failure flag BEFORE target may overwrite `field`
+    # (a stale reference would re-parse the already-parsed timestamp)
+    df = df.withColumn("_date_failed", parsed.isNull() & src.isNotNull())
     df = df.withColumn(target, F.coalesce(parsed, prev))
-    return add_tag_when(df, parsed.isNull() & src.isNotNull(), tag_on_failure)
+    df = add_tag_when(df, F.col("_date_failed"), tag_on_failure)
+    return df.drop("_date_failed")
 
 
 # ---------------------------------------------------------------------------

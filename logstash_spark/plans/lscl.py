@@ -315,6 +315,11 @@ def _adapt_grok(a: dict) -> dict:
     match = a["match"]
     if isinstance(match, list):
         # legacy array form: ["field", "pat", "field2", "pat2", ...]
+        if len(match) % 2 != 0:
+            raise LSCLError(
+                "grok match array must contain an even number of items "
+                f"(field/pattern pairs), got {len(match)}"
+            )
         as_map: dict[str, list] = {}
         for f, p in zip(match[::2], match[1::2]):
             as_map.setdefault(f, []).append(p)
@@ -443,8 +448,12 @@ def _walk_filters(
 def _sink_name(plugin: Plugin, taken: set[str]) -> str:
     base = plugin.attrs.get("id") or plugin.attrs.get("path") or plugin.name
     # sink names become table dirs under sinks_root — a path-like base
-    # (file { path => "/var/log/x" }) must not escape the root
-    name = str(base).strip("/").replace("/", "_") or plugin.name
+    # (file { path => "/var/log/x" }) must not escape the root; dot-only
+    # names ('.', '..') would still traverse, and a leading '_' would
+    # collide with the _aggregates/_lineage side tables
+    name = str(base).strip("/").replace("/", "_")
+    if name in ("", ".", "..") or name.startswith("_"):
+        name = plugin.name
     i = 1
     base = name
     while name in taken:

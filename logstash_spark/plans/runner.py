@@ -78,8 +78,13 @@ def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
         return F.col("`" + name.replace("`", "``") + "`")
 
     orig_cols = list(df.columns)
+    # snapshots are POSITIONAL (_pre_0, _pre_1, ...) — embedding the user
+    # column name would let name-pattern ops rewrite the snapshot itself
+    # (de_dot would rename _pre_a.b away and break the false-branch
+    # restore)
+    snap = {c: f"_pre_{i}" for i, c in enumerate(orig_cols)}
     pre = df.withColumn("_when_gate", cond)
-    pre = pre.withColumns({f"_pre_{c}": q(c) for c in orig_cols})
+    pre = pre.withColumns({snap[c]: q(c) for c in orig_cols})
     applied = fn(pre, **conf)
     gate = F.col("_when_gate")
     out = []
@@ -87,14 +92,14 @@ def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
         if c == "_when_gate" or c.startswith("_pre_"):
             continue
         if c in orig_cols:
-            out.append(F.when(gate, q(c)).otherwise(q(f"_pre_{c}")).alias(c))
+            out.append(F.when(gate, q(c)).otherwise(q(snap[c])).alias(c))
         else:
             out.append(F.when(gate, q(c)).alias(c))
     # columns the op dropped/renamed away still exist for FALSE-branch
     # rows (matches unionByName(allowMissingColumns) split semantics)
     for c in orig_cols:
         if c not in applied.columns:
-            out.append(F.when(~gate, q(f"_pre_{c}")).alias(c))
+            out.append(F.when(~gate, q(snap[c])).alias(c))
     return applied.select(*out)
 
 
@@ -148,24 +153,35 @@ def _input_fingerprint(df: DataFrame, spec: PipelineSpec) -> str:
 
     File-less inputs (generator / in-memory frames) have no inputFiles,
     which would make the id content-free — a changed `generator count`
-    would silently resume against stale sinks. For those, the analyzed
-    plan string (exprIds stripped — they differ per session; RDD-backed
-    relations also break semanticHash) joins the basis: stable for an
-    identical plan, and at worst a differing id disables resume, never
-    silently skips."""
-    import re as _re
-
+    would silently resume against stale sinks. For those, the
+    CANONICALIZED analyzed plan joins the basis (exprIds normalized by
+    Spark itself, literals preserved): stable for an identical plan, a
+    differing plan changes the id. Limit: an RDD-backed in-memory
+    relation (createDataFrame) canonicalizes without its DATA, so two
+    same-schema frames with different local rows share a plan — warned
+    below; use file-backed inputs when resume must key on content."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
     plan_part = ""
     if not files:
-        plan_part = df._jdf.queryExecution().analyzed().toString()
-        # strip per-session counters: exprIds (#123) and lambda variable
-        # ids (x_7) so identical plans built at different times match
-        plan_part = _re.sub(r"#\d+L?", "", plan_part)
-        plan_part = _re.sub(r"\blambda x_\d+\b", "lambda x", plan_part)
+        try:
+            plan_part = (
+                df._jdf.queryExecution().analyzed().canonicalized().toString()
+            )
+        except Exception:
+            plan_part = ""  # e.g. Spark Connect: no _jdf — schema+routes only
+        if "LogicalRDD" in plan_part:
+            import warnings
+
+            warnings.warn(
+                "resume run_id cannot see the DATA of in-memory "
+                "(createDataFrame) inputs — identical-schema reruns with "
+                "different rows map to the same run; use file-backed "
+                "inputs when resume must key on content",
+                stacklevel=2,
+            )
     basis = (
         "|".join(files) + "||" + plan_part + "||"
         + df.schema.simpleString() + "||" + str(spec.routes)

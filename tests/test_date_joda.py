@@ -104,3 +104,13 @@ def test_quoted_literal_parse_golden(spark):
         F.date_format("t", "yyyy-MM-dd HH:mm").alias("t"), "tags"
     ).collect()[0]
     assert out["t"] == "2023-10-05 10:11" and not out["tags"]
+
+
+def test_date_target_equals_field_tags_not_throws(spark):
+    """Overwriting the source field in place: unparseable rows must tag
+    _dateparsefailure, never ANSI-throw from the coalesce fallback."""
+    df = spark.createDataFrame([("05/Oct/2023:10:11:12",), ("not-a-date",)], ["ts"])
+    out = date_op(df, "ts", ["dd/MMM/yyyy:HH:mm:ss"], target="ts").collect()
+    ok, bad = out
+    assert ok["ts"] is not None and not ok["tags"]
+    assert bad["ts"] is None and "_dateparsefailure" in bad["tags"]

@@ -231,3 +231,15 @@ def test_path_sink_name_cannot_escape_root():
         'output { file { path => "/var/log/out.log" } }'
     )
     assert list(spec.routes) == ["var_log_out.log"]
+
+
+def test_grok_odd_array_match_rejected():
+    with pytest.raises(LSCLError, match="even number"):
+        compile_conf('filter { grok { match => ["message", "%{WORD:a}", "%{WORD:b}"] } }')
+
+
+def test_dotonly_and_underscore_sink_names_fall_back():
+    spec, _ = compile_conf(
+        'output { file { path => ".." } file { id => "_aggregates" } }'
+    )
+    assert list(spec.routes) == ["file", "file_2"]

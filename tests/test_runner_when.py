@@ -130,3 +130,17 @@ def test_fileless_input_run_id_tracks_content(spark):
     b = _input_fingerprint(input_sequences(spark, 200), spec)
     assert a1 == a2
     assert a1 != b
+
+
+def test_gated_de_dot_on_dotted_columns(spark):
+    """The de_dot-under-a-gate case end-to-end: dotted column renamed on
+    the true branch, original survives for the false branch; the
+    positional _pre_ snapshots are immune to de_dot's name rewriting."""
+    df = spark.createDataFrame([(1, "app", "x"), (2, "web", "y")],
+                               ["id", "source", "a.b"])
+    spec = _spec([
+        FilterSpec(op="de_dot", conf={}, when='[source] == "app"')
+    ])
+    rows = {r["id"]: r for r in apply_filters(df, spec).collect()}
+    assert rows[1]["a_b"] == "x" and rows[1]["a.b"] is None
+    assert rows[2]["a_b"] is None and rows[2]["a.b"] == "y"
