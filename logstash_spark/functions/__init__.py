@@ -32,10 +32,13 @@ def fingerprint(
     MURMUR3→xxhash64 (both 64-bit non-crypto; stated substitution),
     MD5/SHA1/SHA256 exact, UUID→uuid(). HMAC key folds into the input
     (approximation — Logstash uses true HMAC when key is set).
+    concatenate_sources=False mirrors the reference's per-source loop
+    where each source overwrites `target` — i.e. the LAST source's hash
+    wins (fingerprint.rb sets the event field once per source).
     """
     sources = [source] if isinstance(source, str) else list(source)
     cols = [F.col(s).cast("string") for s in sources]
-    data = F.concat_ws("|", *cols) if concatenate_sources else cols[0]
+    data = F.concat_ws("|", *cols) if concatenate_sources else cols[-1]
     if key:
         data = F.concat(F.lit(key), F.lit("|"), data)
     m = method.upper()
@@ -132,7 +135,12 @@ def range_tag(
 
 @op("environment")
 def environment(df: DataFrame, fields: dict[str, str]) -> DataFrame:
-    """logstash-filter-environment: env var → literal column at PLAN time."""
+    """logstash-filter-environment: env var → literal column at PLAN time.
+    Unset vars yield a typed (string) null — a bare lit(None) is a void
+    column Parquet sinks reject."""
     return df.withColumns(
-        {target: F.lit(os.environ.get(var)) for target, var in fields.items()}
+        {
+            target: F.lit(os.environ.get(var)).cast("string")
+            for target, var in fields.items()
+        }
     )

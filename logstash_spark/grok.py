@@ -74,7 +74,9 @@ PATTERNS: dict[str, str] = {
     "HOUR": r"(?:2[0123]|[01]?[0-9])",
     "MINUTE": r"(?:[0-5][0-9])",
     "SECOND": r"(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
-    "TIME": r"(?:[^0-9]?)%{HOUR}:%{MINUTE}(?::%{SECOND})(?:[^0-9]?)",
+    # zero-width digit guards (upstream semantics): a consuming [^0-9]?
+    # here would swallow an adjacent char INTO the capture
+    "TIME": r"(?<![0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
     "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
     "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
     "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",

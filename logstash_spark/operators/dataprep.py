@@ -225,6 +225,13 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql.window import Window
 
+    if not (1 <= bands <= k) or k % bands != 0:
+        # bands > k would make rows=0 → every band key md5("") → all docs
+        # collide in every band (O(N^2)); k % bands != 0 silently drops
+        # trailing signature values (hidden recall loss)
+        raise ValueError(
+            f"bands must divide k with 1 <= bands <= k (got k={k}, bands={bands})"
+        )
     rows = k // bands
     base = (
         sig_table
@@ -334,12 +341,17 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus.
 
     The corpus is never shuffled — each partition scans locally against the
     broadcast queries; only the final per-query top-k aggregation moves
     O(|Q|·k) rows. Ranking ties break on candidate id (deterministic).
+
+    `exclude_self` drops q_id == c_id matches — right when queries ARE
+    corpus rows (self-search/dedup); pass False when the two tables are
+    distinct but share an id space, or same-id candidates silently vanish.
     """
     from pyspark.sql.window import Window
 
@@ -347,8 +359,11 @@ def ann_topk_bruteforce(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    join_cond = (
+        F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        c.join(F.broadcast(q), join_cond)
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
@@ -392,6 +407,7 @@ def ann_lsh_bucketed(
     k: int = 5,
     n_planes: int = 6,
     broadcast_queries: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
@@ -413,10 +429,11 @@ def ann_lsh_bucketed(
         F.col(vec_col).alias("q_vec"),
         hyperplane_sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    scored = (
-        cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
-        .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    scored = cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -468,6 +485,7 @@ def ann_ivf(
     k: int = 5,
     nprobe: int = 2,
     broadcast_queries: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their single nearest-centroid list;
     each query probes its `nprobe` nearest lists. One equi-join shuffle on
@@ -488,10 +506,11 @@ def ann_ivf(
     )
     qb = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
     qb = qb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket")
-    scored = (
-        cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
-        .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    scored = cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -737,7 +756,11 @@ def binary_meta_decode(
 
     def decode(batches):
         for pdf in batches:
-            n_bytes = pdf[payload_col].map(len)
+            # null payloads (missing blob / failed fetch) yield null
+            # metadata instead of a TypeError killing the stage
+            n_bytes = pdf[payload_col].map(
+                lambda v: len(v) if v is not None else None
+            ).astype("Int64")
             # STUB: real impl would call PIL/ffmpeg here per Arrow batch.
             yield pd.DataFrame(
                 {

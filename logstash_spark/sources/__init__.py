@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
@@ -18,8 +17,10 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
 
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
-    """input { file { codec => line } } — one row per line, `message` col,
-    file provenance + line offset for ordered codecs."""
+    """input { file { codec => line } } — one row per line, `message` col
+    + file provenance. (No line offset: spark.read.text does not expose
+    one; ordered codecs like multiline need an explicit order column —
+    see operators/codec.py multiline.)"""
     return (
         spark.read.text(path)
         .withColumn("message", F.col("value"))
@@ -39,37 +40,7 @@ def generator(spark: SparkSession, count: int, message: str = "Hello world!") ->
     )
 
 
-def multiline_assemble(
-    df: DataFrame,
-    *,
-    pattern: str,
-    negate: bool = True,
-    group_col: str = "path",
-    order_col: str = "offset",
-    message_col: str = "message",
-) -> DataFrame:
-    """logstash-codec-multiline: join continuation lines into one event.
-
-    `pattern`+`negate=True, what=previous` (the common stack-trace config):
-    a line MATCHING starts a new event when negate=False... Logstash
-    semantics: if negate is false, lines matching `pattern` belong to the
-    previous line; if true, lines NOT matching belong to the previous.
-
-    Sessionization: flag event-start lines, running sum over an ordered
-    window per file → session id → groupBy + concat_ws (SURVEY.md §2.2).
-    At scale the window partitions by file, so parallelism = #files.
-    """
-    is_continuation = F.col(message_col).rlike(pattern)
-    if negate:
-        is_continuation = ~is_continuation
-    starts = (~is_continuation).cast("int")
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    df = df.withColumn("_session", F.sum(starts).over(w))
-    return (
-        df.groupBy(group_col, "_session")
-        .agg(
-            F.concat_ws("\n", F.collect_list(message_col)).alias(message_col),
-            F.min(order_col).alias(order_col),
-        )
-        .drop("_session")
-    )
+# The multiline codec lives in operators/codec.py `multiline` (ordered
+# reassembly via array_sort over (order, value) structs). An earlier
+# duplicate here used an unordered collect_list and a nonexistent default
+# order column — deleted rather than kept as a trap.

@@ -40,9 +40,17 @@ def input_sequences(
     df = spark.range(0, n, 1, partitions)
 
     n_tok = (F.lit(16) + (i % 241)).cast("int")
+    # i is pre-reduced mod the vocab so the product never exceeds
+    # 50257^2 (~2.5e9): i * 2654435761 directly would overflow int64 at
+    # i >= ~3.47e9 and wrap negative, far below the 1e12 target scale.
+    # (a*b) % m == ((a%m)*(b%m)) % m, so values are unchanged.
+    _MULT_MOD = 2654435761 % 50257
+    i_red = F.pmod(i, F.lit(50257))
     tokens = F.transform(
         F.sequence(F.lit(0), n_tok - 1),
-        lambda j: ((i * F.lit(2654435761) + j.cast("long") * F.lit(40503)) % F.lit(50257)).cast("int"),
+        lambda j: F.pmod(
+            i_red * F.lit(_MULT_MOD) + j.cast("long") * F.lit(40503), F.lit(50257)
+        ).cast("int"),
     )
     src_mod = i % 100
     source = F.lit("iot")

@@ -100,22 +100,36 @@ class SnapshotTable:
         w.parquet(out)
 
         new_files = [data_dir]
-        files = (prev.files if prev else []) + new_files
-        merged_lineage = dict(prev.lineage) if prev else {}
-        for k, v in (lineage or {}).items():
-            merged_lineage[k] = v
-        manifest = {
-            "snapshot_id": sid,
-            "files": files,
-            "new_files": new_files,
-            "lineage": merged_lineage,
-            "meta": meta or {},
-        }
-        final = os.path.join(self.root, MANIFEST_DIR, f"{sid:06d}.json")
-        tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.rename(tmp, final)  # atomic publish
+        # Optimistic-concurrency publish (Iceberg's commit loop in
+        # miniature): the manifest is created with O_EXCL so two
+        # concurrent appenders can never clobber each other's snapshot —
+        # the loser re-reads latest() and retries with the next id and a
+        # rebased file list.
+        while True:
+            files = (prev.files if prev else []) + new_files
+            merged_lineage = dict(prev.lineage) if prev else {}
+            for k, v in (lineage or {}).items():
+                merged_lineage[k] = v
+            manifest = {
+                "snapshot_id": sid,
+                "files": files,
+                "new_files": new_files,
+                "lineage": merged_lineage,
+                "meta": meta or {},
+            }
+            final = os.path.join(self.root, MANIFEST_DIR, f"{sid:06d}.json")
+            tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+            try:
+                # atomic create-if-absent; rename would silently overwrite
+                os.link(tmp, final)
+                os.unlink(tmp)
+                break
+            except FileExistsError:
+                os.unlink(tmp)
+                prev = self.latest()
+                sid = (prev.snapshot_id + 1) if prev else 1
         return Snapshot(sid, files, merged_lineage, meta or {})
 
     # -- read path ---------------------------------------------------------------

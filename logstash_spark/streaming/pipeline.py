@@ -188,7 +188,10 @@ def streaming_token_bucket(
                 now = t.timestamp()
                 if last > 0:
                     tokens = min(cap, tokens + max(0.0, now - last) * rate)
-                last = now
+                # never move the refill clock backwards: a late event in
+                # a later micro-batch must not let the next in-order
+                # event re-credit an interval already credited
+                last = max(last, now)
                 allowed = tokens >= 1.0
                 if allowed:
                     tokens -= 1.0

@@ -221,3 +221,69 @@ def test_pack_concat_chunks_straddles_boundaries(spark):
     }
     dropped = D.pack_concat_chunks(df, seq_len=4, drop_last_partial=True).collect()
     assert {(r["source"], r["seq_id"]) for r in dropped} == {("s", 0), ("s", 1)}
+
+
+def test_minhash_rejects_bad_band_config(spark, tiny_docs):
+    with pytest.raises(ValueError, match="bands must divide k"):
+        D.minhash_lsh_pairs(tiny_docs, "doc_id", "text", k=8, bands=16)
+    with pytest.raises(ValueError, match="bands must divide k"):
+        D.minhash_lsh_pairs(tiny_docs, "doc_id", "text", k=8, bands=3)
+
+
+def test_ann_exclude_self_flag(spark):
+    """Distinct query/corpus tables with overlapping id spaces: the
+    same-id candidate must be searchable with exclude_self=False."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame([(0, [0.9, 0.1])], ["vec_id", "embedding"])
+    with_self = D.ann_topk_bruteforce(
+        corpus, queries, k=1, exclude_self=False
+    ).collect()
+    assert [(r.q_id, r.c_id) for r in with_self] == [(0, 0)]
+    without = D.ann_topk_bruteforce(corpus, queries, k=1).collect()
+    assert [(r.q_id, r.c_id) for r in without] == [(0, 1)]  # self dropped
+
+
+def test_binary_meta_decode_null_payload(spark):
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(1, "abcd"), (2, None)], ["doc_id", "text"])
+    df = df.withColumn("payload", F2.encode(F2.col("text"), "utf-8"))
+    out = {r.doc_id: r for r in D.binary_meta_decode(df, "payload").collect()}
+    assert out[1].n_bytes == 4
+    assert out[2].n_bytes is None and out[2].width is None
+
+
+def test_generator_tokens_valid_at_large_ids(spark):
+    """Token synthesis must stay in [0, 50257) for ids past the old
+    int64-overflow point (~3.47e9) — the 1e12-scale claim."""
+    from logstash_spark.sources.gen import input_sequences
+    from pyspark.sql import functions as F2
+
+    # same expressions as input_sequences, over a large-offset range
+    big = spark.range(4_000_000_000, 4_000_000_050)
+    toks = input_sequences(spark, 1).select("tokens")  # schema probe
+    del toks
+    df = input_sequences(spark, 10)  # small sanity
+    import pyspark.sql.functions as Fx
+    bad_small = df.select(
+        Fx.explode("tokens").alias("t")
+    ).where("t < 0 OR t >= 50257").count()
+    assert bad_small == 0
+    # emulate the large-id path by reusing gen's formula through range
+    from logstash_spark.sources import gen as G
+    i = Fx.col("id")
+    n_tok = (Fx.lit(16) + (i % 241)).cast("int")
+    mult = 2654435761 % 50257
+    tokens = Fx.transform(
+        Fx.sequence(Fx.lit(0), n_tok - 1),
+        lambda j: Fx.pmod(
+            Fx.pmod(i, Fx.lit(50257)) * Fx.lit(mult) + j.cast("long") * Fx.lit(40503),
+            Fx.lit(50257),
+        ).cast("int"),
+    )
+    bad_big = big.select(Fx.explode(tokens).alias("t")).where(
+        "t < 0 OR t >= 50257"
+    ).count()
+    assert bad_big == 0

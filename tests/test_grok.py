@@ -197,3 +197,12 @@ def test_timeout_tag_when_capture_overwrites_source(spark, method):
     ok, big = out
     assert ok["message"] == "ok" and not ok["tags"]
     assert "_groktimeout" in big["tags"] and "_grokparsefailure" not in big["tags"]
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_time_pattern_zero_width_guards(spark, method):
+    """%{TIME} must not swallow an adjacent non-digit char into the
+    capture (upstream uses zero-width guards, not consuming ones)."""
+    df = spark.createDataFrame([("T14:30:00",)], ["message"])
+    out = grok(df, "message", r"%{TIME:t}", method=method).collect()[0]
+    assert out["t"] == "14:30:00"

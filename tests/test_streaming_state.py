@@ -61,3 +61,26 @@ def test_streaming_token_bucket(spark, tmp_path):
     # bucket: start 2.0 -> spend@t0 (1.0) -> +0.5 spend@t1 (0.5) -> +0.5=1.0
     # spend@t2 (0.0) -> +0.5 deny@t3 (0.5) -> +0.5=1.0 spend@t4 (0.0)
     assert allowed == [True, True, True, False, True]
+
+
+def test_token_bucket_clock_never_moves_backwards():
+    """A late event (out-of-order across micro-batches) must not move
+    the refill clock backwards — the next in-order event would re-credit
+    an interval already credited. Unit-level check of the walk logic."""
+    cap, rate = 5.0, 1.0
+    tokens, last = 0.0, 100.0  # bucket drained at t=100
+
+    def step(now):
+        nonlocal tokens, last
+        if last > 0:
+            tokens = min(cap, tokens + max(0.0, now - last) * rate)
+        last = max(last, now)
+        allowed = tokens >= 1.0
+        if allowed:
+            tokens -= 1.0
+        return allowed
+
+    step(50)   # late event: refill 0, clock stays at 100
+    assert last == 100.0
+    step(101)  # in-order: refills exactly 1s, not 51s
+    assert tokens <= cap - 0.0 and tokens < 2.0
