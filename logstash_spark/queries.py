@@ -18,9 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logstash_spark.operators.aggregate import elapsed, metrics, rollup_counts, throttle
+from logstash_spark.operators.aggregate import elapsed, metrics, throttle
 from logstash_spark.operators.enrich import translate
-from logstash_spark.operators.multiplicity import dedupe
 from logstash_spark.operators.parse import date as date_op
 from logstash_spark.operators.parse import dissect, grok, json_filter, kv
 from logstash_spark.operators.route import add_routes
@@ -348,16 +347,18 @@ _ROUTE_CONDS = {
 @query(
     "route_fanout",
     """
-    SELECT 'r_error' AS sink, CAST(count(*) AS BIGINT) AS cnt
-      FROM events WHERE event_type = 'error'
-    UNION ALL
-    SELECT 'r_big', CAST(count(*) AS BIGINT) FROM events WHERE value > 100
-    UNION ALL
-    SELECT 'r_purchase', CAST(count(*) AS BIGINT)
-      FROM events WHERE event_type = 'purchase'
-    UNION ALL
-    SELECT 'r_rest', CAST(count(*) AS BIGINT) FROM events
-     WHERE event_type != 'error' AND value <= 100 AND event_type != 'purchase'
+    SELECT * FROM (
+      SELECT 'r_error' AS sink, CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT 'r_big', CAST(count(*) AS BIGINT) FROM events WHERE value > 100
+      UNION ALL
+      SELECT 'r_purchase', CAST(count(*) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'r_rest', CAST(count(*) AS BIGINT) FROM events
+       WHERE event_type != 'error' AND value <= 100 AND event_type != 'purchase'
+    ) WHERE cnt > 0  -- groupBy omits empty sinks; so must the oracle
     """,
 )
 def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,14 +433,16 @@ output {
 @query(
     "lscl_conf_pipeline",
     """
-    SELECT 's_err' AS sink, CAST(count(*) AS BIGINT) AS cnt
-      FROM events WHERE event_type = 'error'
-    UNION ALL
-    SELECT 's_high', CAST(count(*) AS BIGINT)
-      FROM events WHERE event_type != 'error' AND value > 100
-    UNION ALL
-    SELECT 's_rest', CAST(count(*) AS BIGINT)
-      FROM events WHERE event_type != 'error' AND value <= 100
+    SELECT * FROM (
+      SELECT 's_err' AS sink, CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT 's_high', CAST(count(*) AS BIGINT)
+        FROM events WHERE event_type != 'error' AND value > 100
+      UNION ALL
+      SELECT 's_rest', CAST(count(*) AS BIGINT)
+        FROM events WHERE event_type != 'error' AND value <= 100
+    ) WHERE cnt > 0  -- groupBy omits empty sinks; so must the oracle
     """,
 )
 def lscl_conf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,9 +111,12 @@ def dedupe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Short docs (<3 words) fall back to a whole-text single shingle so
     exact short-doc duplicates are still caught."""
     corpus = _dup_corpus(_docs(spark, sf_dir))
+    # max_bucket effectively disabled HERE: the oracle models the exact
+    # all-pairs band join; the star guard's behavior is pinned by unit
+    # tests + the degenerate bench, keeping this gate scale-robust.
     return D.minhash_lsh_pairs(
         corpus, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5,
-        short_doc="whole_text",
+        short_doc="whole_text", max_bucket=10**9,
     )
 
 
@@ -162,7 +165,7 @@ def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({_DUP_CORPUS_SQL}),
     sh AS (
       SELECT c.doc_id, c.source, c.lang, s.sh
-      FROM corpus c JOIN ({_SHINGLES_SQL.replace('FROM corpus', 'FROM corpus')}) s
+      FROM corpus c JOIN ({_SHINGLES_SQL}) s
         ON c.doc_id = s.doc_id
     ),
     pairs AS (

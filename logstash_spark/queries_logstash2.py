@@ -166,12 +166,6 @@ def multiline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Network-ish filters
 # ---------------------------------------------------------------------------
 
-_IP_SQL = (
-    "('10.' || CAST(user_id % 256 AS VARCHAR) || '.' "
-    "|| CAST((user_id // 256) % 256 AS VARCHAR) || '.' || CAST(user_id % 250 AS VARCHAR))"
-)
-
-
 def _ip_col() -> Column:
     return F.concat(
         F.lit("10."),
@@ -248,6 +242,16 @@ _UA_BY_TYPE = {
 }
 
 
+def _ua_col() -> Column:
+    """Canned UA string per event_type (shared by both useragent gates)."""
+    ua: Column = F.lit(_UA_BY_TYPE["error"])
+    for etype, s_ in _UA_BY_TYPE.items():
+        ua = F.when(F.col("event_type") == etype, F.lit(s_)).otherwise(ua)
+    return ua
+
+
+
+
 @query(
     "useragent_classify",
     """
@@ -267,10 +271,7 @@ def useragent_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """logstash-filter-useragent (coarse classes): canned UA strings per
     event_type, classified by the ordered rlike chain."""
     ev = _ev(spark, sf_dir)
-    ua: Column = F.lit(_UA_BY_TYPE["error"])
-    for etype, s in _UA_BY_TYPE.items():
-        ua = F.when(F.col("event_type") == etype, F.lit(s)).otherwise(ua)
-    df = useragent(ev.withColumn("ua", ua), "ua")
+    df = useragent(ev.withColumn("ua", _ua_col()), "ua")
     return df.groupBy("ua_name", "ua_os").agg(F.count("*").alias("cnt"))
 
 
@@ -384,7 +385,8 @@ def mutate_convert_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fingerprint_sha256",
     """
-    SELECT event_id, sha256(event_type || '|' || CAST(user_id AS VARCHAR)) AS fp
+    SELECT event_id,
+           sha256(concat_ws('|', event_type, CAST(user_id AS VARCHAR))) AS fp
     FROM events
     """,
 )
@@ -538,8 +540,5 @@ def useragent_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     """useragent major-version extraction (uap precedence: Safari's
     version from the Version/ token; bots/unknowns null)."""
     ev = _ev(spark, sf_dir)
-    ua: Column = F.lit(_UA_BY_TYPE["error"])
-    for etype, s in _UA_BY_TYPE.items():
-        ua = F.when(F.col("event_type") == etype, F.lit(s)).otherwise(ua)
-    df = useragent(ev.withColumn("ua", ua), "ua")
+    df = useragent(ev.withColumn("ua", _ua_col()), "ua")
     return df.groupBy("ua_name", "ua_major").agg(F.count("*").alias("cnt"))

@@ -260,9 +260,17 @@ def environment_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from logstash_spark.functions import environment
 
+    prev = _os.environ.get("LS_DEPLOY_ENV")
     _os.environ["LS_DEPLOY_ENV"] = "bench"
-    ev = _ev(spark, sf_dir)
-    out = environment(ev, {"deploy_env": "LS_DEPLOY_ENV"})
+    try:
+        ev = _ev(spark, sf_dir)
+        out = environment(ev, {"deploy_env": "LS_DEPLOY_ENV"})
+    finally:
+        # don't leak process-global state into later queries/tests
+        if prev is None:
+            del _os.environ["LS_DEPLOY_ENV"]
+        else:
+            _os.environ["LS_DEPLOY_ENV"] = prev
     return out.select("event_id", "deploy_env")
 
 
