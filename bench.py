@@ -33,7 +33,6 @@ BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
 # heavy/headline ones.
 BENCH_QUERIES = [
     "grok_parse",
-    "grok_pandas_parse",
     "dissect_parse",
     "kv_parse",
     "translate_enrich",

@@ -203,6 +203,25 @@ def metrics_timer(
     )
 
 
+def ewma_horizon(period: int, step: int, cap: int = 64) -> int:
+    """Default per-period EWMA lag horizon: ceil(4·period/step) retains
+    >98% of the geometric weight; capped to bound expression size (a cap
+    hit is the documented truncation, warned once per call)."""
+    import math
+    import warnings
+
+    h = math.ceil(4.0 * float(period) / float(step))
+    if h > cap:
+        warnings.warn(
+            f"metrics_ewma horizon capped at {cap} lags for period={period}s "
+            f"step={step}s — retains ~{1 - math.exp(-cap * step / period):.1%} "
+            "of the EWMA weight; raise `horizon` or the tick interval for "
+            "long-period meters",
+            stacklevel=2,
+        )
+    return min(h, cap)
+
+
 @op("metrics_ewma")
 def metrics_ewma(
     df: DataFrame,
@@ -211,7 +230,7 @@ def metrics_ewma(
     *,
     interval_seconds: int = 60,
     periods: Mapping[str, int] = None,  # type: ignore[assignment]
-    horizon: int = 15,
+    horizon: int | None = None,
 ) -> DataFrame:
     """logstash-filter-metrics EWMA rates (the reference's rate_1m/5m/15m
     meters — MetricsFilter §flush computes alpha = 1-exp(-interval/period)
@@ -223,8 +242,11 @@ def metrics_ewma(
     convolution rate_p(t) = Σ_{j<horizon} alpha·(1-alpha)^j · inst(t-j).
     The weights are Python-computed double literals so any engine
     reproduces the arithmetic bit-for-bit. `horizon` truncates the
-    geometric tail (documented approximation of the infinite recursion —
-    horizon≥4·period/interval keeps >98% of the weight).
+    geometric tail (documented approximation of the infinite recursion);
+    by default it is chosen PER PERIOD as ceil(4·period/interval) capped
+    at 64 lags, which keeps >98% of the EWMA weight for every meter
+    (a fixed short horizon would keep only ~63% for rate_15m at 60s
+    ticks). Pass an int to pin one horizon for all periods.
 
     Shuffle shape: one groupBy on (keys, tick), one window on keys —
     both partition on the meter key, so the plan is two exchanges total
@@ -258,9 +280,10 @@ def metrics_ewma(
     dense = dense.withColumn("_inst", inst)
     out_cols: dict[str, Column] = {}
     for name, period in periods.items():
+        h = horizon if horizon is not None else ewma_horizon(period, step)
         alpha = 1.0 - math.exp(-float(step) / float(period))
         expr: Column | None = None
-        for j in range(horizon):
+        for j in range(h):
             wj = alpha * ((1.0 - alpha) ** j)
             term = F.coalesce(F.lag("_inst", j).over(w), F.lit(0.0)) * F.lit(wj)
             expr = term if expr is None else expr + term

@@ -36,8 +36,11 @@ def line_codec(
     a narrow explode, no shuffle. The delimiter is a LITERAL string
     (reference semantics), so it is regex-escaped before F.split."""
     parts = F.split(F.col(field), re.escape(delimiter))
+    # target (and line_no) overwrite any existing column of the same name
+    # (reference codec semantics: the decoded line IS the message field) —
+    # keeping both would make every downstream reference ambiguous.
     out = df.select(
-        *[c for c in df.columns if c != field],
+        *[c for c in df.columns if c not in (field, target, line_no)],
         F.posexplode(parts).alias(line_no, target),
     )
     if not keep_empty:
@@ -55,6 +58,8 @@ def multiline(
     negate: bool = False,
     group_by: Sequence[str] = ("source_file",),
     order_by: str = "line_no",
+    max_lines: int | None = None,
+    max_bytes: int | None = None,
 ) -> DataFrame:
     """logstash-codec-multiline as sessionization.
 
@@ -65,6 +70,18 @@ def multiline(
 
     Output: one row per joined event — group keys, event_start (first
     order_by value), n_lines, and `field` = lines joined with \\n.
+
+    `max_lines` / `max_bytes` mirror the reference codec's buffer caps
+    (logstash-codec-multiline `max_lines`/`max_bytes`, default 500 /
+    10 MiB there; opt-in here): an event exceeding a cap is force-flushed
+    and the remainder starts a new event, so one never-terminated stream
+    can NOT become one unbounded group-concat row. Every force-flushed
+    chunk (all but the last chunk of a split event) carries the
+    `_multiline_toolong` tag in a `tags` column, the analog of the
+    reference's `multiline_codec_max_{lines,bytes}_reached` tags. The
+    `tags` column is only added when a cap is set (schema stability for
+    cap-less callers). `auto_flush_interval` is inherently a streaming
+    concern — the structured-streaming path bounds it via watermarks.
     """
     keys = list(group_by)
     matches = F.col(field).rlike(pattern)
@@ -86,18 +103,48 @@ def multiline(
         raise ValueError(f"what must be previous|next, got {what}")
 
     df = df.withColumn("_sess", sess)
+
+    grp = [*keys, "_sess"]
+    if max_lines is not None or max_bytes is not None:
+        # Cap oversized events: sub-chunk each session so every chunk holds
+        # <= max_lines lines / ~max_bytes bytes. Both counters are monotone
+        # within the session, so their sum is a valid monotone chunk id
+        # that advances whenever EITHER cap is crossed.
+        ws = Window.partitionBy(*grp).orderBy(order_by)
+        chunk = F.lit(0)
+        if max_lines is not None:
+            if max_lines < 1:
+                raise ValueError("max_lines must be >= 1")
+            chunk = chunk + F.floor((F.row_number().over(ws) - 1) / max_lines)
+        if max_bytes is not None:
+            if max_bytes < 1:
+                raise ValueError("max_bytes must be >= 1")
+            cum_before = (
+                F.sum(F.octet_length(field)).over(ws) - F.octet_length(field)
+            )
+            chunk = chunk + F.floor(cum_before / max_bytes)
+        df = df.withColumn("_chunk", chunk.cast("long"))
+        grp = [*grp, "_chunk"]
+
     ordered_lines = F.transform(
         F.array_sort(
             F.collect_list(F.struct(F.col(order_by).alias("o"), F.col(field).alias("v")))
         ),
         lambda s: s.getField("v"),
     )
-    return (
-        df.groupBy(*keys, "_sess")
-        .agg(
-            F.min(order_by).alias("event_start"),
-            F.count("*").alias("n_lines"),
-            F.concat_ws("\n", ordered_lines).alias(field),
-        )
-        .drop("_sess")
+    out = df.groupBy(*grp).agg(
+        F.min(order_by).alias("event_start"),
+        F.count("*").alias("n_lines"),
+        F.concat_ws("\n", ordered_lines).alias(field),
     )
+    if "_chunk" in grp:
+        # force-flushed chunks = every chunk but the session's last one
+        wl = Window.partitionBy(*keys, "_sess")
+        toolong = F.col("_chunk") < F.max("_chunk").over(wl)
+        out = out.withColumn(
+            "tags",
+            F.when(toolong, F.array(F.lit("_multiline_toolong"))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).drop("_chunk")
+    return out.drop("_sess")

@@ -563,12 +563,21 @@ def _joda_to_strptime(fmt: str) -> str:
 def _strptime_parse(src: Column, strptime_fmt: str) -> Column:
     """Vectorized pandas fallback for formats Spark's parser rejects
     (day-of-week / ISO-week-date fields). Arrow-batched, never per-row
-    Python; tz-aware inputs normalize to session-UTC naive timestamps."""
+    Python. Arrow hands a tz-NAIVE series back to Spark, which interprets
+    it in `spark.sql.session.timeZone` — so tz-aware inputs are converted
+    to the SESSION zone (captured at plan time) before dropping tzinfo,
+    matching the native try_to_timestamp path in non-UTC sessions too."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    session_tz = (
+        sess.conf.get("spark.sql.session.timeZone", "UTC") if sess else "UTC"
+    )
 
     @F.pandas_udf(T.TimestampType())
     def parse(s: pd.Series) -> pd.Series:
         out = pd.to_datetime(s, format=strptime_fmt, errors="coerce", utc=True)
-        return out.dt.tz_localize(None)
+        return out.dt.tz_convert(session_tz).dt.tz_localize(None)
 
     return parse(src)
 

@@ -65,13 +65,21 @@ _ROW_PROJECTION_OPS = {
 }
 
 
-def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
+def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame | None:
     """Compile `if <cond> { <op> }` into one projection: snapshot the
     pre-op value of every column, apply the op to ALL rows, then select
     if(cond, new, old) per column (null for op-created columns on the
     false branch — same shape unionByName(allowMissingColumns) gave).
     The condition itself is materialized BEFORE the op so an op that
-    overwrites a referenced column cannot change the gate."""
+    overwrites a referenced column cannot change the gate.
+
+    Returns None when the op CHANGES an existing column's data type
+    (e.g. `date {target == field}`, string→timestamp): the
+    when/otherwise restore would implicitly cast the false branch's
+    original value to the new type — a runtime CAST error under ANSI and
+    silent nulls otherwise. The caller falls back to the persisted
+    filter+union path, which coerces to the union-compatible common type
+    exactly like the pre-compile split semantics."""
     def q(name: str):
         # backtick-quote so literal dots (de_dot's whole use case) are
         # column names, not nested-field paths
@@ -86,6 +94,10 @@ def _apply_gated_projection(df: DataFrame, fn, conf: dict, cond) -> DataFrame:
     pre = df.withColumn("_when_gate", cond)
     pre = pre.withColumns({snap[c]: q(c) for c in orig_cols})
     applied = fn(pre, **conf)
+    in_types = {f.name: f.dataType for f in df.schema.fields}
+    for fld in applied.schema.fields:
+        if fld.name in in_types and fld.dataType != in_types[fld.name]:
+            return None  # type-changing op: caller uses filter+union
     gate = F.col("_when_gate")
     out = []
     for c in applied.columns:
@@ -123,8 +135,13 @@ def apply_filters(
             df = fn(df, **f_.conf)
             continue
         cond = F.coalesce(compile_condition(f_.when, df), F.lit(False))
-        if f_.op in _ROW_PROJECTION_OPS:
-            df = _apply_gated_projection(df, fn, f_.conf, cond)
+        gated = (
+            _apply_gated_projection(df, fn, f_.conf, cond)
+            if f_.op in _ROW_PROJECTION_OPS
+            else None
+        )
+        if gated is not None:
+            df = gated
         else:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             if persist_tracker is not None:

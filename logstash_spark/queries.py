@@ -56,7 +56,7 @@ _GROK_RX = r"^(\w+)\[(\d+)\]: event=(\d+) value=(\w+)$"
 @query(
     "grok_parse",
     f"""
-    SELECT event_id,
+    SELECT mth.method, event_id,
            regexp_extract(m, '{_GROK_RX}', 1) AS verb,
            CAST(regexp_extract(m, '{_GROK_RX}', 2) AS BIGINT) AS uid,
            CAST(regexp_extract(m, '{_GROK_RX}', 3) AS BIGINT) AS eid,
@@ -64,55 +64,28 @@ _GROK_RX = r"^(\w+)\[(\d+)\]: event=(\d+) value=(\w+)$"
     FROM (SELECT event_id,
                  event_type || '[' || CAST(user_id AS VARCHAR) || ']: event='
                  || CAST(event_id AS VARCHAR) || ' value=ok' AS m
-          FROM events)
+          FROM events),
+         (SELECT unnest(['native', 'pandas']) AS method) mth
     """,
 )
 def grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """logstash-filter-grok over a log line synthesized from `events`."""
+    """logstash-filter-grok over a log line synthesized from `events`,
+    run through BOTH execution paths (native single-pass regexp_replace
+    pack/split AND the Arrow-vectorized pandas-UDF path) and unioned with
+    a `method` label — one gate covers both implementations."""
     ev = _t(spark, sf_dir, "events")
     msg = F.concat(
         F.col("event_type"), F.lit("["), F.col("user_id").cast("string"),
         F.lit("]: event="), F.col("event_id").cast("string"), F.lit(" value=ok"),
     )
     df = ev.withColumn("message", msg)
-    g = grok(
-        df,
-        "message",
-        r"^%{WORD:verb}\[%{NONNEGINT:uid:int}\]: event=%{NONNEGINT:eid:int} value=%{WORD:status}$",
-        method="native",
-    )
-    return g.select("event_id", "verb", "uid", "eid", "status")
-
-
-@query(
-    "grok_pandas_parse",
-    f"""
-    SELECT event_id,
-           regexp_extract(m, '{_GROK_RX}', 1) AS verb,
-           CAST(regexp_extract(m, '{_GROK_RX}', 2) AS BIGINT) AS uid,
-           CAST(regexp_extract(m, '{_GROK_RX}', 3) AS BIGINT) AS eid,
-           regexp_extract(m, '{_GROK_RX}', 4) AS status
-    FROM (SELECT event_id,
-                 event_type || '[' || CAST(user_id AS VARCHAR) || ']: event='
-                 || CAST(event_id AS VARCHAR) || ' value=ok' AS m
-          FROM events)
-    """,
-)
-def grok_pandas_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same extraction through the Arrow-vectorized pandas-UDF path."""
-    ev = _t(spark, sf_dir, "events")
-    msg = F.concat(
-        F.col("event_type"), F.lit("["), F.col("user_id").cast("string"),
-        F.lit("]: event="), F.col("event_id").cast("string"), F.lit(" value=ok"),
-    )
-    df = ev.withColumn("message", msg)
-    g = grok(
-        df,
-        "message",
-        r"^%{WORD:verb}\[%{NONNEGINT:uid:int}\]: event=%{NONNEGINT:eid:int} value=%{WORD:status}$",
-        method="pandas",
-    )
-    return g.select("event_id", "verb", "uid", "eid", "status")
+    pat = r"^%{WORD:verb}\[%{NONNEGINT:uid:int}\]: event=%{NONNEGINT:eid:int} value=%{WORD:status}$"
+    parts = [
+        grok(df, "message", pat, method=m)
+        .select(F.lit(m).alias("method"), "event_id", "verb", "uid", "eid", "status")
+        for m in ("native", "pandas")
+    ]
+    return parts[0].unionByName(parts[1])
 
 
 @query(
@@ -518,12 +491,17 @@ def metrics_timer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ewma_sql_terms(period: int, step: int = 60, horizon: int = 15) -> str:
+def _ewma_sql_terms(period: int, step: int = 60, horizon: int | None = None) -> str:
     """Σ_j alpha·(1-alpha)^j · lag(inst, j) with Python-computed double
     literals (repr = 17 sig digits) so DuckDB reproduces Spark's
-    arithmetic bit-for-bit, in the same left-to-right addition order."""
+    arithmetic bit-for-bit, in the same left-to-right addition order.
+    Default horizon mirrors the operator's per-period ewma_horizon()."""
     import math
 
+    from logstash_spark.operators.aggregate import ewma_horizon
+
+    if horizon is None:
+        horizon = ewma_horizon(period, step)
     alpha = 1.0 - math.exp(-float(step) / float(period))
     terms = [
         f"COALESCE(lag(inst, {j}) OVER w, 0.0) * {alpha * (1.0 - alpha) ** j!r}"
@@ -771,3 +749,58 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
 from logstash_spark import queries_dataprep as _qdp  # noqa: E402,F401
 from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401
 from logstash_spark import queries_logstash3 as _ql3  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Registry ordering: the correctness driver samples a bounded prefix of the
+# registry per round, so queries that have never received a driver row (or
+# failed last round, or are new this round) are ordered FIRST; queries with a
+# green driver row in the most recent round go last. Names not listed keep
+# their registration order after the priority block. Unknown names are
+# ignored (the list may reference queries gated behind optional modules).
+# ---------------------------------------------------------------------------
+_DRIVER_PRIORITY = [
+    # red in CORRECTNESS_r02 — gates re-canonicalized this round
+    "token_chunking",
+    "sequence_packing",
+    # never driver-sampled through r02
+    "aggregate_salted_skew",
+    "de_dot_rename",
+    "dissect_advanced",
+    "environment_field",
+    "grok_multi_pattern",
+    "metrics_rates",
+    "prune_projection",
+    "translate_multi_enrich",
+    "useragent_version",
+    # new in round 3
+    "grok_apache_combined",
+    "grok_syslog5424",
+    "simhash_pairs",
+    "mutate_nested_fields",
+    "dlq_replay",
+    "kv_options",
+    "multiline_guards",
+    "geoip_attributes",
+    "parse_failure_tags",
+    # green in r01 only — re-confirm
+    "fingerprint_sha256",
+    "range_tagged",
+    "sessionize_gap",
+    "xml_xpath",
+    "throttle_sliding_tag",
+    "cardinality_metrics",
+    "translate_regex_mode",
+    "elapsed_conditional",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    for d in (QUERIES, ORACLES):
+        snap = {n: d[n] for n in ordered if n in d}
+        d.clear()
+        d.update(snap)
+
+
+_reorder_registry()

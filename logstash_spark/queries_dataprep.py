@@ -543,15 +543,30 @@ def _tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              t[CAST(c.c * 8 + 1 AS BIGINT) : CAST(least(c.c * 8 + 16, n) AS BIGINT)] AS tokens
       FROM docs, LATERAL (SELECT unnest(range(0, (n - 1) // 8 + 1)) AS c) c
     )
-    SELECT doc_id, chunk_id, tokens, CAST(len(tokens) AS INTEGER) AS n_tok
+    SELECT doc_id, chunk_id,
+           md5(array_to_string(tokens, ',')) AS tokens_md5,
+           tokens[1] AS tok_first,
+           tokens[len(tokens)] AS tok_last,
+           CAST(len(tokens) AS INTEGER) AS n_tok
     FROM chunks WHERE len(tokens) > 0
     """,
 )
 def token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sliding-window token chunking (seq_len=16, stride=8) —
-    zero-shuffle sequence+slice, 1->N via one explode."""
-    return D.chunk_tokens(
-        _tok_docs(spark, sf_dir), seq_len=16, stride=8
+    zero-shuffle sequence+slice, 1->N via one explode.
+
+    The driver's canonicalizer cannot sort raw array columns (pandas
+    sort_values on lists throws), so the gate emits md5-canonicalized
+    token payloads plus first/last probes; the operator itself still
+    returns the raw arrays (covered by the local parity test)."""
+    out = D.chunk_tokens(_tok_docs(spark, sf_dir), seq_len=16, stride=8)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))).alias("tokens_md5"),
+        F.element_at("tokens", 1).alias("tok_first"),
+        F.element_at("tokens", -1).alias("tok_last"),
+        "n_tok",
     )
 
 
@@ -573,7 +588,8 @@ def token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT unnest(range(off // 64, (off + n - 1) // 64 + 1)) AS seq_id) cs
     )
     SELECT source, seq_id,
-           flatten(list(piece ORDER BY off)) AS tokens,
+           md5(array_to_string(flatten(list(piece ORDER BY off)), ',')) AS tokens_md5,
+           flatten(list(piece ORDER BY off))[1] AS tok_first,
            CAST(len(flatten(list(piece ORDER BY off))) AS INTEGER) AS n_tok
     FROM pieces GROUP BY source, seq_id
     """,
@@ -581,7 +597,18 @@ def token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk LLM sequence packing: per-source token streams in
     doc_id order cut every 64 tokens, docs straddling boundaries. No
-    per-token rows — docs explode only to the chunks they overlap."""
-    return D.pack_concat_chunks(
+    per-token rows — docs explode only to the chunks they overlap.
+
+    Gate emits md5-canonicalized token payloads (driver canonicalizer
+    can't sort raw arrays); the operator returns raw arrays and the local
+    parity test covers them element-exact."""
+    out = D.pack_concat_chunks(
         _tok_docs(spark, sf_dir), group_col="source", seq_len=64
+    )
+    return out.select(
+        "source",
+        "seq_id",
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))).alias("tokens_md5"),
+        F.element_at("tokens", 1).alias("tok_first"),
+        "n_tok",
     )

@@ -21,75 +21,62 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "grok_failure_tag",
+    "parse_failure_tags",
     """
-    SELECT has_fail, CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT (event_id % 7 = 0) AS has_fail FROM events)
-    GROUP BY has_fail
+    SELECT 'grok' AS op, (event_id % 7 = 0) AS has_fail,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT 'date', (event_id % 5 = 0), CAST(count(*) AS BIGINT)
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT 'json', (event_id % 11 = 0), CAST(count(*) AS BIGINT)
+    FROM events GROUP BY 1, 2
     """,
 )
-def grok_failure_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Failure-is-data: every 7th line is malformed → `_grokparsefailure`
-    tag, row passes through (never an exception)."""
+def parse_failure_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-is-data across all three parse filters in one gate
+    (folded from the r01 grok/date/json_failure_tag queries): malformed
+    input → `_grokparsefailure` / `_dateparsefailure` / `_jsonparsefailure`
+    tag, row passes through — never an exception."""
     ev = _ev(spark, sf_dir)
+
     line = F.when(
         F.col("event_id") % 7 == 0, F.lit("!!corrupt!!")
     ).otherwise(F.concat(F.lit("type="), F.col("event_type")))
-    df = ev.withColumn("line", line)
-    g = grok(df, "line", r"^type=%{WORD:etype}$")
-    return (
+    g = grok(ev.withColumn("line", line), "line", r"^type=%{WORD:etype}$")
+    grok_agg = (
         g.select(F.array_contains("tags", "_grokparsefailure").alias("has_fail"))
         .groupBy("has_fail")
         .agg(F.count("*").alias("cnt"))
+        .select(F.lit("grok").alias("op"), "has_fail", "cnt")
     )
 
-
-@query(
-    "date_failure_tag",
-    """
-    SELECT has_fail, CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT (event_id % 5 = 0) AS has_fail FROM events)
-    GROUP BY has_fail
-    """,
-)
-def date_failure_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """date filter: unparseable timestamp → `_dateparsefailure` tag,
-    target stays null, row survives."""
-    ev = _ev(spark, sf_dir)
     raw = F.when(F.col("event_id") % 5 == 0, F.lit("not-a-date")).otherwise(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
     )
-    df = ev.withColumn("raw_ts", raw)
-    out = date_op(df, "raw_ts", ["yyyy-MM-dd HH:mm:ss"], target="parsed")
-    return (
-        out.select(F.array_contains("tags", "_dateparsefailure").alias("has_fail"))
+    d = date_op(
+        ev.withColumn("raw_ts", raw), "raw_ts", ["yyyy-MM-dd HH:mm:ss"], target="parsed"
+    )
+    date_agg = (
+        d.select(F.array_contains("tags", "_dateparsefailure").alias("has_fail"))
         .groupBy("has_fail")
         .agg(F.count("*").alias("cnt"))
+        .select(F.lit("date").alias("op"), "has_fail", "cnt")
     )
 
-
-@query(
-    "json_failure_tag",
-    """
-    SELECT has_fail, CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT (event_id % 11 = 0) AS has_fail FROM events)
-    GROUP BY has_fail
-    """,
-)
-def json_failure_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """json filter: invalid JSON → `_jsonparsefailure` tag (codec-json
-    semantics: raw preserved, event not dropped)."""
-    ev = _ev(spark, sf_dir)
     doc = F.when(F.col("event_id") % 11 == 0, F.lit("{broken")).otherwise(
         F.concat(F.lit('{"k": '), F.col("user_id").cast("string"), F.lit("}"))
     )
-    df = ev.withColumn("doc", doc)
-    out = json_filter(df, "doc", schema="k bigint", target="pj")
-    return (
-        out.select(F.array_contains("tags", "_jsonparsefailure").alias("has_fail"))
+    j = json_filter(ev.withColumn("doc", doc), "doc", schema="k bigint", target="pj")
+    json_agg = (
+        j.select(F.array_contains("tags", "_jsonparsefailure").alias("has_fail"))
         .groupBy("has_fail")
         .agg(F.count("*").alias("cnt"))
+        .select(F.lit("json").alias("op"), "has_fail", "cnt")
     )
+
+    return grok_agg.unionByName(date_agg).unionByName(json_agg)
 
 
 @query(

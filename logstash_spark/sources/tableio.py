@@ -143,9 +143,36 @@ class SnapshotTable:
         paths = [os.path.join(self.root, f) for f in snap.files]
         return spark.read.option("mergeSchema", "false").parquet(*paths)
 
-    def processed_partitions(self) -> set[str]:
-        """Input-partition watermark for resume (per-partition lineage)."""
+    def processed_partitions(
+        self, spark: SparkSession, *, run_id: str | None = None
+    ) -> set[int]:
+        """Input-partition watermark for resume.
+
+        Per-partition detail lives in the sibling `_sink_lineage` table
+        (the manifest only carries the pointer — unbounded detail never
+        enters the driver-side JSON): this reads the partition_ids
+        recorded for `run_id` (default: the latest snapshot's run_id) of
+        THIS sink's lineage. Empty set when no lineage exists yet."""
         snap = self.latest()
         if not snap:
             return set()
-        return set(snap.lineage.get("processed_partitions", []))
+        if run_id is None:
+            run_id = snap.lineage.get("run_id")
+        detail = snap.lineage.get("detail_table")
+        if run_id is None or detail is None:
+            return set()
+        sink = snap.meta.get("sink", os.path.basename(self.root.rstrip("/")))
+        ltable = SnapshotTable(os.path.join(os.path.dirname(self.root.rstrip("/")), detail))
+        try:
+            ldf = ltable.read(spark)
+        except FileNotFoundError:
+            return set()
+        from pyspark.sql import functions as F
+
+        rows = (
+            ldf.where((F.col("run_id") == run_id) & (F.col("sink") == sink))
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {int(r["partition_id"]) for r in rows}

@@ -42,6 +42,52 @@ def test_multiline_next_mode(spark):
     assert lines == [(1, "part1 \\\npart2"), (3, "alone")]
 
 
+def test_multiline_max_lines_splits_and_tags(spark):
+    """An 8-line never-terminated event with max_lines=3 becomes 3 events
+    (3+3+2); the force-flushed chunks carry _multiline_toolong, the final
+    remainder does not (reference max_lines_reached tagging)."""
+    rows = [("f", i, f"  cont {i}") for i in range(1, 9)]
+    rows[0] = ("f", 1, "START of event")
+    df = spark.createDataFrame(rows, ["source_file", "line_no", "line"])
+    out = multiline(
+        df, "line", r"^\s", what="previous", group_by=("source_file",),
+        order_by="line_no", max_lines=3,
+    ).collect()
+    by_start = {r.event_start: r for r in sorted(out, key=lambda r: r.event_start)}
+    assert [by_start[k].n_lines for k in sorted(by_start)] == [3, 3, 2]
+    assert by_start[1].tags == ["_multiline_toolong"]
+    assert by_start[4].tags == ["_multiline_toolong"]
+    assert by_start[7].tags == []
+
+
+def test_multiline_max_bytes_splits(spark):
+    rows = [("f", i, "x" * 10) for i in range(1, 7)]  # 60 bytes total
+    rows[0] = ("f", 1, "S" + "x" * 9)
+    df = spark.createDataFrame(rows, ["source_file", "line_no", "line"])
+    out = multiline(
+        df, "line", r"^x", what="previous", group_by=("source_file",),
+        order_by="line_no", max_bytes=25,
+    ).collect()
+    # cum-before chunks: lines at byte offsets 0,10,20,30,40,50 → chunks
+    # 0,0,0,1,1,2 → 3 events of 3/2/1 lines
+    assert sorted(r.n_lines for r in out) == [1, 2, 3]
+    assert sum(1 for r in out if r.tags == ["_multiline_toolong"]) == 2
+
+
+def test_line_codec_overwrites_existing_target(spark):
+    from logstash_spark.operators.codec import line_codec
+
+    df = spark.createDataFrame(
+        [("a\nb", "old-msg", 1)], ["blob", "message", "id"]
+    )
+    out = line_codec(df, "blob", target="message")
+    assert out.columns.count("message") == 1
+    got = sorted((r.line_no, r.message) for r in out.collect())
+    assert got == [(0, "a"), (1, "b")]
+    # downstream reference must not be ambiguous
+    assert out.where(F.col("message") == "a").count() == 1
+
+
 def test_useragent_families(spark):
     rows = [
         (1, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36"),

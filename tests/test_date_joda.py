@@ -114,3 +114,25 @@ def test_date_target_equals_field_tags_not_throws(spark):
     ok, bad = out
     assert ok["ts"] is not None and not ok["tags"]
     assert bad["ts"] is None and "_dateparsefailure" in bad["tags"]
+
+
+def test_sprintf_joda_week_patterns(spark):
+    """sprintf `%{+fmt}` routes through the full Joda translator, including
+    week-based letters Spark's date_format rejects (x=weekyear, w=week,
+    e=ISO dow) — `%{+xxxx.ww}` is the canonical weekly-index naming
+    pattern (Event.java §sprintf). Goldens match Python isocalendar():
+    2021-01-01 is ISO week 2020-W53; 2019-12-30 is 2020-W01."""
+    from logstash_spark.operators.common import sprintf
+
+    df = spark.createDataFrame(
+        [("2021-01-01 10:30:45",), ("2019-12-30 23:59:59",), ("2024-07-04 00:00:01",)],
+        ["raw"],
+    ).withColumn("@timestamp", F.to_timestamp("raw"))
+    out = df.select(
+        sprintf("logs-%{+xxxx.ww}").alias("weekidx"),
+        sprintf("%{+YYYY-MM-dd'T'HH:mm:ss}").alias("isoish"),
+        sprintf("%{+EEE}/%{+e}").alias("dow"),
+    ).collect()
+    assert [r["weekidx"] for r in out] == ["logs-2020.53", "logs-2020.01", "logs-2024.27"]
+    assert out[0]["isoish"] == "2021-01-01T10:30:45"
+    assert [r["dow"] for r in out] == ["Fri/5", "Mon/1", "Thu/4"]

@@ -137,6 +137,21 @@ def test_lineage_per_partition(spark, run):
     assert sum(r["input_rows"] for r in rows) == N
 
 
+def test_processed_partitions_watermark(spark, run):
+    """The resume API reads per-partition lineage back from the
+    _sink_lineage detail table: every input partition that routed at
+    least one row to the sink appears in the watermark set."""
+    root, res = run
+    t = SnapshotTable(os.path.join(root, "sink_errors"))
+    parts = t.processed_partitions(spark)
+    lin = SnapshotTable(os.path.join(root, "_lineage")).read(spark)
+    n_parts = lin.count()
+    assert parts, "watermark must be non-empty after a committed run"
+    assert parts <= set(range(n_parts))
+    # unknown run_id → empty set
+    assert t.processed_partitions(spark, run_id="nope") == set()
+
+
 def test_resume_skips_committed_sinks_no_duplicates(spark, tmp_path):
     """FIXTURES.md F6: crash after first sink commit → restart → every sink
     has exactly one copy of its rows."""

@@ -132,6 +132,33 @@ def test_fileless_input_run_id_tracks_content(spark):
     assert a1 != b
 
 
+def test_gated_type_changing_op_falls_back_to_split(spark):
+    """A gated op that rewrites an existing column's TYPE (date with
+    target==field, string→timestamp) must not compile to the conditional
+    projection — the when/otherwise restore would cast the false branch's
+    original string to timestamp (ANSI runtime error / silent nulls).
+    The filter+union fallback coerces to the common type instead."""
+    df = spark.createDataFrame(
+        [(1, "app", "2024-01-02 03:04:05"), (2, "web", "not a date at all!")],
+        ["id", "source", "ts"],
+    )
+    tracker = []
+    spec = _spec([
+        FilterSpec(
+            op="date",
+            conf={"field": "ts", "formats": ["yyyy-MM-dd HH:mm:ss"], "target": "ts"},
+            when='[source] == "app"',
+        )
+    ])
+    rows = {r["id"]: r for r in apply_filters(df, spec, tracker).collect()}
+    assert len(tracker) == 1  # fell back to the persisted split path
+    for t in tracker:
+        t.unpersist()
+    assert str(rows[1]["ts"]).startswith("2024-01-02 03:04:05")
+    # false branch keeps the original value verbatim (no cast, no null)
+    assert rows[2]["ts"] == "not a date at all!"
+
+
 def test_gated_de_dot_on_dotted_columns(spark):
     """The de_dot-under-a-gate case end-to-end: dotted column renamed on
     the true branch, original survives for the false branch; the
