@@ -27,6 +27,10 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+# Timed repetitions per query (after one untimed warm-up). This VM has
+# documented steal waves up to ~25%, so single-shot numbers are +-50%
+# noise; warm-up + best-of-3 is the minimum honest protocol here.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # Representative registry queries (one per operator family) — the full
 # registry runs under the driver's correctness gate; bench picks the
@@ -55,9 +59,13 @@ def _force(df) -> int:
     return 0
 
 
-def _time_best(make_df, spark, reps: int = 2) -> float:
-    """Best-of-N wall time: the sandbox VM has noisy neighbors, so a single
-    run can be 5-10x off; min over reps approximates true plan cost."""
+def _time_best(make_df, spark, reps: int = 0) -> float:
+    """Warm-up + best-of-N wall time: the sandbox VM has noisy neighbors,
+    so a single run can be 5-10x off; one untimed warm-up pays codegen /
+    broadcast / page-cache costs, then min over reps approximates true
+    plan cost."""
+    reps = reps or BENCH_REPS
+    _force(make_df())  # warm-up, untimed
     best = float("inf")
     for _ in range(reps):
         df = make_df()
@@ -135,16 +143,23 @@ def bench_dedupe_scale(spark) -> float:
     from logstash_spark.operators.dataprep import minhash_lsh_pairs, shingle_sig_table
 
     docs = synthetic_docs(spark, DEDUP_DOCS)
-    best = float("inf")
-    for _ in range(2):
+
+    def run() -> None:
         sig = shingle_sig_table(docs, "doc_id", "text", n=3, k=8).persist()
+        try:
+            pairs = minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5, sig_table=sig
+            )
+            _force(pairs)
+        finally:
+            sig.unpersist()
+
+    run()  # warm-up, untimed
+    best = float("inf")
+    for _ in range(BENCH_REPS):
         t0 = time.perf_counter()
-        pairs = minhash_lsh_pairs(
-            docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5, sig_table=sig
-        )
-        _force(pairs)
+        run()
         best = min(best, time.perf_counter() - t0)
-        sig.unpersist()
     return best
 
 
@@ -173,17 +188,23 @@ def bench_dedupe_degenerate(spark) -> float:
     docs = base.unionByName(clones)
     from logstash_spark.operators.dataprep import shingle_sig_table
 
-    best = float("inf")
-    for _ in range(2):
+    def run() -> None:
         sig = shingle_sig_table(docs, "doc_id", "text", n=3, k=8).persist()
+        try:
+            pairs = minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5,
+                max_bucket=200, sig_table=sig,
+            )
+            _force(pairs)
+        finally:
+            sig.unpersist()
+
+    run()  # warm-up, untimed
+    best = float("inf")
+    for _ in range(BENCH_REPS):
         t0 = time.perf_counter()
-        pairs = minhash_lsh_pairs(
-            docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5,
-            max_bucket=200, sig_table=sig,
-        )
-        _force(pairs)
+        run()
         best = min(best, time.perf_counter() - t0)
-        sig.unpersist()
     return best
 
 

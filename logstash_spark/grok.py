@@ -104,6 +104,47 @@ PATTERNS: dict[str, str] = {
         r"%{NUMBER:response:int} (?:%{NUMBER:bytes:int}|-)"
     ),
     "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    # apache error logs (HTTPD_ERRORLOG = 2.0 | 2.4 alternation; the grok
+    # op resolves same-named captures across branches, Oniguruma-style)
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "HTTPD20_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
+        r"(?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[(?:%{WORD:module}:)?%{LOGLEVEL:loglevel}\]"
+        r" \[pid %{POSINT:pid:int}(?::tid %{NONNEGINT:tid:int})?\]"
+        r"(?: \[client %{IPORHOST:clientip}:%{POSINT:clientport:int}\])?"
+        r" %{GREEDYDATA:message}"
+    ),
+    "HTTPD_ERRORLOG": r"(?:%{HTTPD24_ERRORLOG}|%{HTTPD20_ERRORLOG})",
+    # RFC5424 structured syslog
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOG5424PRI": r"<[0-9]{1,3}>",
+    "SYSLOG5424SD": r"(?:\[[^\]]*\])+",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver}"
+        r" +(?:-|%{TIMESTAMP_ISO8601:syslog5424_ts})"
+        r" +(?:-|%{IPORHOST:syslog5424_host})"
+        r" +(?:-|%{SYSLOG5424PRINTASCII:syslog5424_app})"
+        r" +(?:-|%{SYSLOG5424PRINTASCII:syslog5424_proc})"
+        r" +(?:-|%{SYSLOG5424PRINTASCII:syslog5424_msgid})"
+        r" +(?:-|%{SYSLOG5424SD:syslog5424_sd})"
+    ),
+    "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+    # java
+    "JAVACLASS": r"(?:[A-Za-z$_][A-Za-z$_0-9]*\.)*[A-Za-z$_][A-Za-z$_0-9]*",
+    "JAVAFILE": r"[A-Za-z$_0-9. -]+",
+    "JAVAMETHOD": r"(?:<(?:cl)?init>|[A-Za-z$_][A-Za-z$_0-9]*)",
+    "JAVASTACKTRACEPART": (
+        r"\s+at %{JAVACLASS:class}\.%{JAVAMETHOD:method}"
+        r"\(%{JAVAFILE:file}(?::%{NONNEGINT:line:int})?\)"
+    ),
+    # hardware addresses
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
 }
 
 _REF = re.compile(r"%\{(\w+)(?::([\w\.\[\]@-]+))?(?::(\w+))?\}")

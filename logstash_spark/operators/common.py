@@ -57,6 +57,86 @@ def field_ref_to_col(ref: str) -> Column:
     return c
 
 
+def ref_parts(ref: str) -> list[str]:
+    """`[a][b][c]` → ['a','b','c']; a plain name → [name]. Logstash
+    FieldReference treats ONLY brackets as path separators (a dotted name
+    is a literal key), so the write surface keys on brackets alone."""
+    parts = re.findall(r"\[([^\]]+)\]", ref)
+    return parts if parts else [ref]
+
+
+def ref_exists(df: DataFrame, ref: str) -> bool:
+    """Does the `[a][b]` path resolve in df's schema (Event§includes)?"""
+    parts = ref_parts(ref)
+    if parts[0] not in df.columns:
+        return False
+    dt = df.schema[parts[0]].dataType
+    for p in parts[1:]:
+        if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+            return False
+        dt = dt[p].dataType
+    return True
+
+
+def _set_path(parent: Column | None, parent_type, parts: list[str], value: Column) -> Column:
+    """New value for `parent` with the nested path `parts` set to `value`
+    (Event.java §setField): existing sibling fields are preserved via
+    withField; missing intermediates become fresh structs; a non-struct
+    value in the path is overwritten (reference converts to a map)."""
+    p = parts[0]
+    is_struct = isinstance(parent_type, T.StructType) and parent is not None
+    if len(parts) == 1:
+        child_val = value
+    else:
+        child_type = (
+            parent_type[p].dataType
+            if is_struct and p in parent_type.fieldNames()
+            else None
+        )
+        child_parent = (
+            parent.getField(p) if isinstance(child_type, T.StructType) else None
+        )
+        child_val = _set_path(child_parent, child_type, parts[1:], value)
+    if is_struct:
+        return parent.withField(f"`{p}`", child_val)
+    return F.struct(child_val.alias(p))
+
+
+def set_field(df: DataFrame, ref: str, value: Column) -> DataFrame:
+    """Write `value` at a FieldReference path, creating/overwriting nested
+    struct entries (Event.java §setField). Plain names write top-level."""
+    parts = ref_parts(ref)
+    root = parts[0]
+    if len(parts) == 1:
+        return df.withColumn(root, value)
+    root_type = df.schema[root].dataType if root in df.columns else None
+    root_col = (
+        F.col(f"`{root}`") if isinstance(root_type, T.StructType) else None
+    )
+    return df.withColumn(root, _set_path(root_col, root_type, parts[1:], value))
+
+
+def unset_field(df: DataFrame, ref: str) -> DataFrame:
+    """Remove the field at a FieldReference path (Event§remove). A
+    missing path is a no-op; dropping a struct's last field nulls the
+    struct column rather than leaving a zero-field struct."""
+    parts = ref_parts(ref)
+    root = parts[0]
+    if root not in df.columns:
+        return df
+    if len(parts) == 1:
+        return df.drop(root)
+    dt = df.schema[root].dataType
+    if not isinstance(dt, T.StructType) or not ref_exists(df, ref):
+        return df
+    # a struct with zero fields is unrepresentable in several writers —
+    # if this drop empties the root struct, drop the column instead
+    if len(parts) == 2 and len(dt.fields) == 1:
+        return df.drop(root)
+    dropped = F.col(f"`{root}`").dropFields(".".join(f"`{p}`" for p in parts[1:]))
+    return df.withColumn(root, dropped)
+
+
 def sprintf(template: str, ts_col: str = "@timestamp") -> Column:
     """Logstash sprintf: `%{[field]}` → field value, `%{+fmt}` → formatted
     event timestamp. Compiles to concat() of literals/columns — pure Catalyst.

@@ -311,6 +311,86 @@ def simhash_band(fp: Column, band: int, band_bits: int = 8) -> Column:
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    fp_table: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash banding, verified by exact Hamming
+    distance (bit_count(xor) ≤ max_hamming). Output: (doc_a, doc_b, hamming).
+
+    Same scale topology as `minhash_lsh_pairs` (the star-guard pattern the
+    band-equality join needs to stay sub-quadratic on dup-heavy shards):
+      * the band self-join carries ONLY (id, band, key);
+      * buckets larger than `max_bucket` STAR-pair against the bucket's
+        min-id representative — O(B) candidates, identical docs still all
+        link through the representative; normal buckets all-pairs join;
+      * bucket sizes come from a window over (band, key), the same hash
+        partitioning the self-join uses (AQE reuses the exchange).
+
+    `fp_table` lets callers pass a persisted `simhash_table` output
+    (id_col, simhash) so the fingerprint aggregation runs once for
+    banding + both verify joins.
+    """
+    from pyspark.sql.window import Window
+
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits (got bits={bits}, bands={bands})")
+    band_bits = bits // bands
+    base = (
+        fp_table
+        if fp_table is not None
+        else simhash_table(df, id_col, text_col, bits=bits)
+    ).select(F.col(id_col).alias("_id"), F.col("simhash").alias("_fp"))
+
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                simhash_band(F.col("_fp"), b, band_bits).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("_id", F.explode(slices).alias("_bk")).select(
+        "_id", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key")
+    )
+    w = Window.partitionBy("_band", "_key")
+    banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min("_id").over(w)
+    )
+    normal = banded.where(F.col("_bn") <= max_bucket)
+    left, right = normal.alias("l"), normal.alias("r")
+    pairs_normal = left.join(
+        right,
+        (F.col("l._band") == F.col("r._band"))
+        & (F.col("l._key") == F.col("r._key"))
+        & (F.col("l._id") < F.col("r._id")),
+    ).select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+    pairs_hot = banded.where(
+        (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("_id").alias("doc_b"))
+
+    cand = pairs_normal.unionByName(pairs_hot).dropDuplicates(["doc_a", "doc_b"])
+    scored = (
+        cand.join(base.withColumnsRenamed({"_id": "doc_a", "_fp": "_fa"}), "doc_a")
+        .join(base.withColumnsRenamed({"_id": "doc_b", "_fp": "_fb"}), "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int"),
+        )
+    )
+    return scored.where(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------

@@ -19,7 +19,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logstash_spark.operators import op
-from logstash_spark.operators.common import ensure_tags, remove_tag, sprintf
+from logstash_spark.operators.common import (
+    ensure_tags,
+    field_ref_to_col,
+    ref_exists,
+    remove_tag,
+    set_field,
+    sprintf,
+    unset_field,
+)
 
 # Logstash convert-to-boolean truth tables (mutate.rb §convert_boolean)
 _TRUE = ["true", "t", "yes", "y", "1", "1.0"]
@@ -100,7 +108,31 @@ def merge(df: DataFrame, dest: str, src: str) -> DataFrame:
 
 
 def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
-    return df.withColumnsRenamed({k: v for k, v in mapping.items() if k in df.columns})
+    """mutate.rename — accepts `[a][b]` FieldReference paths on either
+    side (Event.java §setField semantics: rename into a struct creates /
+    overwrites the nested entry; rename out of a struct reads the nested
+    value and drops it). Plain→plain pairs stay a zero-cost
+    withColumnsRenamed."""
+    plain = {
+        k: v
+        for k, v in mapping.items()
+        if "[" not in k and "[" not in v and k in df.columns
+    }
+    df = df.withColumnsRenamed(plain)
+    from logstash_spark.operators.common import ref_parts
+
+    for src, dst in mapping.items():
+        if src in plain or not ref_exists(df, src):
+            continue
+        val = field_ref_to_col(src)
+        df = set_field(df, dst, val)
+        sp, dp = ref_parts(src), ref_parts(dst)
+        if dp[: len(sp)] == sp:
+            # src is an ancestor of dst (e.g. host → [host][name]): the
+            # set already replaced the source value with the new struct
+            continue
+        df = unset_field(df, src)
+    return df
 
 
 def replace(df: DataFrame, fields: dict[str, str]) -> DataFrame:
@@ -148,9 +180,18 @@ def strip(df: DataFrame, fields: Sequence[str]) -> DataFrame:
 
 
 def copy(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
-    return df.withColumns(
-        {dst: F.col(src) for src, dst in mapping.items() if src in df.columns}
-    )
+    """mutate.copy — `[a][b]` paths supported on both sides."""
+    plain = {
+        dst: F.col(src)
+        for src, dst in mapping.items()
+        if "[" not in src and "[" not in dst and src in df.columns
+    }
+    df = df.withColumns(plain)
+    for src, dst in mapping.items():
+        if dst in plain or not ref_exists(df, src):
+            continue
+        df = set_field(df, dst, field_ref_to_col(src))
+    return df
 
 
 def coerce(df: DataFrame, fields: dict[str, object]) -> DataFrame:
@@ -161,11 +202,22 @@ def coerce(df: DataFrame, fields: dict[str, object]) -> DataFrame:
 
 
 def add_field(df: DataFrame, fields: dict[str, str]) -> DataFrame:
-    return df.withColumns({k: sprintf(v) for k, v in fields.items()})
+    """Decorator add_field — sprintf-templated values, `[a][b]` targets."""
+    df = df.withColumns(
+        {k: sprintf(v) for k, v in fields.items() if "[" not in k}
+    )
+    for k, v in fields.items():
+        if "[" in k:
+            df = set_field(df, k, sprintf(v))
+    return df
 
 
 def remove_field(df: DataFrame, fields: Sequence[str]) -> DataFrame:
-    return df.drop(*fields)
+    df = df.drop(*[f_ for f_ in fields if "[" not in f_])
+    for f_ in fields:
+        if "[" in f_:
+            df = unset_field(df, f_)
+    return df
 
 
 def add_tag(df: DataFrame, tags: Sequence[str]) -> DataFrame:

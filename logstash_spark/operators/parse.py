@@ -186,12 +186,20 @@ def _grok_native(
     for name, cast in out_fields:
         attempts: list[Column] = []
         for pi, (_, c) in enumerate(compiled_pairs):
-            pos = next((j for j, x in enumerate(c.captures) if x.name == name), None)
-            if pos is None:
+            # A name may appear in SEVERAL captures of one pattern
+            # (alternation branches, e.g. HTTPD_ERRORLOG's 2.0|2.4 arms) —
+            # take the branch that actually matched (first non-empty),
+            # mirroring Oniguruma's duplicate-name capture semantics.
+            positions = [j for j, x in enumerate(c.captures) if x.name == name]
+            if not positions:
                 continue
-            val = F.nullif(
-                F.element_at(F.col(f"_gk{pi}"), pos + 2), F.lit("")
-            ).cast(_cast_type(cast))
+            vals = [
+                F.nullif(F.element_at(F.col(f"_gk{pi}"), j + 2), F.lit(""))
+                for j in positions
+            ]
+            val = (vals[0] if len(vals) == 1 else F.coalesce(*vals)).cast(
+                _cast_type(cast)
+            )
             attempts.append(F.when(effective[pi], val))
         new_cols[name] = (
             F.coalesce(*attempts) if attempts else F.lit(None).cast(_cast_type(cast))
@@ -225,15 +233,24 @@ def _make_extract_udf(out_type, pat_py, caps_per_pat, names, casts, break_):
             ext = sub.str.extract(rx)  # one vectorized pass, all groups
             hit = ext.notna().any(axis=1)
             hit_idx = sub.index[hit]
-            for fname, gname in groups.items():
-                if gname in ext.columns:
-                    if break_:
-                        out.loc[hit_idx, fname] = ext.loc[hit_idx, gname]
-                    else:
-                        # accumulate mode: later patterns fill holes only
-                        holes = out.loc[hit_idx, fname].isna()
-                        idx2 = hit_idx[holes.values]
-                        out.loc[idx2, fname] = ext.loc[idx2, gname]
+            for fname, gnames in groups.items():
+                cols = [g for g in gnames if g in ext.columns]
+                if not cols:
+                    continue
+                # duplicate-name captures (alternation branches): first
+                # non-null across the branch groups, Oniguruma-style
+                vals = (
+                    ext[cols[0]]
+                    if len(cols) == 1
+                    else ext[cols].bfill(axis=1).iloc[:, 0]
+                )
+                if break_:
+                    out.loc[hit_idx, fname] = vals.loc[hit_idx]
+                else:
+                    # accumulate mode: later patterns fill holes only
+                    holes = out.loc[hit_idx, fname].isna()
+                    idx2 = hit_idx[holes.values]
+                    out.loc[idx2, fname] = vals.loc[idx2]
             matched.loc[hit_idx] = True
             remaining.loc[hit_idx] = False
         for fname in names:
@@ -282,10 +299,16 @@ def _grok_pandas(
             T.StructField(n, _cast_type(casts[n]), True) for n in names_g
         ]
         struct_fields.append(T.StructField("_grok_any", T.BooleanType(), True))
+        caps_per_pat: list[dict[str, list[str]]] = []
+        for c in comps:
+            m: dict[str, list[str]] = {}
+            for cap in c.captures:
+                m.setdefault(cap.name, []).append(cap.group)
+            caps_per_pat.append(m)
         udf = _make_extract_udf(
             T.StructType(struct_fields),
             [grok_lib.to_python_regex(c) for c in comps],
-            [{cap.name: cap.group for cap in c.captures} for c in comps],
+            caps_per_pat,
             names_g,
             casts,
             break_on_match,

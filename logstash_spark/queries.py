@@ -749,6 +749,7 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
 from logstash_spark import queries_dataprep as _qdp  # noqa: E402,F401
 from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401
 from logstash_spark import queries_logstash3 as _ql3  # noqa: E402,F401
+from logstash_spark import queries_logstash4 as _ql4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the

@@ -160,6 +160,49 @@ def simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_pairs",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS hv FROM w),
+    n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, js.j,
+             sum((hv // CAST(power(2, js.j) AS BIGINT)) % 2) AS cnt
+      FROM h, (SELECT unnest(range(0, 32)) AS j) js
+      GROUP BY doc_id, js.j
+    ),
+    fp AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN 2*b.cnt > n.n
+                           THEN CAST(power(2, b.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits b JOIN n ON b.doc_id = n.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND (  (a.simhash % 256) = (b.simhash % 256)
+         OR ((a.simhash // 256) % 256) = ((b.simhash // 256) % 256)
+         OR ((a.simhash // 65536) % 256) = ((b.simhash // 65536) % 256)
+         OR ((a.simhash // 16777216) % 256) = ((b.simhash // 16777216) % 256))
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: banded candidate join + exact Hamming
+    verify (bit_count(xor) ≤ 3). The gate disables the hot-bucket star
+    guard (max_bucket > corpus size) so the all-pairs DuckDB oracle stays
+    valid — the guard itself is pinned by unit tests and the degenerate
+    bench, exactly like the minhash gate."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    return D.simhash_pairs(
+        corpus, "doc_id", "text", bands=4, max_hamming=3, max_bucket=10_000_000
+    )
+
+
+@query(
     "ngram_jaccard_blocked",
     f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),

@@ -287,3 +287,37 @@ def test_generator_tokens_valid_at_large_ids(spark):
         "t < 0 OR t >= 50257"
     ).count()
     assert bad_big == 0
+
+
+def test_simhash_pairs_star_guard_and_verify(spark):
+    """simhash_pairs mirrors the minhash star-guard contract: a dup-heavy
+    corpus star-pairs against the bucket representative (O(B), hamming 0),
+    normal buckets all-pairs join, and the exact Hamming verify kills
+    band-collision false positives."""
+    n_dup = 40
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n_dup)]
+    rows += [(100 + i, f"unique{i} filler{i} words{i} here{i} now{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.simhash_pairs(
+        docs, "doc_id", "text", bands=4, max_hamming=0, max_bucket=10
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs if r.doc_a < n_dup and r.doc_b < n_dup}
+    assert found == {(0, i) for i in range(1, n_dup)}
+    assert all(r.hamming == 0 for r in pairs if (r.doc_a, r.doc_b) in found)
+    # below the guard: exact all-pairs among identical docs
+    small = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    allp = D.simhash_pairs(
+        small, "doc_id", "text", bands=4, max_hamming=0, max_bucket=100
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in allp} == {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }
+
+
+def test_simhash_pairs_rejects_bad_band_config(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        D.simhash_pairs(docs, "doc_id", "text", bands=5)

@@ -206,3 +206,53 @@ def test_time_pattern_zero_width_guards(spark, method):
     df = spark.createDataFrame([("T14:30:00",)], ["message"])
     out = grok(df, "message", r"%{TIME:t}", method=method).collect()[0]
     assert out["t"] == "14:30:00"
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_httpd_errorlog_alternation_duplicate_names(spark, method):
+    """%{HTTPD_ERRORLOG} is a 2.4|2.0 alternation whose branches reuse
+    the same semantic names (timestamp/loglevel/message) — the op must
+    bind each name from whichever branch matched (Oniguruma duplicate-
+    name semantics), not just the first branch's group."""
+    l24 = (
+        "[Fri Oct 06 10:11:12 2023] [core:error] [pid 1234:tid 5678]"
+        " [client 10.0.0.9:51234] File does not exist: /var/www/x"
+    )
+    l20 = "[Fri Oct 06 10:11:12 2023] [error] [client 10.0.0.9] denied by rule"
+    df = spark.createDataFrame([(l24,), (l20,)], ["message"])
+    out = grok(df, "message", r"%{HTTPD_ERRORLOG}", method=method).collect()
+    r24, r20 = out
+    assert r24["loglevel"] == "error" and r24["module"] == "core"
+    assert r24["pid"] == 1234 and r24["tid"] == 5678
+    assert r24["clientip"] == "10.0.0.9" and r24["clientport"] == 51234
+    assert r24["message"] == "File does not exist: /var/www/x"
+    assert r20["loglevel"] == "error" and r20["clientip"] == "10.0.0.9"
+    assert r20["message"] == "denied by rule"
+    assert r20["timestamp"] == "Fri Oct 06 10:11:12 2023"
+    assert not r24["tags"] and not r20["tags"]
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_java_stacktrace_and_mac(spark, method):
+    df = spark.createDataFrame(
+        [
+            ("    at org.example.Foo$Bar.doWork(Foo.java:42)", "00:1a:2b:3c:4d:5e"),
+            ("    at com.x.Init.<init>(Init.java)", "0011.2233.4455"),
+        ],
+        ["trace", "hw"],
+    )
+    out = grok(
+        df,
+        match={
+            "trace": r"%{JAVASTACKTRACEPART}",
+            "hw": r"^%{MAC:mac}$",
+        },
+        method=method,
+        break_on_match=False,
+    ).collect()
+    a, b = out
+    assert a["class"] == "org.example.Foo$Bar" and a["method"] == "doWork"
+    assert a["file"] == "Foo.java" and a["line"] == 42
+    assert a["mac"] == "00:1a:2b:3c:4d:5e"
+    assert b["class"] == "com.x.Init" and b["method"] == "<init>"
+    assert b["line"] is None and b["mac"] == "0011.2233.4455"
