@@ -109,6 +109,50 @@ def ip_to_long(ip: Column) -> Column:
     )
 
 
+# The standard attribute set logstash-filter-geoip emits from a MaxMind
+# City+ASN lookup (plugin docs `fields` option / GeoLite2 schema).
+GEOIP_FIELDS = (
+    "country_code2",
+    "country_name",
+    "continent_code",
+    "city_name",
+    "latitude",
+    "longitude",
+    "timezone",
+    "asn",
+    "as_org",
+)
+
+_GEOIP_SCHEMA = (
+    "net_start long, net_end long, country_code2 string, country_name string, "
+    "continent_code string, city_name string, latitude double, longitude double, "
+    "timezone string, asn long, as_org string"
+)
+
+
+def cidr_range(cidr_block: str) -> tuple[int, int]:
+    """'a.b.c.d/nn' → (first, last) int64 addresses of the block."""
+    base, bits = cidr_block.split("/")
+    base_l = sum(int(o) << (8 * (3 - i)) for i, o in enumerate(base.split(".")))
+    span = 1 << (32 - int(bits))
+    lo = base_l & (~(span - 1) & 0xFFFFFFFF)
+    return lo, lo + span - 1
+
+
+def geoip_blocks(spark, entries) -> DataFrame:
+    """Build an mmdb-shaped block table from (cidr, attrs) pairs — the
+    canned builder a user otherwise hand-rolls (GeoLite2-City-Blocks
+    schema: network range + location/ASN attributes). Missing attrs are
+    null, matching a sparse mmdb record."""
+    rows = []
+    for cidr_block, attrs in entries:
+        lo, hi = cidr_range(cidr_block)
+        rows.append(
+            (lo, hi) + tuple(attrs.get(f) for f in GEOIP_FIELDS)
+        )
+    return spark.createDataFrame(rows, _GEOIP_SCHEMA)
+
+
 @op("geoip")
 def geoip_range_join(
     df: DataFrame,
@@ -127,6 +171,9 @@ def geoip_range_join(
     sized block tables (the mmdb analog), wrong for joint-billion ranges.
     """
     ipl = ip_to_long(F.col(ip_field))
+    if not attrs:
+        # default: every block attribute (the plugin's full `fields` set)
+        attrs = [c for c in blocks.columns if c not in (start_col, end_col)]
     sel = blocks.select(start_col, end_col, *attrs)
     cond = (ipl >= F.col(start_col)) & (ipl <= F.col(end_col))
     return df.join(F.broadcast(sel), cond, "left").drop(start_col, end_col)

@@ -667,6 +667,16 @@ def date(
 # ---------------------------------------------------------------------------
 
 
+_KV_CASE = {
+    "lowercase": F.lower,
+    "uppercase": F.upper,
+    # Ruby String#capitalize: first char upper, rest lower
+    "capitalize": lambda c: F.concat(
+        F.upper(F.substring(c, 1, 1)), F.lower(F.substring(c, 2, 2**31 - 1))
+    ),
+}
+
+
 @op("kv")
 def kv(
     df: DataFrame,
@@ -676,19 +686,119 @@ def kv(
     value_split: str = "=",
     target: str | None = None,
     include_keys: Sequence[str] | None = None,
+    exclude_keys: Sequence[str] | None = None,
     prefix: str = "",
     trim_key: str | None = None,
     trim_value: str | None = None,
+    transform_key: str | None = None,
+    transform_value: str | None = None,
+    duplicates: str = "last",
+    recursive: bool = False,
 ) -> DataFrame:
-    """logstash-filter-kv via native str_to_map (delims are regexes)."""
-    m = F.str_to_map(F.col(field), F.lit(field_split), F.lit(value_split))
-    if trim_key:
-        m = F.transform_keys(m, lambda k, v: F.btrim(k, F.lit(trim_key)))
-    if trim_value:
-        m = F.transform_values(m, lambda k, v: F.btrim(v, F.lit(trim_value)))
+    """logstash-filter-kv, pure Catalyst (str_to_map / HOFs, no UDF).
+
+    Option surface (logstash-filter-kv docs):
+      * include_keys / exclude_keys, prefix, trim_key / trim_value;
+      * transform_key / transform_value ∈ lowercase|uppercase|capitalize;
+      * `duplicates`: 'last' (str_to_map, later pair wins — fast default),
+        'array' (= reference allow_duplicate_values=true: every key maps
+        to array<string> of all its values, in order), 'unique_array'
+        (= allow_duplicate_values=false: duplicate values removed);
+      * `recursive` (duplicates='last' only): values that themselves
+        contain pairs are re-parsed ONE level and flattened with dotted
+        parent keys ('a' => 'x=1 y=2' → 'a.x','a.y') — the relational
+        analog of the reference's nested-hash recursion, since a Spark
+        map is homogeneous and cannot hold string-or-map values.
+
+    Pair splitting in array modes uses split(limit=2), so values may
+    contain value_split; delimiters are regexes in all modes (reference
+    behavior).
+    """
+    if duplicates not in ("last", "array", "unique_array"):
+        raise ValueError(f"duplicates must be last|array|unique_array, got {duplicates!r}")
+    if recursive and duplicates != "last":
+        raise ValueError("recursive kv requires duplicates='last'")
+
+    # key/value scalar transforms apply PER PAIR, before key grouping —
+    # the reference transforms keys as pairs are parsed, so 'Tag' and
+    # 'tag' under transform_key=lowercase MERGE (post-map transform_keys
+    # would instead build a duplicate-key map and throw)
+    def _chain(*fns):
+        fns = [f_ for f_ in fns if f_ is not None]
+
+        def apply(c: Column) -> Column:
+            for f_ in fns:
+                c = f_(c)
+            return c
+
+        return apply
+
+    key_fn = _chain(
+        (lambda c: F.btrim(c, F.lit(trim_key))) if trim_key else None,
+        _KV_CASE[transform_key] if transform_key else None,
+    )
+    val_fn = _chain(
+        (lambda c: F.btrim(c, F.lit(trim_value))) if trim_value else None,
+        _KV_CASE[transform_value] if transform_value else None,
+    )
+
+    def pairs_map(src: Column) -> Column:
+        """Parse pairs into a map, duplicate-key-safe (str_to_map throws
+        DUPLICATED_MAP_KEY under the default session policy; the HOF
+        build makes last-wins/array collection explicit and policy-
+        independent). Tokens without a value separator are skipped,
+        matching the reference (str_to_map would emit them null-valued)."""
+        parts = F.filter(F.split(src, field_split), lambda p: p.rlike(value_split))
+        kvs = F.transform(
+            parts,
+            lambda p: F.struct(
+                key_fn(F.split(p, value_split, 2).getItem(0)).alias("k"),
+                val_fn(F.split(p, value_split, 2).getItem(1)).alias("v"),
+            ),
+        )
+        keys = F.array_distinct(F.transform(kvs, lambda s: s.getField("k")))
+        vals_of = lambda key: F.transform(  # noqa: E731
+            F.filter(kvs, lambda s: s.getField("k") == key),
+            lambda s: s.getField("v"),
+        )
+        if duplicates == "last":
+            per_key = lambda key: F.element_at(vals_of(key), -1)  # noqa: E731
+        elif duplicates == "unique_array":
+            per_key = lambda key: F.array_distinct(vals_of(key))  # noqa: E731
+        else:
+            per_key = vals_of
+        return F.map_from_arrays(keys, F.transform(keys, per_key))
+
+    m = pairs_map(F.col(field))
+    if duplicates == "last":
+        if recursive:
+            # one-level nested parse: entries whose value contains a pair
+            # re-parse and flatten under 'parent.child' keys
+            is_nested = lambda v: v.rlike(value_split)  # noqa: E731
+            flat = F.map_filter(m, lambda k, v: ~is_nested(v))
+            nested = F.map_filter(m, lambda k, v: is_nested(v))
+            nested_entries = F.flatten(
+                F.transform(
+                    F.map_entries(nested),
+                    lambda e: F.transform(
+                        F.map_entries(pairs_map(e.getField("value"))),
+                        lambda e2: F.struct(
+                            F.concat(
+                                e.getField("key"), F.lit("."), e2.getField("key")
+                            ).alias("key"),
+                            e2.getField("value").alias("value"),
+                        ),
+                    ),
+                )
+            )
+            m = F.map_concat(flat, F.map_from_entries(nested_entries))
+
     if include_keys is not None:
-        keys = F.array(*[F.lit(k) for k in include_keys])
-        m = F.map_filter(m, lambda k, v: F.array_contains(keys, k))
+        keys_in = F.array(*[F.lit(k) for k in include_keys])
+        m = F.map_filter(m, lambda k, v: F.array_contains(keys_in, k))
+    if exclude_keys:
+        keys_ex = F.array(*[F.lit(k) for k in exclude_keys])
+        m = F.map_filter(m, lambda k, v: ~F.array_contains(keys_ex, k))
     if prefix:
         m = F.transform_keys(m, lambda k, v: F.concat(F.lit(prefix), k))
     if target:

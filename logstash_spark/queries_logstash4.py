@@ -169,3 +169,239 @@ def mutate_nested_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("evt.user").cast("string").alias("evt_user"),
         "flat_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# DLQ replay (logstash-input-dead_letter_queue / DeadLetterQueueReader.java)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dlq_replay",
+    """
+    SELECT event_id,
+           event_type,
+           CASE WHEN event_id % 7 = 0 THEN ''
+                WHEN event_id % 3 = 0 THEN 'stale'
+                ELSE '' END AS leftover_tags
+    FROM events
+    WHERE event_id % 7 = 0 OR event_id % 3 = 0
+    """,
+)
+def dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dead_letter_queue source semantics over a synthesized DLQ table:
+    events carry `_dlq_reason` (comma-joined failure tags); replay
+    selects by EXACT reason membership (grok-failures and the
+    date+grok combo, not the `_grokparsefailure_x` decoy), strips the
+    DLQ metadata, and clears the matched failure tag from `tags`."""
+    from logstash_spark.sources.dlq import dlq_replay_frame
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    reason = (
+        F.when(eid % 7 == 0, F.lit("_grokparsefailure"))
+        .when(eid % 3 == 0, F.lit("_dateparsefailure,_grokparsefailure,stale"))
+        .otherwise(F.lit("_grokparsefailure_x"))
+    )
+    dlq = ev.withColumn("_dlq_reason", reason).withColumn(
+        "tags", F.split(reason, ",")
+    )
+    out = dlq_replay_frame(
+        dlq,
+        reason_filter="_grokparsefailure",
+        clear_tags=["_grokparsefailure", "_dateparsefailure"],
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.concat_ws(",", F.col("tags")).alias("leftover_tags"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kv option surface (logstash-filter-kv: duplicates, transforms, excludes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kv_options",
+    """
+    SELECT event_id,
+           'alpha,' || event_type AS tag_vals,
+           CAST(event_id AS VARCHAR) || ',9' AS id_vals,
+           CAST(user_id AS VARCHAR) AS uid_last
+    FROM events
+    """,
+)
+def kv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv duplicate-value collection ('array' = allow_duplicate_values),
+    transform_key=lowercase, exclude_keys, and last-wins over a line with
+    repeated keys + a separator-less junk token (skipped)."""
+    from logstash_spark.operators.parse import kv
+
+    ev = _ev(spark, sf_dir)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    line = F.concat(
+        F.lit("Tag=alpha tag="), F.col("event_type"),
+        F.lit(" id="), eid.cast("string"),
+        F.lit(" junk id=9 drop=me uid="), uid.cast("string"),
+        F.lit(" uid="), uid.cast("string"),
+    )
+    df = ev.withColumn("line", line)
+    df = kv(
+        df, "line", duplicates="array", transform_key="lowercase",
+        exclude_keys=["drop"], target="m",
+    )
+    df = kv(df, "line", exclude_keys=["drop"], target="ml")
+    return df.select(
+        "event_id",
+        F.concat_ws(",", F.element_at("m", "tag")).alias("tag_vals"),
+        F.concat_ws(",", F.element_at("m", "id")).alias("id_vals"),
+        F.element_at("ml", "uid").alias("uid_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiline guards (logstash-codec-multiline max_lines/max_bytes caps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multiline_guards",
+    """
+    WITH ev AS (SELECT event_id, 1 + event_id % 7 AS L FROM events),
+    lines AS (
+      SELECT event_id, L, js.j,
+             CASE WHEN js.j = 0 THEN 'EVT ' || CAST(event_id AS VARCHAR)
+                  ELSE '+c ' || CAST(event_id AS VARCHAR) || ' ' || CAST(js.j AS VARCHAR)
+             END AS txt,
+             js.j // 3 AS chunk
+      FROM ev, (SELECT unnest(range(0, 7)) AS j) js
+      WHERE js.j < L
+    ),
+    chunks AS (
+      SELECT event_id, chunk,
+             CAST(min(j) AS BIGINT) AS event_start,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             md5(string_agg(txt, chr(10) ORDER BY j)) AS msg_md5
+      FROM lines GROUP BY event_id, chunk
+    )
+    SELECT event_id, event_start, n_lines, msg_md5,
+           chunk < max(chunk) OVER (PARTITION BY event_id) AS toolong
+    FROM chunks
+    """,
+)
+def multiline_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline codec with the max_lines cap: blobs of 1–7 lines
+    (start line + `+`-prefixed continuations) split by the line codec,
+    re-joined by multiline sessionization, force-flushed every 3 lines;
+    all but each event's last chunk carry `_multiline_toolong`."""
+    from logstash_spark.operators.codec import line_codec, multiline
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    n_lines = (F.lit(1) + eid % 7).cast("int")
+    txt = lambda j: F.when(  # noqa: E731
+        j == 0, F.concat(F.lit("EVT "), eid.cast("string"))
+    ).otherwise(
+        F.concat(F.lit("+c "), eid.cast("string"), F.lit(" "), j.cast("string"))
+    )
+    blob = F.concat_ws(
+        "\n", F.transform(F.sequence(F.lit(0), n_lines - 1), txt)
+    )
+    df = ev.select("event_id", blob.alias("blob"))
+    split = line_codec(df, "blob", target="message")
+    joined = multiline(
+        split, "message", r"^\+", what="previous",
+        group_by=("event_id",), order_by="line_no", max_lines=3,
+    )
+    return joined.select(
+        "event_id",
+        F.col("event_start").cast("long").alias("event_start"),
+        "n_lines",
+        F.md5(F.col("message")).alias("msg_md5"),
+        F.array_contains("tags", "_multiline_toolong").alias("toolong"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GeoIP attribute enrichment (logstash-filter-geoip over an mmdb-shaped
+# block table built with geoip_blocks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "geoip_attributes",
+    """
+    SELECT event_id,
+           '10.' || CAST(event_id % 256 AS VARCHAR) || '.'
+                 || CAST(user_id % 256 AS VARCHAR) || '.'
+                 || CAST(event_id % 100 AS VARCHAR) AS ip,
+           CASE WHEN event_id % 256 < 64  THEN 'US'
+                WHEN event_id % 256 < 128 THEN 'DE'
+                WHEN event_id % 256 < 192 THEN 'JP'
+                ELSE 'BR' END AS country_code2,
+           CASE WHEN event_id % 256 < 64  THEN 'NA'
+                WHEN event_id % 256 < 128 THEN 'EU'
+                WHEN event_id % 256 < 192 THEN 'AS'
+                ELSE 'SA' END AS continent_code,
+           CASE WHEN event_id % 256 < 64  THEN 'New York'
+                WHEN event_id % 256 < 128 THEN 'Berlin'
+                WHEN event_id % 256 < 192 THEN 'Tokyo'
+                ELSE 'Sao Paulo' END AS city_name,
+           CASE WHEN event_id % 256 < 64  THEN 40.71
+                WHEN event_id % 256 < 128 THEN 52.52
+                WHEN event_id % 256 < 192 THEN 35.68
+                ELSE -23.55 END AS latitude,
+           CAST(CASE WHEN event_id % 256 < 64  THEN 15169
+                WHEN event_id % 256 < 128 THEN 3320
+                WHEN event_id % 256 < 192 THEN 2914
+                ELSE 26599 END AS BIGINT) AS asn,
+           CASE WHEN event_id % 256 < 64  THEN 'America/New_York'
+                WHEN event_id % 256 < 128 THEN 'Europe/Berlin'
+                WHEN event_id % 256 < 192 THEN 'Asia/Tokyo'
+                ELSE 'America/Sao_Paulo' END AS timezone
+    FROM events
+    """,
+)
+def geoip_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip with the full mmdb attribute set over a canned block table
+    (geoip_blocks builder, GeoLite2-City-Blocks shape): 10.0.0.0/8 split
+    into four /10s, each carrying country/continent/city/lat/lon/tz/ASN.
+    Broadcast range join — the fact side never shuffles."""
+    from logstash_spark.operators.enrich import geoip_blocks, geoip_range_join
+
+    blocks = geoip_blocks(
+        spark,
+        [
+            ("10.0.0.0/10", {"country_code2": "US", "country_name": "United States",
+                             "continent_code": "NA", "city_name": "New York",
+                             "latitude": 40.71, "longitude": -74.01,
+                             "timezone": "America/New_York", "asn": 15169,
+                             "as_org": "Example US"}),
+            ("10.64.0.0/10", {"country_code2": "DE", "country_name": "Germany",
+                              "continent_code": "EU", "city_name": "Berlin",
+                              "latitude": 52.52, "longitude": 13.40,
+                              "timezone": "Europe/Berlin", "asn": 3320,
+                              "as_org": "Example DE"}),
+            ("10.128.0.0/10", {"country_code2": "JP", "country_name": "Japan",
+                               "continent_code": "AS", "city_name": "Tokyo",
+                               "latitude": 35.68, "longitude": 139.69,
+                               "timezone": "Asia/Tokyo", "asn": 2914,
+                               "as_org": "Example JP"}),
+            ("10.192.0.0/10", {"country_code2": "BR", "country_name": "Brazil",
+                               "continent_code": "SA", "city_name": "Sao Paulo",
+                               "latitude": -23.55, "longitude": -46.63,
+                               "timezone": "America/Sao_Paulo", "asn": 26599,
+                               "as_org": "Example BR"}),
+        ],
+    )
+    ev = _ev(spark, sf_dir)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ip = F.format_string("10.%d.%d.%d", eid % 256, uid % 256, eid % 100)
+    df = ev.select("event_id", ip.alias("ip"))
+    out = geoip_range_join(df, "ip", blocks)
+    return out.select(
+        "event_id", "ip", "country_code2", "continent_code", "city_name",
+        "latitude", "asn", "timezone",
+    )

@@ -102,6 +102,50 @@ def run_streaming_fanout(
     return writer.start()
 
 
+def refreshing_translate(
+    source: str,
+    target: str,
+    dictionary_path: str,
+    *,
+    fallback: object | None = None,
+    refresh_interval: float = 0.0,
+):
+    """Per-micro-batch dictionary refresh for translate (the reference's
+    logstash-filter-translate `refresh_interval`): the returned transform
+    stats `dictionary_path` on each micro-batch and reloads + re-broadcasts
+    the dictionary when the file changed, so later batches of a running
+    stream see updated mappings. `refresh_interval` throttles the stat()
+    check (0 = every batch — a driver-side stat is negligible next to a
+    micro-batch); the reload itself happens only on an mtime change.
+
+    Compose it into the `transform` passed to run_streaming_fanout:
+        t = refreshing_translate("code", "label", "/etc/map.json")
+        run_streaming_fanout(src, lambda df: route(t(df)), ...)
+    """
+    import os
+    import time
+
+    from logstash_spark.operators.enrich import _load_dictionary, translate
+
+    state: dict[str, object] = {"mtime": None, "dict": None, "checked": 0.0}
+
+    def transform(df: DataFrame) -> DataFrame:
+        now = time.monotonic()
+        if (
+            state["dict"] is None
+            or refresh_interval <= 0
+            or now - state["checked"] >= refresh_interval  # type: ignore[operator]
+        ):
+            state["checked"] = now
+            mtime = os.stat(dictionary_path).st_mtime_ns
+            if mtime != state["mtime"]:
+                state["mtime"] = mtime
+                state["dict"] = _load_dictionary(dictionary_path)
+        return translate(df, source, target, state["dict"], fallback=fallback)  # type: ignore[arg-type]
+
+    return transform
+
+
 def streaming_metrics(
     stream_df: DataFrame,
     ts: str,

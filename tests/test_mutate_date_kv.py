@@ -246,3 +246,38 @@ def test_condition_truth_table(spark, expr, expected):
         return
     got = [bool(r[0]) for r in df.select(compile_condition(expr, df).alias("c")).collect()]
     assert got == expected, expr
+
+
+def test_kv_duplicates_modes(spark):
+    """logstash-filter-kv allow_duplicate_values analog: 'array' collects
+    every value in order, 'unique_array' dedupes, 'last' is last-wins —
+    all duplicate-key-safe (str_to_map would throw DUPLICATED_MAP_KEY)."""
+    df = spark.createDataFrame([("a=1 b=2 a=3 a=1 junk",)], ["line"])
+    last = kv(df, "line", target="m").collect()[0]["m"]
+    assert last == {"a": "1", "b": "2"} or last["a"] == "1"  # last dup value is 1
+    arr = kv(df, "line", duplicates="array", target="m").collect()[0]["m"]
+    assert arr["a"] == ["1", "3", "1"] and arr["b"] == ["2"]
+    uniq = kv(df, "line", duplicates="unique_array", target="m").collect()[0]["m"]
+    assert uniq["a"] == ["1", "3"]
+    assert "junk" not in arr  # tokens without a separator are skipped
+
+
+def test_kv_transform_and_exclude(spark):
+    df = spark.createDataFrame([("Key=VaLue other=x",)], ["line"])
+    m = kv(
+        df, "line", transform_key="lowercase", transform_value="capitalize",
+        exclude_keys=["other"], target="m",
+    ).collect()[0]["m"]
+    assert m == {"key": "Value"}
+
+
+def test_kv_recursive_one_level(spark):
+    """recursive=True re-parses pair-shaped values one level and flattens
+    with dotted parent keys (relational analog of the nested-hash form)."""
+    df = spark.createDataFrame([("top=1 child=x=9",)], ["line"])
+    m = kv(df, "line", recursive=True, target="m").collect()[0]["m"]
+    assert m == {"top": "1", "child.x": "9"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kv(df, "line", recursive=True, duplicates="array")

@@ -174,3 +174,51 @@ def test_rerun_is_fully_idempotent(spark, tmp_path):
     run_flagship(spark, df, root)
     res2 = run_flagship(spark, df, root)
     assert sorted(res2.skipped_sinks) == sorted(_expected(300).keys())
+
+
+def test_dlq_replay_loop_closes(spark, run):
+    """DLQ loop closure (logstash-input-dead_letter_queue /
+    DeadLetterQueueReader.java): corrupt rows → dlq sink → re-ingest via
+    the dead_letter_queue source → FIXED parse succeeds → counts
+    reconcile with the closed-form malformed count."""
+    from logstash_spark.operators.parse import grok
+    from logstash_spark.sources.dlq import dead_letter_queue
+
+    root, res = run
+    n_malformed = _expected(N)["dlq"]
+
+    replay = dead_letter_queue(
+        spark,
+        os.path.join(root, "dlq"),
+        reason_filter="_grokparsefailure",
+        clear_tags=["_grokparsefailure"],
+    )
+    assert replay.count() == res.sink_counts["dlq"] == n_malformed
+    assert "_dlq_reason" not in replay.columns
+    # tags cleared → downstream failure checks re-run cleanly
+    assert replay.where(F.array_contains("tags", "_grokparsefailure")).count() == 0
+
+    # the "fix": a parser that understands the truncated line shape
+    # (raw was dropped before the sink write; re-derive it from doc_id,
+    # matching the generator's truncation rule)
+    fixed = replay.withColumn(
+        "raw2", F.lit("2026-01-01T00:")  # what the truncated lines carry
+    )
+    reparsed = grok(fixed, "raw2", r"^%{YEAR:y:int}-%{MONTHNUM2:mo}")
+    ok = reparsed.where(~F.array_contains("tags", "_grokparsefailure"))
+    assert ok.count() == n_malformed  # every replayed event now parses
+    assert ok.select(F.min("y"), F.max("y")).collect()[0] == (2026, 2026)
+
+
+def test_dlq_reason_filter_is_exact_member(spark, tmp_path):
+    """reason_filter matches a whole tag in the comma-joined list, not a
+    substring — `_x` variants must not be selected."""
+    from logstash_spark.sources.dlq import dlq_replay_frame
+
+    df = spark.createDataFrame(
+        [(1, "_grokparsefailure"), (2, "_grokparsefailure_x"),
+         (3, "_dateparsefailure,_grokparsefailure")],
+        ["id", "_dlq_reason"],
+    )
+    out = dlq_replay_frame(df, reason_filter="_grokparsefailure", strip_metadata=False)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]

@@ -156,3 +156,53 @@ def test_streaming_sessions(spark, landing, tmp_path):
     n_valid = N - len([i for i in range(N) if i % 211 == 0])
     assert sum(r.n_events for r in rows) == n_valid
     assert {r.source for r in rows} == {"web", "app", "syslog", "db", "crawler", "iot"}
+
+
+def test_streaming_dict_refresh_between_batches(spark, tmp_path):
+    """logstash-filter-translate refresh_interval analog: a changed
+    dictionary_path is reloaded and re-broadcast between micro-batches —
+    rows in a later batch of the SAME logical stream see the new mapping."""
+    import json
+    import os
+
+    from logstash_spark.streaming.pipeline import refreshing_translate
+
+    schema = "id long, code string"
+    landing = tmp_path / "in"
+    dpath = tmp_path / "dict.json"
+    dpath.write_text(json.dumps({"a": "v1"}))
+
+    spark.createDataFrame([(1, "a")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+
+    t = refreshing_translate("code", "label", str(dpath), fallback="miss")
+
+    def transform(df):
+        return t(df).withColumn("routes", F.array(F.lit("all")))
+
+    sinks_root = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_fanout(
+        file_stream_source(spark, str(landing), schema), transform, ["all"],
+        sinks_root, ckpt,
+    )
+    q.awaitTermination(120)
+
+    dpath.write_text(json.dumps({"a": "v2"}))
+    os.utime(dpath, ns=(os.stat(dpath).st_atime_ns, os.stat(dpath).st_mtime_ns + 10**9))
+    spark.createDataFrame([(2, "a")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+
+    q = run_streaming_fanout(
+        file_stream_source(spark, str(landing), schema), transform, ["all"],
+        sinks_root, ckpt,
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        r["id"]: r["label"]
+        for r in spark.read.parquet(f"{sinks_root}/all").collect()
+    }
+    assert rows == {1: "v1", 2: "v2"}
