@@ -454,10 +454,16 @@ def ann_topk_bruteforce(
     )
 
 
-def hyperplane_sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+def hyperplane_sign_bucket(
+    vec: Column, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id from deterministic pseudo-random
     planes: plane p component j = ((p*31 + j*17) % 7) - 3. Reproducible in
     plain SQL; at scale, replace with broadcast Gaussian planes.
+
+    `plane_offset` shifts the plane index (plane p → p + offset), giving
+    independent hash tables from the same formula — table t uses
+    offset t*n_planes (see `embedding_dup_pairs`).
     """
     idx = F.sequence(F.lit(1), F.size(vec))
 
@@ -468,7 +474,9 @@ def hyperplane_sign_bucket(vec: Column, n_planes: int = 8) -> Column:
         return F.zip_with(vec, idx, term)
     bits = [
         F.when(
-            F.aggregate(terms_for(p), F.lit(0.0), lambda a, x: a + x) > 0, F.lit(1 << p)
+            F.aggregate(terms_for(p + plane_offset), F.lit(0.0), lambda a, x: a + x)
+            > 0,
+            F.lit(1 << p),
         ).otherwise(F.lit(0))
         for p in range(n_planes)
     ]
@@ -600,6 +608,77 @@ def ann_ivf(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    tables: int = 2,
+    threshold: float = 0.9,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
+    candidate generation verified by exact cosine ≥ threshold. Output:
+    (doc_a, doc_b, cos). The embedding analog of `minhash_lsh_pairs` —
+    same three scale rules:
+
+      * each of `tables` independent hash tables buckets a vector by
+        `n_planes` sign bits (table t reuses the deterministic plane
+        formula at plane_offset t*n_planes); a pair is a candidate if it
+        collides in ANY table (recall grows with `tables`, bucket size
+        shrinks with `n_planes`);
+      * the (table, key) self-join carries ONLY ids — vectors re-join
+        once per side AFTER candidate dedup, so shuffle bytes scale with
+        the candidate count, not candidates × dimension;
+      * buckets above `max_bucket` (an embedding-identical shard) STAR-
+        pair against the bucket's min-id representative — O(B) not
+        O(B²); identical vectors still all link through it.
+
+    Matches the reference's dedup intent (fingerprint + dropDuplicates,
+    logstash-filter-fingerprint §filter) lifted to vector space.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_sign_bucket(
+                    F.col("_v"), n_planes, plane_offset=t * n_planes
+                ).alias("key"),
+            )
+            for t in range(tables)
+        ]
+    )
+    banded = base.select("_id", F.explode(keys).alias("_bk")).select(
+        "_id", F.col("_bk.tbl").alias("_tbl"), F.col("_bk.key").alias("_key")
+    )
+    w = Window.partitionBy("_tbl", "_key")
+    banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min("_id").over(w)
+    )
+    normal = banded.where(F.col("_bn") <= max_bucket)
+    left, right = normal.alias("l"), normal.alias("r")
+    pairs_normal = left.join(
+        right,
+        (F.col("l._tbl") == F.col("r._tbl"))
+        & (F.col("l._key") == F.col("r._key"))
+        & (F.col("l._id") < F.col("r._id")),
+    ).select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+    pairs_hot = banded.where(
+        (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("_id").alias("doc_b"))
+    cand = pairs_normal.unionByName(pairs_hot).dropDuplicates(["doc_a", "doc_b"])
+    scored = (
+        cand.join(base.withColumnsRenamed({"_id": "doc_a", "_v": "_va"}), "doc_a")
+        .join(base.withColumnsRenamed({"_id": "doc_b", "_v": "_vb"}), "doc_b")
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+    )
+    return scored.where(F.col("cos") >= threshold).select("doc_a", "doc_b", "cos")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -676,6 +755,84 @@ def rolling_fingerprint(text: Column) -> Column:
         hashed,
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % F.lit(FP_P),
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    *,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group token-budgeted quality sampling — the training-data "mix"
+    step: within each `group_col` stratum, keep the highest-quality
+    documents until the stratum's token budget is exhausted.
+
+    Selection is deterministic: order by (quality DESC, id ASC), running
+    token total via a window cumsum, keep rows whose cumulative total
+    stays ≤ `budget`. Output: (group, doc_id, quality, n_tok, cum_tok).
+
+    Scale topology: ONE shuffle (hash on group) + a per-group sort. With
+    10^12 docs in a handful of strata that sort is the bottleneck, so
+    `prefilter_buckets=B` enables the two-pass plan: pass 1 builds a
+    B-bucket quality histogram per group (groupBy — map-side partial, no
+    sort) and finds the coarsest quality lower bound whose token mass
+    already covers the budget; pass 2 sorts only the survivors. The
+    prefilter is provably a SUPERSET of the exact answer: any dropped
+    doc has ≥ budget tokens of strictly-higher-quality docs ahead of it,
+    so its exact cumsum would exceed the budget anyway — and since every
+    dropped doc orders after every kept one, survivors' cumsums are
+    unchanged. Pinned against the single-pass plan by a unit test.
+    """
+    from pyspark.sql.window import Window
+
+    feats = quality_features(F.col(text_col))
+    toks = token_counts(F.col(text_col))
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        feats["quality"].alias("quality"),
+        toks["re_tokens"].cast("int").alias("n_tok"),
+    )
+    if prefilter_buckets is not None:
+        B = int(prefilter_buckets)
+        hist = base.groupBy(
+            "group", F.floor(F.col("quality") * B).cast("int").alias("_qb")
+        ).agg(F.sum("n_tok").alias("_btok"))
+        wq = (
+            Window.partitionBy("group")
+            .orderBy(F.col("_qb").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # boundary = highest-quality bucket at which the cumulative (from
+        # the top) token mass first covers the budget; keeping the WHOLE
+        # boundary bucket is what makes the prefilter a superset
+        cuts = (
+            hist.withColumn("_cum", F.sum("_btok").over(wq))
+            .where(F.col("_cum") >= budget)
+            .groupBy("group")
+            .agg(F.max("_qb").alias("_cutb"))
+        )
+        base = (
+            base.join(F.broadcast(cuts), "group", "left")
+            .where(
+                F.col("_cutb").isNull()  # group never reaches budget: keep all
+                | (F.floor(F.col("quality") * B).cast("int") >= F.col("_cutb"))
+            )
+            .drop("_cutb")
+        )
+    w = (
+        Window.partitionBy("group")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .where(F.col("cum_tok") <= budget)
+        .select("group", "doc_id", "quality", "n_tok", "cum_tok")
     )
 
 

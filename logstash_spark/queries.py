@@ -783,6 +783,8 @@ _DRIVER_PRIORITY = [
     "multiline_guards",
     "geoip_attributes",
     "parse_failure_tags",
+    "embed_dup_cosine",
+    "token_budget_mix",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

@@ -330,9 +330,9 @@ _PLANE_TERMS = (
 )
 
 
-def _bucket_sql(v: str, n_planes: int = 6) -> str:
+def _bucket_sql(v: str, n_planes: int = 6, offset: int = 0) -> str:
     bits = " + ".join(
-        f"(CASE WHEN {_PLANE_TERMS.format(v=v, p=p)} > 0 THEN {1 << p} ELSE 0 END)"
+        f"(CASE WHEN {_PLANE_TERMS.format(v=v, p=p + offset)} > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
     return f"({bits})"
@@ -654,4 +654,92 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))).alias("tokens_md5"),
         F.element_at("tokens", 1).alias("tok_first"),
         "n_tok",
+    )
+
+
+@query(
+    "embed_dup_cosine",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, embedding, 0 AS tbl,
+             {_bucket_sql('embedding', 6, 0)} AS key FROM corpus
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS tbl,
+             {_bucket_sql('embedding', 6, 6)} AS key FROM corpus
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b,
+             l.embedding AS va, r.embedding AS vb
+      FROM banded l
+      JOIN banded r ON l.tbl = r.tbl AND l.key = r.key AND l.vec_id < r.vec_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, round({_cos_sql('va', 'vb')}, 6) AS cos FROM cand
+    )
+    SELECT doc_a, doc_b, cos FROM scored WHERE cos >= 0.9
+    """,
+)
+def embed_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: 2 hyperplane-LSH hash tables
+    (6 sign bits each, deterministic planes) generate candidates, exact
+    cosine >= 0.9 verifies, over embeddings + injected identical-vector
+    copies (vec_id+100000). Star guard disabled HERE so the all-pairs
+    band-join oracle stays valid; the guard itself is pinned by unit
+    tests (same pattern as the minhash/simhash gates)."""
+    em = _embs(spark, sf_dir)
+    corpus = em.select("vec_id", "embedding").unionByName(
+        em.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return D.embedding_dup_pairs(
+        corpus, n_planes=6, tables=2, threshold=0.9, max_bucket=10**9
+    )
+
+
+_TOKEN_BUDGET = 1000
+
+
+@query(
+    "token_budget_mix",
+    f"""
+    WITH base AS (
+      SELECT source, doc_id, text, string_split(text, ' ') AS w,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    feat AS (
+      SELECT source, doc_id,
+             round(least(1.0, CAST(len(w) AS DOUBLE) / 64)
+               * (1 - round(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                                 AS DOUBLE) / n_chars, 4))
+               * (CASE WHEN round(CAST(len(list_filter(w, x ->
+                            list_contains({_STOPS_SQL}, x))) AS DOUBLE) / len(w), 4)
+                            BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END),
+               4) AS quality,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tok
+      FROM base
+    ),
+    cum AS (
+      SELECT source AS "group", doc_id, quality, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM feat
+    )
+    SELECT "group", doc_id, quality, n_tok, cum_tok
+    FROM cum WHERE cum_tok <= {_TOKEN_BUDGET}
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mix: per-source token-budgeted quality sampling —
+    keep the highest-quality docs per source until the stratum's token
+    budget is spent (deterministic quality-desc/doc_id order, window
+    cumsum). The two-pass histogram-prefilter plan for giant strata is
+    pinned equivalent by a unit test."""
+    return D.token_budget_mix(
+        _docs(spark, sf_dir), budget=_TOKEN_BUDGET, group_col="source"
     )

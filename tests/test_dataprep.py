@@ -321,3 +321,55 @@ def test_simhash_pairs_rejects_bad_band_config(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         D.simhash_pairs(docs, "doc_id", "text", bands=5)
+
+
+def test_embedding_dup_pairs_star_guard_and_verify(spark):
+    """embedding_dup_pairs mirrors the minhash star-guard contract: a
+    shard of identical vectors star-pairs against the bucket
+    representative (O(B), cos 1.0); normal buckets all-pairs join; the
+    exact cosine verify kills bucket-collision false positives."""
+    n_dup = 40
+    vec = [0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.2, -0.4]
+    rows = [(i, vec) for i in range(n_dup)]
+    # near-orthogonal singletons (deterministic sign flips)
+    rows += [
+        (100 + i, [((-1.0) ** (i + j)) * (0.1 + 0.05 * j) for j in range(8)])
+        for i in range(6)
+    ]
+    em = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = D.embedding_dup_pairs(
+        em, n_planes=4, tables=2, threshold=0.999, max_bucket=10
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs if r.doc_a < n_dup and r.doc_b < n_dup}
+    assert found == {(0, i) for i in range(1, n_dup)}
+    assert all(abs(r.cos - 1.0) < 1e-6 for r in pairs if (r.doc_a, r.doc_b) in found)
+    # below the guard: exact all-pairs among identical vectors
+    small = spark.createDataFrame([(i, vec) for i in range(4)], ["vec_id", "embedding"])
+    allp = D.embedding_dup_pairs(
+        small, n_planes=4, tables=2, threshold=0.999, max_bucket=100
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in allp} == {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }
+
+
+def test_token_budget_mix_prefilter_equivalence(spark):
+    """The two-pass histogram-prefilter plan must reproduce the exact
+    single-pass result (the prefilter is a provable superset; the final
+    window re-selects identically)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = D.token_budget_mix(docs, budget=500, group_col="source")
+    two_pass = D.token_budget_mix(
+        docs, budget=500, group_col="source", prefilter_buckets=20
+    )
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, two_pass.collect()))
+    assert a == b
+    assert len(a) > 0
+    # budget is respected per group
+    import collections
+
+    max_cum = collections.defaultdict(int)
+    for g, _, _, _, cum in a:
+        max_cum[g] = max(max_cum[g], cum)
+    assert all(v <= 500 for v in max_cum.values())
