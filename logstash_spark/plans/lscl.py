@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from logstash_spark.plans.spec import FilterSpec, PipelineSpec
+from logstash_spark.plans.spec import (
+    PIPELINE_SINK_PREFIX,
+    FilterSpec,
+    PipelineSpec,
+)
 
 # ---------------------------------------------------------------------------
 # AST
@@ -472,6 +476,23 @@ def _walk_outputs(
 ) -> None:
     for node in nodes:
         if isinstance(node, Plugin):
+            if node.name == "pipeline":
+                # pipeline-to-pipeline send (logstash-integration plugin
+                # `pipeline { send_to => [addr, ...] }`): one virtual
+                # route per address; repeated sends to the same address
+                # from different branches OR their gates together
+                send_to = node.attrs.get("send_to")
+                if send_to is None:
+                    raise LSCLError("pipeline output requires send_to")
+                addrs = send_to if isinstance(send_to, list) else [send_to]
+                gate = _gate(preds) or "true"
+                for addr in addrs:
+                    key = f"{PIPELINE_SINK_PREFIX}{addr}"
+                    if key in routes and routes[key] != "true":
+                        routes[key] = f"({routes[key]}) or ({gate})"
+                    elif key not in routes:
+                        routes[key] = gate
+                continue
             name = _sink_name(node, taken)
             routes[name] = _gate(preds) or "true"
             sinks[name] = node
@@ -507,6 +528,10 @@ def bind_input(spark, ast: ConfigAST):
             rdr = spark.read
             path = str(p.attrs["path"])
             frames.append(getattr(rdr, fmt)(path))
+        elif p.name == "pipeline":
+            # pipeline { address => ... } inputs bind via plans.graph
+            # (the upstream pipeline's frame), never to a source here
+            continue
         else:
             raise LSCLError(
                 f"input plugin {p.name!r} has no offline binding "
@@ -537,12 +562,38 @@ def compile_conf(
     routes: dict[str, str] = {}
     sinks: dict[str, Plugin] = {}
     _walk_outputs(ast.outputs, [], routes, sinks, set())
+    listen: list[str] = []
+    for p in ast.inputs:
+        if isinstance(p, Plugin) and p.name == "pipeline":
+            addr = p.attrs.get("address")
+            if addr is None:
+                raise LSCLError("pipeline input requires address")
+            if str(addr) not in listen:
+                listen.append(str(addr))
     spec = PipelineSpec(
         name=name,
         filters=filters,
         routes=routes,
+        listen=listen,
         aggregate_dims=aggregate_dims if aggregate_dims is not None else ["source"],
         aggregate_sum=aggregate_sum,
         metrics_ts=metrics_ts,
     )
     return spec, ast
+
+
+def compile_pipelines(
+    confs: dict[str, str], **kw
+) -> tuple[list[PipelineSpec], dict[str, "ConfigAST"]]:
+    """Compile a set of named `.conf` texts into a pipeline graph — the
+    `pipelines.yml` analog ({pipeline.id: config}). Virtual wiring comes
+    from `pipeline { address/send_to }` plugins inside each conf; run
+    the result with `plans.graph.run_pipelines` (or compose it purely
+    with `compose_pipelines`)."""
+    specs: list[PipelineSpec] = []
+    asts: dict[str, ConfigAST] = {}
+    for pname, text in confs.items():
+        spec, ast = compile_conf(text, name=pname, **kw)
+        specs.append(spec)
+        asts[pname] = ast
+    return specs, asts

@@ -50,6 +50,9 @@ class RunResult:
     aggregates: DataFrame | None = None
     metrics: DataFrame | None = None
     lineage: DataFrame | None = None
+    # virtual `pipeline:` sinks: address → frame handed to downstream
+    # pipelines (plans.graph) instead of being written to a table
+    address_frames: dict[str, DataFrame] = field(default_factory=dict)
 
 
 # Row-wise projection ops: output row i is a pure function of input row i
@@ -215,7 +218,15 @@ def run_pipeline(
     resume: bool = True,
     fail_after_sink: str | None = None,  # test hook (FIXTURES.md F6)
     drop_before_write: tuple[str, ...] = (),
+    persist_tracker: list[DataFrame] | None = None,
 ) -> RunResult:
+    """Execute one pipeline: build the plan, persist once, fan out to
+    sinks + side tables. Virtual `pipeline:` sinks are NOT written —
+    their frames land in `RunResult.address_frames` for plans.graph to
+    feed downstream. When `persist_tracker` is given, cached frames are
+    appended to it instead of being unpersisted here, so the fan-out
+    frame stays alive until every downstream pipeline consuming this
+    pipeline's address frames has run."""
     run_id = _input_fingerprint(input_df, spec)
 
     # per-partition lineage must be stamped BEFORE any repartitioning
@@ -253,7 +264,16 @@ def run_pipeline(
     }
 
     # ---- per-sink writes (idempotent via run_id in snapshot lineage) ----
+    virtual = spec.virtual_sends()
     for sink in spec.sink_names():
+        if sink in virtual:
+            # pipeline-to-pipeline send: no table, just the frame; counts
+            # still come from the shared explode(routes) lineage job
+            result.address_frames[virtual[sink]] = route_filter(
+                routed, sink
+            ).drop(ROUTES, "_in_part")
+            result.sink_counts[sink] = totals.get(sink, (0, 0))[0]
+            continue
         table = SnapshotTable(os.path.join(sinks_root, sink))
         latest = table.latest()
         if resume and latest and latest.lineage.get("run_id") == run_id:
@@ -331,7 +351,13 @@ def run_pipeline(
     )
     result.lineage = lineage_df
 
-    routed.unpersist()
-    for p in persisted:
-        p.unpersist()
+    if persist_tracker is not None:
+        # caller (plans.graph) owns cache lifetime — downstream pipelines
+        # still read this pipeline's address frames
+        persist_tracker.append(routed)
+        persist_tracker.extend(persisted)
+    else:
+        routed.unpersist()
+        for p in persisted:
+            p.unpersist()
     return result

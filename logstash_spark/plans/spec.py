@@ -36,12 +36,25 @@ class SinkSpec:
     drop_columns: list[str] = field(default_factory=list)
 
 
+#: route-table sink names with this prefix are VIRTUAL: they feed another
+#: pipeline's input (the reference's pipeline-to-pipeline `pipeline
+#: { send_to => [...] }` output / `pipeline { address => ... }` input,
+#: logstash pipeline_bus §PipelineBus). `pipeline:metrics` sends to
+#: address `metrics`; any pipeline whose `listen` contains `metrics`
+#: receives those rows. Unlike the reference there is no queue between
+#: pipelines — the downstream plan composes the upstream frame directly,
+#: so Catalyst fuses across the boundary.
+PIPELINE_SINK_PREFIX = "pipeline:"
+
+
 @dataclass
 class PipelineSpec:
     name: str
     filters: list[FilterSpec]
     routes: dict[str, str]  # sink name → LSCL condition
     else_sink: str | None = None  # receives rows matching no route
+    # virtual addresses this pipeline reads (pipeline { address => x })
+    listen: list[str] = field(default_factory=list)
     sinks: list[SinkSpec] = field(default_factory=list)
     # per-sink aggregate dims (FIXTURES.md F5): groupBy(sink, *dims)
     aggregate_dims: list[str] = field(default_factory=lambda: ["source"])
@@ -60,3 +73,11 @@ class PipelineSpec:
             if s.name not in names:
                 names.append(s.name)
         return names
+
+    def virtual_sends(self) -> dict[str, str]:
+        """Virtual sink name → downstream address."""
+        return {
+            n: n[len(PIPELINE_SINK_PREFIX):]
+            for n in self.sink_names()
+            if n.startswith(PIPELINE_SINK_PREFIX)
+        }

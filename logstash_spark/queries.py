@@ -785,6 +785,7 @@ _DRIVER_PRIORITY = [
     "parse_failure_tags",
     "embed_dup_cosine",
     "token_budget_mix",
+    "pipeline_graph",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

@@ -405,3 +405,71 @@ def geoip_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ip", "country_code2", "continent_code", "city_name",
         "latitude", "asn", "timezone",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-to-pipeline graph (distributor → workers → collector)
+# ---------------------------------------------------------------------------
+
+_GRAPH_CONFS = {
+    "up": """
+      input { file { path => "<bound by caller>" } }
+      filter {
+        if [event_type] == "error" {
+          mutate { add_field => { "sev" => "high" } }
+        }
+      }
+      output {
+        if [event_type] == "error" { pipeline { send_to => ["err"] } }
+        else { pipeline { send_to => ["ok"] } }
+      }
+    """,
+    "err_pipe": """
+      input { pipeline { address => "err" } }
+      filter { mutate { add_field => { "handled" => "alert" } } }
+      output { pipeline { send_to => ["merged"] } }
+    """,
+    "ok_pipe": """
+      input { pipeline { address => "ok" } }
+      filter { mutate { add_field => { "handled" => "archive" } } }
+      output { pipeline { send_to => ["merged"] } }
+    """,
+    "coll": """
+      input { pipeline { address => "merged" } }
+      output { file { path => "out" } }
+    """,
+}
+
+
+@query(
+    "pipeline_graph",
+    """
+    SELECT event_type,
+           CASE WHEN event_type = 'error' THEN 'alert' ELSE 'archive' END
+             AS handled,
+           CASE WHEN event_type = 'error' THEN 'high' END AS sev,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-to-pipeline composition (reference: logstash
+    pipeline-to-pipeline docs, PipelineBus; `pipeline { send_to/address }`
+    plugins): a distributor routes error events to one worker pipeline
+    and the rest to another, both workers send to a collector — four
+    `.conf` texts compiled by the LSCL front end and composed by
+    plans.graph into ONE Catalyst plan (no inter-pipeline queue). The
+    collector's output is counted per (event_type, handled, sev); `sev`
+    exists only on the gated-mutate true branch, proving gate + address
+    union semantics survive the graph."""
+    from logstash_spark.operators.route import route_filter
+    from logstash_spark.plans.graph import compose_pipelines
+    from logstash_spark.plans.lscl import compile_pipelines
+
+    specs, _ = compile_pipelines(_GRAPH_CONFS)
+    routed = compose_pipelines({"up": _ev(spark, sf_dir)}, specs)
+    out = route_filter(routed["coll"], "out")
+    return out.groupBy("event_type", "handled", "sev").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
