@@ -273,6 +273,142 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    short_doc: str = "drop",
+    sig_table: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs at scale via an inverted index — the
+    sub-quadratic replacement for the all-pairs-per-block fallback
+    (`queries_dataprep.ngram_jaccard_blocked`). Output:
+    (doc_a, doc_b, jaccard) with exact Jaccard ≥ threshold.
+
+    Scale topology:
+      * postings = explode the distinct shingle set → (id, gram); ONE
+        shuffle on the gram key serves both the document-frequency
+        window and the candidate self-join (AQE reuses the exchange);
+      * grams with df > `max_df` are cut from candidate generation —
+        boilerplate n-grams shared by thousands of docs contribute
+        O(df²) candidates and ~zero IDF signal. Recall contract: a pair
+        is found iff it shares ≥1 gram with df ≤ max_df (then its
+        Jaccard is EXACT — the verify uses full shingle sets). A pair
+        ALL of whose shared grams are hot is missed; at threshold t
+        that requires t·|A∪B| boilerplate-only overlap, which is the
+        textbook df-cut trade;
+      * candidates carry ONLY ids + set sizes; the size-ratio prune
+        (Jaccard ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t) kills pairs
+        before the shingle re-join;
+      * exact verify re-joins the shingle arrays once per side AFTER
+        `dropDuplicates`, so shuffle bytes scale with the surviving
+        candidate count, not candidates × set size.
+
+    `sig_table` accepts a persisted `shingle_sig_table` output (k=None
+    is fine — only `_sh` is used) to share the shingle aggregation with
+    other dedup passes over the same corpus.
+    """
+    from pyspark.sql.window import Window
+
+    base = (
+        sig_table
+        if sig_table is not None
+        else shingle_sig_table(
+            df, id_col, text_col, n=n, k=None, short_doc=short_doc
+        )
+    )
+    postings = base.select(
+        "_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_g")
+    )
+    w = Window.partitionBy("_g")
+    common = postings.withColumn("_df", F.count(F.lit(1)).over(w)).where(
+        F.col("_df") <= max_df
+    )
+    l, r = common.alias("l"), common.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._g") == F.col("r._g"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .where(
+            F.least(F.col("l._sz"), F.col("r._sz")).cast("double")
+            / F.greatest(F.col("l._sz"), F.col("r._sz"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = base.select("_id", "_sh")
+    scored = (
+        cand.join(sh.withColumnsRenamed({"_id": "doc_a", "_sh": "_sha"}), "doc_a")
+        .join(sh.withColumnsRenamed({"_id": "doc_b", "_sh": "_shb"}), "doc_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 4))
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: flag (or drop) training documents that
+    share any word `n`-gram with a benchmark/eval set — the overlap-
+    removal step every published LLM data pipeline runs before training
+    (n-gram collision against held-out sets).
+
+    Scale topology: the benchmark side is distilled to its DISTINCT
+    n-gram hashes and broadcast (eval sets are tiny next to a training
+    corpus), so the corpus — the 100 TB side — is scanned ONCE with a
+    map-side left-semi-style join and never shuffles. `n_hits` counts
+    distinct contaminating grams per doc.
+
+    mode='flag' returns every input row + (contaminated, n_hits);
+    mode='drop' returns only clean rows with original columns.
+
+    Docs shorter than `n` words produce no grams → never contaminated
+    (mirror of the shingle short-doc semantics; benchmark rows shorter
+    than `n` words contribute nothing).
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(bench_text_col), n=n)).alias("_g")
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_hashes(F.col(text_col), n=n)).alias("_g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # hits is corpus-sized in the worst case — a keyed shuffle join, not
+    # a broadcast (AQE may still convert it when hits turns out tiny)
+    out = df.join(hits, F.col(id_col) == F.col("_id"), "left").drop("_id")
+    if mode == "drop":
+        return out.where(F.col("n_hits").isNull()).drop("n_hits")
+    return out.withColumn(
+        "contaminated", F.col("n_hits").isNotNull()
+    ).withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -745,6 +881,62 @@ def token_counts(text: Column) -> dict[str, Column]:
 
 
 FP_P = 1_000_000_007
+
+
+def repetition_metrics(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition signals — the Gopher-rule style quality
+    filters (duplicate-word fraction, most-frequent-word share,
+    most-frequent-bigram share) used to drop low-quality repetitive
+    pages from training corpora.
+
+    Output per doc: (id, n_words, word_rep_ratio, top_word_frac,
+    top_bigram_frac), each rounded to 4. `word_rep_ratio` = 1 −
+    distinct/total words; `top_*_frac` = occurrences of the most common
+    word / bigram over the respective total; `top_bigram_frac` is null
+    for single-word docs (no bigrams).
+
+    Scale topology: words and bigrams are tagged structs in ONE exploded
+    frame, so the whole computation is a single keyed shuffle with
+    map-side partial aggregation — no per-doc O(W²) higher-order
+    functions, no second pass. Per-doc state never exceeds the doc's
+    distinct-gram count.
+    """
+    w = words_of(F.col(text_col))
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit("w").alias("kind"), x.alias("g"))),
+        F.transform(bi, lambda x: F.struct(F.lit("b").alias("kind"), x.alias("g"))),
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(tagged).alias("_t")
+    ).select("_id", F.col("_t.kind").alias("_k"), F.col("_t.g").alias("_g"))
+    per_gram = ex.groupBy("_id", "_k", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per_kind = per_gram.groupBy("_id", "_k").agg(
+        F.sum("_c").alias("_tot"),
+        F.max("_c").alias("_top"),
+        F.count(F.lit(1)).alias("_distinct"),
+    )
+    words = per_kind.where(F.col("_k") == "w").select(
+        "_id",
+        F.col("_tot").cast("int").alias("n_words"),
+        F.round(1 - F.col("_distinct") / F.col("_tot"), 4).alias("word_rep_ratio"),
+        F.round(F.col("_top") / F.col("_tot"), 4).alias("top_word_frac"),
+    )
+    bigrams = per_kind.where(F.col("_k") == "b").select(
+        "_id", F.round(F.col("_top") / F.col("_tot"), 4).alias("top_bigram_frac")
+    )
+    return (
+        words.join(bigrams, "_id", "left")
+        .withColumnRenamed("_id", id_col)
+    )
 
 
 def rolling_fingerprint(text: Column) -> Column:

@@ -786,6 +786,9 @@ _DRIVER_PRIORITY = [
     "embed_dup_cosine",
     "token_budget_mix",
     "pipeline_graph",
+    "ngram_jaccard_inverted",
+    "decontaminate_flags",
+    "repetition_quality",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

@@ -743,3 +743,126 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.token_budget_mix(
         _docs(spark, sf_dir), budget=_TOKEN_BUDGET, group_col="source"
     )
+
+
+@query(
+    "ngram_jaccard_inverted",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    post AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh),
+    dfreq AS (SELECT g, count(*) AS dfc FROM post GROUP BY g),
+    common AS (
+      SELECT p.doc_id, p.sz, p.g FROM post p JOIN dfreq USING (g)
+      WHERE dfc <= 8
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM common l JOIN common r ON l.g = r.g AND l.doc_id < r.doc_id
+      WHERE CAST(least(l.sz, r.sz) AS DOUBLE) / greatest(l.sz, r.sz) >= 0.5
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4)
+               AS jaccard
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def ngram_jaccard_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the inverted-index path
+    (`dataprep.ngram_jaccard_pairs`): postings self-join on the gram
+    key with a df ≤ 8 hot-gram cut and a size-ratio prune, exact
+    Jaccard ≥ 0.5 verify — the sub-quadratic replacement for the
+    per-block all-pairs fallback. The df-cut threshold is LOW here on
+    purpose so the gate exercises the cut (both engines mirror it)."""
+    corpus = _dup_corpus(_docs(spark, sf_dir))
+    corpus = corpus.where(F.size(F.split(F.col("text"), " ")) >= 3)
+    return D.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.5, max_df=8
+    )
+
+
+_GRAM5_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(
+                     range(1, len(w) - 3),
+                     i -> {_H32.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")}))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {{src}})
+"""
+
+
+@query(
+    "decontaminate_flags",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    bg AS (
+      SELECT list(DISTINCT g) AS gl
+      FROM (SELECT unnest(sh) AS g FROM ({_GRAM5_SQL.format(src='bench')}))
+    ),
+    doc_sh AS ({_GRAM5_SQL.format(src='corpus')})
+    SELECT d.doc_id,
+           CAST(len(list_filter(d.sh, x -> list_contains(bg.gl, x))) AS INT)
+             AS n_hits,
+           len(list_filter(d.sh, x -> list_contains(bg.gl, x))) > 0
+             AS contaminated
+    FROM doc_sh d, bg
+    """,
+)
+def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`dataprep.decontaminate`): every doc
+    in the
+    dup corpus sharing any word 5-gram with the benchmark slice
+    (doc_id % 97 = 0, a stand-in eval set) is flagged — the injected
+    2/3-prefix variants of benchmark docs are caught as non-identical
+    contamination, with its distinct contaminating-gram
+    count. Benchmark grams broadcast; the corpus never shuffles."""
+    docs = _docs(spark, sf_dir)
+    corpus = _dup_corpus(docs)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = D.decontaminate(corpus, bench, n=5, mode="flag")
+    return out.select(
+        "doc_id", F.col("n_hits").cast("int").alias("n_hits"), "contaminated"
+    )
+
+
+@query(
+    "repetition_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(range(1, greatest(len(w), 1))) AS t(i)
+    ),
+    wc AS (SELECT doc_id, g, count(*) c FROM w GROUP BY 1, 2),
+    bc AS (SELECT doc_id, g, count(*) c FROM b GROUP BY 1, 2),
+    wk AS (
+      SELECT doc_id, CAST(sum(c) AS INT) AS n_words,
+             round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS word_rep_ratio,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ),
+    bk AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    )
+    SELECT wk.doc_id, n_words, word_rep_ratio, top_word_frac, top_bigram_frac
+    FROM wk LEFT JOIN bk ON wk.doc_id = bk.doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition metrics
+    (`dataprep.repetition_metrics`): duplicate-word fraction, top-word
+    share, top-bigram share per document — ONE keyed shuffle with
+    map-side partial aggregation, no per-doc quadratic HOFs."""
+    return D.repetition_metrics(_docs(spark, sf_dir))

@@ -373,3 +373,95 @@ def test_token_budget_mix_prefilter_equivalence(spark):
     for g, _, _, _, cum in a:
         max_cum[g] = max(max_cum[g], cum)
     assert all(v <= 500 for v in max_cum.values())
+
+
+def test_ngram_jaccard_inverted_equals_allpairs(spark):
+    """With the df-cut disabled, the inverted-index path must reproduce
+    the exact all-pairs Jaccard result."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.where(F.size(F.split(F.col("text"), " ")) >= 3).limit(120)
+    inv = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_df=10**9
+    )
+    sh = D.shingle_sig_table(docs, "doc_id", "text", n=3, k=None)
+    a, b = sh.alias("a"), sh.alias("b")
+    allp = (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.round(D.jaccard(F.col("a._sh"), F.col("b._sh")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+    assert sorted(map(tuple, inv.collect())) == sorted(map(tuple, allp.collect()))
+
+
+def test_ngram_jaccard_df_cut_drops_boilerplate_only_pairs(spark):
+    """Two docs sharing ONLY a hot boilerplate gram are not candidates
+    once that gram's df exceeds max_df; pairs sharing a rare gram
+    survive with their EXACT Jaccard."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"doc number {i} unique text {boiler}") for i in range(10)]
+    # a genuine near-dup pair sharing rare grams
+    rows += [(100, "the quick brown fox jumps high"),
+             (101, "the quick brown fox jumps far")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_df=5
+    ).collect()
+    ids = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (100, 101) in ids
+    # boilerplate-only pairs (i, j) for i,j < 10 share only the hot grams
+    assert not any(a < 10 and b < 10 for a, b in ids)
+    # the surviving pair's value is the exact jaccard
+    got = [r.jaccard for r in pairs if (r.doc_a, r.doc_b) == (100, 101)][0]
+    sh = D.shingle_sig_table(
+        docs.where("doc_id >= 100"), "doc_id", "text", n=3, k=None
+    ).collect()
+    s1, s2 = (set(r._sh) for r in sh)
+    expect = round(len(s1 & s2) / len(s1 | s2), 4)
+    assert got == expect
+
+
+def test_decontaminate_flag_and_drop(spark):
+    """Docs sharing a 5-gram with the benchmark are flagged with the
+    distinct-hit count; drop mode removes exactly the flagged rows;
+    sub-n-gram docs never contaminate."""
+    bench = spark.createDataFrame(
+        [(0, "the held out eval question about turtles")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the held out eval question about turtles end"),
+            (2, "completely unrelated training document with other words"),
+            (3, "held out eval"),  # < 5 words: no grams, never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = {r.doc_id: (r.contaminated, r.n_hits)
+               for r in D.decontaminate(docs, bench, n=5).collect()}
+    assert flagged[1][0] and flagged[1][1] >= 3  # several overlapping 5-grams
+    assert flagged[2] == (False, 0)
+    assert flagged[3] == (False, 0)
+    clean = D.decontaminate(docs, bench, n=5, mode="drop")
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    assert clean.columns == docs.columns  # drop mode preserves shape
+    with pytest.raises(ValueError):
+        D.decontaminate(docs, bench, mode="purge")
+
+
+def test_repetition_metrics_golden(spark):
+    """Hand-computed repetition fractions: 'a a a b' → 4 words, 2
+    distinct (ratio .5), top word 3/4, top bigram 'a a' 2/3; a
+    single-word doc has null bigram share."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "solo")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in D.repetition_metrics(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.word_rep_ratio, r1.top_word_frac, r1.top_bigram_frac) == (
+        4, 0.5, 0.75, round(2 / 3, 4))
+    r2 = rows[2]
+    assert (r2.n_words, r2.word_rep_ratio, r2.top_word_frac, r2.top_bigram_frac) == (
+        1, 0.0, 1.0, None)
