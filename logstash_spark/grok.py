@@ -145,6 +145,54 @@ PATTERNS: dict[str, str] = {
     "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
     "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
     "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    # redis (logstash-patterns-core patterns/legacy/redis — rewritten
+    # behavioral equivalents, java/python-common dialect)
+    "REDISTIMESTAMP": r"%{MONTHDAY} %{MONTH} %{TIME}",
+    "REDISLOG": r"\[%{POSINT:pid}\] %{REDISTIMESTAMP:timestamp} \* ",
+    "REDISMONLOG": (
+        r"%{NUMBER:timestamp} \[%{INT:database} %{IP:client}:%{NUMBER:port}\]"
+        r" \"%{WORD:command}\"\s?%{GREEDYDATA:params}"
+    ),
+    # mongodb 3.x+ structured log prefix (patterns/legacy/mongodb)
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"%{WORD}",
+    "MONGO3_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{MONGO3_SEVERITY:severity}"
+        r" %{MONGO3_COMPONENT:component}\s+(?:\[%{DATA:context}\])?"
+        r" %{GREEDYDATA:message}"
+    ),
+    # tomcat/catalina (patterns/legacy/java): the classic two-line-ish
+    # "MMM dd, yyyy h:mm:ss a" stamp + level + message
+    "CATALINA_DATESTAMP": (
+        r"%{MONTH} %{MONTHDAY}, %{YEAR} %{HOUR}:%{MINUTE}:%{SECOND} (?:AM|PM)"
+    ),
+    "TOMCAT_DATESTAMP": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND}"
+        r"(?:[,.]%{NONNEGINT})? %{ISO8601_TIMEZONE}"
+    ),
+    "CATALINALOG": (
+        r"%{CATALINA_DATESTAMP:timestamp} %{JAVACLASS:class}"
+        r" %{JAVAMETHOD:method}\s*%{GREEDYDATA:message}"
+    ),
+    "TOMCATLOG": (
+        r"%{TOMCAT_DATESTAMP:timestamp} \| %{LOGLEVEL:level} \|"
+        r" %{JAVACLASS:class} - %{GREEDYDATA:message}"
+    ),
+    # cisco syslog envelope (patterns/legacy/firewalls): the %ASA/%PIX
+    # tag header every CISCOFW* message shares
+    "CISCOTIMESTAMP": r"%{MONTH} +%{MONTHDAY}(?: %{YEAR})? %{TIME}",
+    "CISCOTAG": r"[A-Z0-9]+-(?:[A-Z0-9_]+-)?[0-9]+-(?:[A-Z0-9_]+)",
+    "CISCO_TAGGED_SYSLOG": (
+        r"^<%{POSINT:syslog_pri}>%{CISCOTIMESTAMP:timestamp}"
+        r"(?: %{SYSLOGHOST:sysloghost})?"
+        r" ?: %%{CISCOTAG:ciscotag}:"
+    ),
+    "CISCO_REASON": (
+        r"Duplicate TCP SYN|Failed to locate egress interface"
+        r"|Invalid transport field|No matching connection"
+        r"|DNS Response|DNS Query|(?:%{WORD}\s*)*"
+    ),
+    "CISCO_DIRECTION": r"Inbound|inbound|Outbound|outbound",
 }
 
 _REF = re.compile(r"%\{(\w+)(?::([\w\.\[\]@-]+))?(?::(\w+))?\}")

@@ -256,3 +256,68 @@ def test_java_stacktrace_and_mac(spark, method):
     assert a["mac"] == "00:1a:2b:3c:4d:5e"
     assert b["class"] == "com.x.Init" and b["method"] == "<init>"
     assert b["line"] is None and b["mac"] == "0011.2233.4455"
+
+
+REDIS = "[4018] 14 Nov 07:01:22.119 * Background saving started by pid 5710"
+REDISMON = '1470637867.953466 [0 127.0.0.1:52500] "SET" "mykey" "myvalue"'
+MONGO3 = (
+    "2015-01-24T01:09:49.038+0000 I NETWORK  [initandlisten] "
+    "waiting for connections on port 27017"
+)
+CATALINA = (
+    "Jan 09, 2014 7:13:13 AM org.apache.catalina.startup.Catalina start "
+    "INFO: Server startup in 2017 ms"
+)
+TOMCAT = (
+    "2014-01-09 20:03:28,269 -0800 | ERROR | "
+    "com.example.service.ExampleService - something completely failed"
+)
+CISCO = (
+    "<164>Jun 21 2016 14:02:19 ASA-FW : %ASA-4-106023: "
+    "Deny tcp src outside:10.1.1.1/51880"
+)
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_redis_patterns(spark, method):
+    df = spark.createDataFrame([Row(message=REDIS)])
+    out = grok(df, "message", "%{REDISLOG}", method=method).collect()[0]
+    assert out["pid"] == "4018" and out["timestamp"] == "14 Nov 07:01:22.119"
+    df = spark.createDataFrame([Row(message=REDISMON)])
+    out = grok(df, "message", "%{REDISMONLOG}", method=method).collect()[0]
+    assert (out["database"], out["client"], out["command"]) == ("0", "127.0.0.1", "SET")
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_mongo3_log(spark, method):
+    df = spark.createDataFrame([Row(message=MONGO3)])
+    out = grok(df, "message", "%{MONGO3_LOG}", method=method).collect()[0]
+    assert out["severity"] == "I"
+    assert out["component"] == "NETWORK"
+    assert out["context"] == "initandlisten"
+    assert out["message"] == "waiting for connections on port 27017"
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_catalina_and_tomcat_logs(spark, method):
+    df = spark.createDataFrame([Row(message=CATALINA)])
+    out = grok(df, "message", "%{CATALINALOG}", method=method).collect()[0]
+    assert out["timestamp"] == "Jan 09, 2014 7:13:13 AM"
+    assert out["class"] == "org.apache.catalina.startup.Catalina"
+    assert out["method"] == "start"
+    assert out["message"] == "INFO: Server startup in 2017 ms"
+    df = spark.createDataFrame([Row(message=TOMCAT)])
+    out = grok(df, "message", "%{TOMCATLOG}", method=method).collect()[0]
+    assert out["timestamp"] == "2014-01-09 20:03:28,269 -0800"
+    assert out["level"] == "ERROR"
+    assert out["class"] == "com.example.service.ExampleService"
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_cisco_tagged_syslog(spark, method):
+    df = spark.createDataFrame([Row(message=CISCO)])
+    out = grok(df, "message", "%{CISCO_TAGGED_SYSLOG}", method=method).collect()[0]
+    assert out["syslog_pri"] == "164"
+    assert out["timestamp"] == "Jun 21 2016 14:02:19"
+    assert out["sysloghost"] == "ASA-FW"
+    assert out["ciscotag"] == "ASA-4-106023"
