@@ -147,6 +147,28 @@ def test_chunk_tokens_no_shuffle(spark):
     assert "Exchange" not in plan_of(chunk_tokens(docs, seq_len=8, stride=4))
 
 
+def test_ngram_jaccard_inverted_exchange_reuse(spark):
+    """ngram_jaccard_pairs: the postings shuffle on the gram key is
+    computed ONCE — the df-window output feeds both sides of the
+    candidate self-join via ReusedExchange — and the candidate dedup
+    aggregate carries only bare ids (no shingle payload rides the
+    candidate shuffle; arrays re-join only after dropDuplicates)."""
+    import re
+
+    from logstash_spark.operators.dataprep import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over lazy dog number %d" % (i % 7))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
+    out.collect()  # finalize the AQE plan
+    assert "ReusedExchange" in plan_of(out)
+    m = re.search(r"Aggregate \[doc_a[^\n]*", optimized_of(out))
+    assert m is not None and "_sh" not in m.group(0)
+
+
 @pytest.mark.parametrize("qname", ["grok_parse", "route_fanout", "text_quality"])
 def test_whole_stage_codegen_present(spark, qname):
     """Hot paths stay inside whole-stage codegen (no interpreted fallback)."""
