@@ -354,6 +354,153 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`, where
+    component = the minimum node id reachable through the undirected
+    graph — the cluster-assignment step that turns near-dup PAIRS into
+    dedup CLUSTERS.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    published MapReduce-native CC that converges in O(log² n) rounds on
+    ANY graph shape (plain min-label propagation needs O(diameter)
+    rounds, which an adversarial chain of crawl dups makes linear).
+
+    Scale topology per half-round: symmetrize (map-only union), ONE
+    groupBy-min on the node key, one join back on that same key (the
+    groupBy's hash partitioning is reused — no extra exchange for the
+    probe side), then a dropDuplicates on the emitted edges. Neighbor
+    sets are NEVER collected into one task (no collect_list), so a
+    celebrity node with 10^8 neighbors costs a bounded-memory aggregate,
+    not an OOM. Lineage is truncated every round with an eager
+    localCheckpoint — on a real cluster swap in
+    `sparkContext.setCheckpointDir` + `.checkpoint()` for fault-tolerant
+    truncation; the loop itself is the standard O(log² n)-round driver
+    pattern, each round one distributed job.
+
+    Convergence is detected by an order-insensitive edge-set signature
+    (count + sum of xxhash64(u, v)) — one cheap aggregate per round
+    instead of a full exceptAll anti-join.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    nodes = (
+        cur.select("u").union(cur.select("v")).distinct().withColumnRenamed("u", "node")
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _half(e: DataFrame, large: bool) -> DataFrame:
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least("u", "_mn").alias("m")
+        )
+        j = sym.join(mins, "u")
+        if large:
+            # connect strictly-larger neighbors to min(N(u) ∪ {u})
+            out = j.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # connect u and all smaller neighbors to min(N(u) ∪ {u})
+            out = (
+                j.where(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins.select("u", F.col("m").alias("v")))
+            )
+        return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _half(_half(cur, large=True), large=False).localCheckpoint()
+        # pmod keeps each term < 2^31 so the long sum cannot overflow
+        # (ANSI-safe) below ~4B edges per convergence check
+        row = cur.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))).alias("s"),
+        ).first()
+        sig = (row["c"], row["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    labels = cur.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(labels, nodes["node"] == labels["u"], "left")
+        .select(
+            "node",
+            F.least(
+                F.coalesce(F.col("component"), F.col("node")), F.col("node")
+            ).alias("component"),
+        )
+    )
+
+
+def dedupe_cluster_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    order_by: str | None = None,
+    mode: str = "flag",
+) -> DataFrame:
+    """Near-dup pairs → connected components → ONE canonical document per
+    cluster — the final step of every published dedup pipeline (pairs
+    alone over-delete: A~B and B~C must collapse to one survivor even
+    when A~C was never emitted as a pair).
+
+    Canonical choice: highest `order_by` (e.g. a quality score), ties →
+    min id; min id when `order_by` is None (deterministic on both
+    engines). mode='flag' returns every doc + (cluster_id,
+    is_canonical); mode='drop' returns only canonical rows with the
+    original columns.
+
+    Scale: CC cost is O(E log² n) rounds (see connected_components);
+    the assignment join is keyed on the doc id and the canonical pick is
+    one window over cluster_id — docs in no pair skip the window's
+    shuffle entirely (they are their own canonical by construction and
+    union back in).
+    """
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, src, dst)
+    in_cluster = docs.join(
+        cc, docs[id_col] == cc["node"], "inner"
+    ).drop("node").withColumnRenamed("component", "cluster_id")
+    order = (
+        [F.col(order_by).desc(), F.col(id_col).asc()]
+        if order_by
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    flagged = in_cluster.withColumn(
+        "is_canonical", F.row_number().over(w) == F.lit(1)
+    )
+    alone = docs.join(
+        cc.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).select(
+        "*",
+        F.col(id_col).alias("cluster_id"),
+        F.lit(True).alias("is_canonical"),
+    )
+    out = flagged.unionByName(alone)
+    if mode == "drop":
+        return out.where("is_canonical").select(*docs.columns)
+    return out
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -948,6 +1095,72 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % F.lit(FP_P),
     )
+
+
+# PII patterns in the common Java/RE2 regex dialect (both engines run them
+# verbatim). ORDER MATTERS: longer/more-specific first so e.g. a credit card
+# is not half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    text: Column, *, kinds: Sequence[str] | None = None, count: bool = True
+) -> dict[str, Column]:
+    """PII scrubbing — the redaction pass every public training-data
+    pipeline runs (emails, credit cards, SSNs, IPs, phone numbers →
+    typed placeholder tokens).
+
+    Returns {'redacted': Column, 'n_<kind>': Column, ...} — counts are
+    taken BEFORE replacement (size of regexp_extract_all). Pure
+    regexp column expressions: zero shuffle, whole-stage codegen, scans
+    the corpus once. Patterns are deliberately in the Java∩RE2 dialect
+    so DuckDB oracles replay them verbatim; swap domain-specific
+    patterns in via PII_PATTERNS at call sites.
+    """
+    selected = [
+        (k, p, r) for k, p, r in PII_PATTERNS if kinds is None or k in kinds
+    ]
+    out: dict[str, Column] = {}
+    red = text
+    for k, pat, rep in selected:
+        if count:
+            out[f"n_{k}"] = F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+        red = F.regexp_replace(red, pat, rep)
+    out["redacted"] = red
+    return out
+
+
+def dedup_paragraphs(
+    text: Column, *, sep: str = "\n\n", min_len: int = 0
+) -> Column:
+    """Intra-document paragraph dedup: drop every repeat of an
+    already-seen paragraph, preserving first-occurrence order — the
+    within-page boilerplate collapse (nav bars, repeated footers) that
+    document-level dedup can't touch.
+
+    Zero shuffle: split + index-aware filter (keep element i iff its
+    FIRST occurrence is at i). O(P²) comparisons per doc where P =
+    paragraphs per doc (~10²) — bounded per row, never cross-row.
+    Paragraphs shorter than `min_len` chars are always kept (short
+    connectives repeat legitimately).
+    """
+    import re as _re
+
+    # split() takes a REGEX — quote the literal separator (Java accepts
+    # python re.escape's output for the ASCII metachars involved)
+    paras = F.split(text, _re.escape(sep))
+    kept = F.filter(
+        paras,
+        lambda x, i: (F.length(x) < min_len)
+        | (F.array_position(paras, x) == i + 1),
+    )
+    return F.concat_ws(sep, kept)
 
 
 def token_budget_mix(

@@ -789,6 +789,9 @@ _DRIVER_PRIORITY = [
     "ngram_jaccard_inverted",
     "decontaminate_flags",
     "repetition_quality",
+    "dedupe_cluster_canonical",
+    "pii_redaction",
+    "paragraph_dedup",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

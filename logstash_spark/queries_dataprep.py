@@ -833,6 +833,225 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _variant23(df: DataFrame, delta: int = 100000) -> DataFrame:
+    """doc_id+delta with the first 2/3 of the words (min 1)."""
+    w = F.split(F.col("text"), " ")
+    cut = F.greatest(F.floor(F.size(w) * 2 / 3).cast("int"), F.lit(1))
+    return df.select(
+        (F.col("doc_id") + delta).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, cut)).alias("text"),
+    )
+
+
+# v0 = originals, v1 = 2/3 prefix, v2 = 2/3 of v1 — a near-dup CHAIN:
+# J(v0,v1) ≈ J(v1,v2) ≈ 2/3 ≥ 0.5 but J(v0,v2) ≈ 4/9 < 0.5, so the
+# component {v0, v1, v2} only assembles transitively.
+_CHAIN_SQL_PARTS = """
+    v0 AS (SELECT doc_id, text FROM documents),
+    v1 AS (SELECT doc_id + 100000 AS doc_id,
+                  array_to_string(w[1:greatest(2*len(w)//3, 1)], ' ') AS text
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM v0)),
+    v2 AS (SELECT doc_id + 100000 AS doc_id,
+                  array_to_string(w[1:greatest(2*len(w)//3, 1)], ' ') AS text
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM v1)),
+    corpus AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+               UNION ALL SELECT * FROM v2)
+"""
+
+
+@query(
+    "dedupe_cluster_canonical",
+    f"""
+    WITH RECURSIVE
+    {_CHAIN_SQL_PARTS},
+    sh AS ({_SHINGLES_SQL}),
+    post AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh),
+    dfreq AS (SELECT g, count(*) AS dfc FROM post GROUP BY g),
+    common AS (
+      SELECT p.doc_id, p.sz, p.g FROM post p JOIN dfreq USING (g)
+      WHERE dfc <= 8
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM common l JOIN common r ON l.g = r.g AND l.doc_id < r.doc_id
+      WHERE CAST(least(l.sz, r.sz) AS DOUBLE) / greatest(l.sz, r.sz) >= 0.5
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                          AS DOUBLE)
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                     4) AS j
+        FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                  JOIN sh b ON cand.doc_b = b.doc_id
+      ) WHERE j >= 0.5
+    ),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u)
+    SELECT c.doc_id,
+           coalesce(comp.component, c.doc_id) AS cluster_id,
+           coalesce(comp.component, c.doc_id) = c.doc_id AS is_canonical
+    FROM corpus c LEFT JOIN comp ON c.doc_id = comp.u
+    """,
+)
+def dedupe_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → one survivor: exact-Jaccard near-dup pairs over
+    a three-level prefix CHAIN (v0~v1, v1~v2, but NOT v0~v2) are merged
+    by `dataprep.connected_components` (alternating large-star /
+    small-star, Kiveris et al. SoCC 2014) and
+    `dataprep.dedupe_cluster_canonical` keeps the min-id doc per
+    cluster — the transitive-collapse step pair-emitting dedup gates
+    can't test. Oracle: DuckDB recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    v1 = _variant23(docs)
+    corpus = docs.unionByName(v1).unionByName(_variant23(v1))
+    eligible = corpus.where(F.size(F.split(F.col("text"), " ")) >= 3)
+    pairs = D.ngram_jaccard_pairs(
+        eligible, "doc_id", "text", n=3, threshold=0.5, max_df=8
+    )
+    out = D.dedupe_cluster_canonical(corpus, pairs)
+    return out.select("doc_id", "cluster_id", "is_canonical")
+
+
+# Inject deterministic PII per doc (both engines build the identical text),
+# then mirror redact_pii's sequential count-then-replace order.
+_PII_TEXT_SQL = """
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                  || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' card 4111 1111 1111 1111 tel +1 555 010 '
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+"""
+
+_PII_STEPS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+]
+
+
+def _pii_oracle_sql() -> str:
+    steps, prev = [], "t"
+    for i, (k, pat, rep) in enumerate(_PII_STEPS):
+        src = "base" if i == 0 else f"s{i - 1}"
+        # DuckDB single-quoted literals keep backslashes verbatim — the
+        # regex crosses as-is (only quotes would need doubling)
+        pat_sql = pat.replace("'", "''")
+        steps.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all({prev}, '{pat_sql}')) AS INT) AS n_{k}, "
+            f"regexp_replace({prev}, '{pat_sql}', '{rep}', 'g') AS r{i}"
+            + (
+                ""
+                if i == 0
+                else ", " + ", ".join(f"n_{kk}" for kk, _, _ in _PII_STEPS[:i])
+            )
+            + f" FROM {src})"
+        )
+        prev = f"r{i}"
+    cols = ", ".join(f"n_{k}" for k, _, _ in _PII_STEPS)
+    last = f"s{len(_PII_STEPS) - 1}"
+    return (
+        f"WITH base AS ({_PII_TEXT_SQL}),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT doc_id, {cols}, md5({prev}) AS redacted_md5 FROM {last}"
+    )
+
+
+@query("pii_redaction", _pii_oracle_sql())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate (`dataprep.redact_pii`): deterministic emails /
+    credit cards / SSNs / IPv4s / phone numbers are appended to every
+    document, then redacted to typed placeholders in the op's fixed
+    sequential order; per-kind pre-replacement counts and the md5 of
+    the fully-redacted text must match DuckDB replaying the identical
+    Java∩RE2 patterns."""
+    docs = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" card 4111 1111 1111 1111 tel +1 555 010 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    r = D.redact_pii(t)
+    return docs.select(
+        "doc_id",
+        *[v.cast("int").alias(k) for k, v in r.items() if k != "redacted"],
+        F.md5(r["redacted"]).alias("redacted_md5"),
+    )
+
+
+@query(
+    "paragraph_dedup",
+    """
+    WITH pdoc AS (
+      SELECT doc_id,
+             CASE WHEN h2 = '' THEN h1 || ' |  | ' || h1
+                  ELSE h1 || ' | ' || h2 || ' | ' || h1 END AS t
+      FROM (
+        SELECT doc_id,
+               array_to_string(w[1:(len(w)+1)//2], ' ') AS h1,
+               array_to_string(w[(len(w)+1)//2+1:len(w)], ' ') AS h2
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ),
+    split_p AS (SELECT doc_id, t, string_split(t, ' | ') AS paras FROM pdoc),
+    dedup AS (
+      SELECT doc_id,
+             CAST(len(paras) AS INT) AS n_before,
+             list_filter(paras, (x, i) -> list_position(paras, x) = i) AS kept
+      FROM split_p
+    )
+    SELECT doc_id, n_before, CAST(len(kept) AS INT) AS n_after,
+           md5(array_to_string(kept, ' | ')) AS dedup_md5
+    FROM dedup
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc paragraph dedup gate (`dataprep.dedup_paragraphs`):
+    each document is rebuilt as [first-half | second-half | first-half]
+    so every doc carries one repeated paragraph; the op must drop the
+    repeat while preserving order (first-occurrence index filter, zero
+    shuffle). Counts + md5 of the rejoined text must match DuckDB's
+    list_position replay."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    cut = F.floor((F.size(w) + 1) / 2).cast("int")
+    h1 = F.concat_ws(" ", F.slice(w, 1, cut))
+    h2 = F.when(
+        F.size(w) > cut, F.concat_ws(" ", F.slice(w, cut + 1, F.size(w) - cut))
+    ).otherwise(F.lit(""))
+    pdoc = F.concat_ws(" | ", h1, h2, h1)
+    paras = F.split(pdoc, r" \| ")
+    dedup = D.dedup_paragraphs(pdoc, sep=" | ")
+    return docs.select(
+        "doc_id",
+        F.size(paras).cast("int").alias("n_before"),
+        F.size(F.split(dedup, r" \| ")).cast("int").alias("n_after"),
+        F.md5(dedup).alias("dedup_md5"),
+    )
+
+
 @query(
     "repetition_quality",
     """

@@ -465,3 +465,78 @@ def test_repetition_metrics_golden(spark):
     r2 = rows[2]
     assert (r2.n_words, r2.word_rep_ratio, r2.top_word_frac, r2.top_bigram_frac) == (
         1, 0.0, 1.0, None)
+
+
+def test_connected_components_path_and_forest(spark):
+    """A 10-node path (worst case for plain min-propagation: forces the
+    large-star/small-star rounds to actually merge transitively), one
+    triangle, and that only edge-incident nodes appear."""
+    path = [(i, i + 1) for i in range(1, 10)]          # 1-2-...-10
+    tri = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(path + tri, ["doc_a", "doc_b"])
+    cc = {r.node: r.component for r in D.connected_components(edges).collect()}
+    assert all(cc[i] == 1 for i in range(1, 11))
+    assert all(cc[i] == 100 for i in (100, 101, 102))
+    assert set(cc) == set(range(1, 11)) | {100, 101, 102}
+
+
+def test_connected_components_empty_and_self_loops(spark):
+    edges = spark.createDataFrame([(5, 5)], ["doc_a", "doc_b"])
+    assert D.connected_components(edges).collect() == []
+
+
+def test_dedupe_cluster_canonical_order_by_and_drop(spark):
+    """Canonical = best quality (ties → min id); isolated docs survive as
+    their own canonical; drop mode returns original columns only."""
+    docs = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "b", 0.9), (3, "c", 0.9), (9, "z", 0.1)],
+        ["doc_id", "text", "quality"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = D.dedupe_cluster_canonical(docs, pairs, order_by="quality")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert [rows[i].cluster_id for i in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[i].is_canonical for i in (1, 2, 3)] == [False, True, False]
+    assert rows[9].cluster_id == 9 and rows[9].is_canonical
+    kept = D.dedupe_cluster_canonical(docs, pairs, order_by="quality", mode="drop")
+    assert kept.columns == docs.columns
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 9]
+
+
+def test_redact_pii_golden_and_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io ip 10.0.0.1 ssn 123-45-6789 "
+             "card 4111 1111 1111 1111 tel +1 555 010 9999")],
+        ["doc_id", "text"],
+    )
+    r = D.redact_pii(F.col("text"))
+    row = df.select(
+        *[v.alias(k) for k, v in r.items()]
+    ).first()
+    assert (row.n_email, row.n_cc, row.n_ssn, row.n_ipv4, row.n_phone) == (
+        1, 1, 1, 1, 1)
+    assert row.redacted == (
+        "mail <EMAIL> ip <IP> ssn <SSN> card <CC> tel <PHONE>")
+    only_ip = D.redact_pii(F.col("text"), kinds=["ipv4"], count=False)
+    red = df.select(only_ip["redacted"].alias("t")).first().t
+    assert "<IP>" in red and "a.b@x.io" in red and "<EMAIL>" not in red
+
+
+def test_dedup_paragraphs_order_and_min_len(spark):
+    df = spark.createDataFrame(
+        [(1, "intro\n\nbody text\n\nintro\n\nok\n\nbody text"),
+         (2, "x\n\nlong paragraph here\n\nx\n\nlong paragraph here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", D.dedup_paragraphs(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert out[1] == "intro\n\nbody text\n\nok"      # first-occurrence order
+    assert out[2] == "x\n\nlong paragraph here"
+    keep_short = df.select(
+        "doc_id", D.dedup_paragraphs(F.col("text"), min_len=2).alias("t")
+    ).where("doc_id = 2").first().t
+    assert keep_short == "x\n\nlong paragraph here\n\nx"  # 1-char repeat kept
