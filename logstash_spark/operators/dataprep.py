@@ -1376,6 +1376,234 @@ def pack_concat_chunks(
 
 
 # ---------------------------------------------------------------------------
+# Token-level (sub-document) dedup and decontamination
+#
+# The ExactSubstr result ("Deduplicating Training Data Makes Language
+# Models Better", Lee et al. 2022) re-expressed relationally: instead of a
+# monolithic suffix array, every w-token window is hashed and duplicated
+# windows are found with ONE groupBy on the window hash. Window
+# enumeration is linear in total tokens (n - w + 1 windows per doc at
+# stride 1), each window row carries only (id, start, hash64) — never the
+# token payload — so shuffle bytes are ~20 B x total_tokens, and the
+# groupBy gets map-side partial aggregation. At 10^12 sequences raise
+# `stride` (detects shared spans of length >= window + stride - 1) to cut
+# window rows proportionally.
+# ---------------------------------------------------------------------------
+
+
+def token_window_hashes(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    window: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """One row per w-token window: (id_col, start int, whash long).
+
+    `start` is the 0-based offset of the window in the token array. The
+    hash is `portable_hash32` over the comma-joined window (engine-
+    portable); docs shorter than `window` emit no rows. Pure column
+    expressions — sequence + slice + explode, zero shuffle.
+    """
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    starts = F.when(
+        n >= window,
+        F.sequence(F.lit(0), n - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(starts).alias("start"),
+        F.col(tokens_col).alias("_t"),
+    ).select(
+        id_col,
+        "start",
+        portable_hash32(
+            F.concat_ws(",", F.slice(F.col("_t"), F.col("start") + 1, window).cast("array<string>"))
+        ).alias("whash"),
+    )
+
+
+def token_window_dupes(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    window: int = 8,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated w-token windows: every window whose hash occurs
+    `min_count`+ times corpus-wide (including intra-doc repeats, matching
+    ExactSubstr's any-second-occurrence rule).
+
+    Returns (id_col, start, whash, n_occurrences, n_docs). Plan: window
+    hashes → ONE groupBy(whash) with map-side partials → inner join back
+    on whash (same key → the exchange is reused, no second shuffle of the
+    window table). The count table is df-cut to hashes with
+    n_occurrences >= min_count BEFORE the join, so the join's build side
+    only holds duplicated hashes (tiny unless the corpus is mostly dup).
+    """
+    wh = token_window_hashes(
+        df, id_col=id_col, tokens_col=tokens_col, window=window, stride=stride
+    )
+    counts = (
+        wh.groupBy("whash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    return wh.join(counts, "whash").select(
+        id_col, "start", "whash", "n_occurrences", "n_docs"
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    window: int = 8,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style scrub: drop every token covered by at least one
+    duplicated w-token window (a second corpus-wide occurrence means the
+    span is memorizable boilerplate — navigation chrome, licenses,
+    templated text).
+
+    Output: input columns + `tokens_clean` (array), `n_tok_clean`,
+    `n_dup_windows`. Plan: duplicated window starts are aggregated
+    per doc (collect_list bounded by windows-per-doc, NOT corpus size),
+    LEFT-joined back on the id (one shuffle keyed on the id), and the
+    scrub itself is a pure column filter — position p survives iff no dup
+    start s has s <= p < s + window. Per-row cost O(n_tok x dup_starts);
+    dup_starts is almost always << n_tok, and a fully-boilerplate doc just
+    scrubs to empty.
+    """
+    dups = token_window_dupes(
+        df,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        window=window,
+        stride=stride,
+        min_count=min_count,
+    )
+    per_doc = dups.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("start")).alias("_dup_starts")
+    )
+    toks = F.col(tokens_col)
+    starts = F.coalesce(F.col("_dup_starts"), F.array().cast("array<int>"))
+    # zip_with over positions: keep token at 0-based position p unless a
+    # duplicated window [s, s+window) covers it.
+    covered = lambda p: F.exists(  # noqa: E731
+        starts, lambda s: (s <= p) & (p < s + window)
+    )
+    cleaned = F.filter(toks, lambda _t, i: ~covered(i))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("tokens_clean", cleaned)
+        .withColumn("n_tok_clean", F.size("tokens_clean"))
+        .withColumn("n_dup_windows", F.size(starts))
+        .drop("_dup_starts")
+    )
+
+
+def token_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    eval_tokens_col: str = "tokens",
+    window: int = 8,
+) -> DataFrame:
+    """Token-level benchmark decontamination: flag corpus docs sharing any
+    w-token window with an eval/benchmark set (the n-gram-overlap rule of
+    GPT-3 appx. C / PaLM, but over token ids instead of normalized text).
+
+    The eval set's window hashes are DISTINCT'd and broadcast — the corpus
+    side never shuffles; detection is a broadcast LEFT SEMI-shaped join
+    aggregated per doc. Corpus windows run at stride 1 so any shared
+    w-window is caught. Output: input columns + `contaminated` (bool),
+    `n_eval_hits` (int), `first_hit_start` (int, null when clean).
+    """
+    eval_hashes = (
+        token_window_hashes(
+            eval_df.select(F.lit(0).alias("_eid"), F.col(eval_tokens_col).alias("_et")),
+            id_col="_eid",
+            tokens_col="_et",
+            window=window,
+            stride=1,
+        )
+        .select("whash")
+        .distinct()
+    )
+    cw = token_window_hashes(
+        corpus, id_col=id_col, tokens_col=tokens_col, window=window, stride=1
+    )
+    hits = (
+        cw.join(F.broadcast(eval_hashes), "whash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.min("start").alias("first_hit_start"),
+        )
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn("n_eval_hits", F.coalesce("n_eval_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("n_eval_hits") > 0)
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    top_k: int = 40,
+) -> DataFrame:
+    """Corpus vocabulary audit: top-k token ids by occurrence count with
+    document frequency and cumulative-coverage share.
+
+    Plan: ONE posexplode + groupBy(token) with map-side partial
+    aggregation (the reducer-side state is bounded by |vocab|, ~50k for a
+    BPE vocab, regardless of corpus size), then a top-k sort over |vocab|
+    rows — trivially small. Coverage is cumulative parts-per-million via
+    exact integer `div` (engine-portable; no float-rounding hazard — note
+    cum_cnt*10^6 needs the decimal path past ~9*10^12 total tokens).
+    Ties broken by token id for determinism.
+    Output: (token, cnt, n_docs, rank, cum_share_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"), F.countDistinct(id_col).alias("n_docs"))
+    )
+    total = df.select(F.sum(F.size(tokens_col)).alias("_total"))
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        tok.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_cum_cnt",
+            F.sum("cnt").over(
+                w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("cum_share_ppm", F.expr("_cum_cnt * 1000000L div _total"))
+        .drop("_total", "_cum_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; decode stubbed)
 # ---------------------------------------------------------------------------
 

@@ -792,6 +792,9 @@ _DRIVER_PRIORITY = [
     "dedupe_cluster_canonical",
     "pii_redaction",
     "paragraph_dedup",
+    "token_window_dedup",
+    "token_decontam",
+    "vocab_stats",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

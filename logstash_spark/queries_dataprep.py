@@ -1085,3 +1085,166 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, top-bigram share per document — ONE keyed shuffle with
     map-side partial aggregation, no per-doc quadratic HOFs."""
     return D.repetition_metrics(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Token-level dedup / decontamination / vocab (tokens payload, round 3)
+#
+# Shared synthesis `_tok_docs2`: md5-mixed token ids (so windows are
+# unique by default) with a PLANTED 10-token motif at positions [2, 12)
+# of every doc_id % 5 == 0 doc — the cross-doc duplicated span the
+# window dedup must find. Deterministic and reproduced exactly in the
+# DuckDB oracles below.
+# ---------------------------------------------------------------------------
+
+_H32T = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+_TOK2_N = "(doc_id % 29) + 6"
+_TOK2_SQL = (
+    f"list_transform(range(0, {_TOK2_N}), i -> CAST("
+    "CASE WHEN doc_id % 5 = 0 AND i >= 2 AND i < 12 THEN "
+    + _H32T.format(x="CAST(777000 + i AS VARCHAR)")
+    + " % 50000 ELSE "
+    + _H32T.format(x="CAST(doc_id * 1000003 + i AS VARCHAR)")
+    + " % 50000 END AS INTEGER))"
+)
+# Window-hash of the 8-token window of t starting at 0-based position {s}:
+# identical arithmetic to dataprep.portable_hash32(concat_ws(',', slice)).
+_WIN8_SQL = _H32T.format(x="array_to_string(t[CAST({s} + 1 AS BIGINT) : CAST({s} + 8 AS BIGINT)], ',')")
+
+_TOK2_WIN_CTE = f"""
+    docs AS (
+      SELECT doc_id, CAST({_TOK2_N} AS INTEGER) AS n, {_TOK2_SQL} AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, CAST(s.s AS INTEGER) AS start,
+             {_WIN8_SQL.format(s='s.s')} AS whash
+      FROM docs, LATERAL (
+        SELECT unnest(range(0, greatest(n - 8 + 1, 0))) AS s
+      ) s
+    )
+"""
+
+
+def _tok_docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = (F.col("doc_id") % 29 + 6).cast("int")
+    motif = (F.col("doc_id") % 5 == 0)
+
+    def tokval(i):
+        base = D.portable_hash32(F.col("doc_id") * 1000003 + i.cast("long")) % 50000
+        mot = D.portable_hash32(F.lit(777000) + i.cast("long")) % 50000
+        return F.when(motif & (i >= 2) & (i < 12), mot).otherwise(base).cast("int")
+
+    toks = F.transform(F.sequence(F.lit(0), n - 1), tokval)
+    return d.select("doc_id", "source", n.alias("n_tok"), toks.alias("tokens"))
+
+
+@query(
+    "token_window_dedup",
+    f"""
+    WITH {_TOK2_WIN_CTE},
+    cnt AS (
+      SELECT whash FROM win GROUP BY whash HAVING count(*) >= 2
+    ),
+    starts AS (
+      SELECT w.doc_id, list(start ORDER BY start) AS ds
+      FROM win w JOIN cnt USING (whash) GROUP BY w.doc_id
+    ),
+    scrub AS (
+      SELECT d.doc_id, d.n, coalesce(s.ds, []) AS ds,
+             list_transform(
+               list_filter(range(0, CAST(d.n AS BIGINT)),
+                           p -> len(list_filter(coalesce(s.ds, []),
+                                                x -> x <= p AND p < x + 8)) = 0),
+               p -> d.t[p + 1]) AS clean
+      FROM docs d LEFT JOIN starts s USING (doc_id)
+    )
+    SELECT doc_id, CAST(n AS INTEGER) AS n_tok,
+           CAST(len(ds) AS INTEGER) AS n_dup_windows,
+           CAST(len(clean) AS INTEGER) AS n_tok_clean,
+           md5(array_to_string(clean, ',')) AS tokens_clean_md5
+    FROM scrub
+    """,
+)
+def token_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style sub-document dedup (Lee et al. 2022 re-expressed
+    relationally, `dataprep.scrub_duplicate_spans`): hash every 8-token
+    window, ONE groupBy finds windows occurring twice corpus-wide, and
+    every covered token is scrubbed. The planted cross-doc motif spans
+    are removed; unique docs pass through untouched.
+
+    Gate emits md5-canonicalized cleaned arrays (driver canonicalizer
+    can't sort raw list columns)."""
+    out = D.scrub_duplicate_spans(_tok_docs2(spark, sf_dir), window=8)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_dup_windows",
+        "n_tok_clean",
+        F.md5(
+            F.concat_ws(",", F.col("tokens_clean").cast("array<string>"))
+        ).alias("tokens_clean_md5"),
+    )
+
+
+@query(
+    "token_decontam",
+    f"""
+    WITH {_TOK2_WIN_CTE},
+    ehash AS (
+      SELECT DISTINCT whash FROM win WHERE doc_id % 97 = 3
+    ),
+    hits AS (
+      SELECT w.doc_id, count(*) AS c, min(start) AS fs
+      FROM win w JOIN ehash USING (whash) GROUP BY w.doc_id
+    )
+    SELECT d.doc_id, coalesce(h.c, 0) > 0 AS contaminated,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_eval_hits,
+           CAST(h.fs AS INTEGER) AS first_hit_start
+    FROM docs d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def token_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level benchmark decontamination
+    (`dataprep.token_decontaminate`): docs with doc_id % 97 == 3 act as
+    the held-out eval set; any corpus doc sharing an 8-token window with
+    them is flagged. Eval window hashes are distinct'd and BROADCAST —
+    the corpus side never shuffles. Motif docs are contaminated through
+    eval doc 100; eval docs flag themselves; everything else is clean."""
+    docs = _tok_docs2(spark, sf_dir)
+    out = D.token_decontaminate(docs, docs.where(F.col("doc_id") % 97 == 3), window=8)
+    return out.select("doc_id", "contaminated", "n_eval_hits", "first_hit_start")
+
+
+@query(
+    "vocab_stats",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, CAST({_TOK2_N} AS INTEGER) AS n, {_TOK2_SQL} AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM docs),
+    agg AS (
+      SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY token
+    ),
+    tot AS (SELECT sum(n) AS total FROM docs),
+    r AS (
+      SELECT token, cnt, n_docs,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM agg
+    )
+    SELECT token, cnt, n_docs, CAST(rank AS INTEGER) AS rank,
+           CAST(sum(cnt) OVER (ORDER BY rank) * 1000000 // total AS BIGINT)
+             AS cum_share_ppm
+    FROM r, tot WHERE rank <= 40
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary audit (`dataprep.vocab_stats`): top-40 token ids
+    by count with document frequency and exact-integer cumulative
+    coverage (ppm — integer `div` on both engines, no float rounding
+    hazard). The motif tokens dominate the head (100 planted docs each);
+    the md5-mixed tail is near-uniform."""
+    return D.vocab_stats(_tok_docs2(spark, sf_dir), top_k=40)

@@ -540,3 +540,96 @@ def test_dedup_paragraphs_order_and_min_len(spark):
         "doc_id", D.dedup_paragraphs(F.col("text"), min_len=2).alias("t")
     ).where("doc_id = 2").first().t
     assert keep_short == "x\n\nlong paragraph here\n\nx"  # 1-char repeat kept
+
+
+# ---------------------------------------------------------------------------
+# Token-level dedup / decontamination / vocab
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tok_frame(spark):
+    # docs 1 and 2 share the 10-token run [100..109] at different offsets;
+    # doc 3 is unique; doc 4 is too short to hold any 8-token window.
+    rows = [
+        (1, [7, 100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 55]),
+        (2, [100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 42, 43, 44]),
+        (3, [900, 901, 902, 903, 904, 905, 906, 907, 908, 909]),
+        (4, [1, 2, 3]),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "tokens"])
+
+
+def test_token_window_dupes_finds_shared_run(tok_frame):
+    dups = D.token_window_dupes(tok_frame, window=8).collect()
+    by_doc = {}
+    for r in dups:
+        by_doc.setdefault(r.doc_id, set()).add(r.start)
+    # the shared [100..109] run holds 3 window positions per doc:
+    # doc 1 offsets 1..3, doc 2 offsets 0..2; docs 3/4 are clean.
+    assert by_doc == {1: {1, 2, 3}, 2: {0, 1, 2}}
+    assert all(r.n_occurrences == 2 and r.n_docs == 2 for r in dups)
+
+
+def test_scrub_duplicate_spans_removes_covered_tokens(tok_frame):
+    out = {r.doc_id: r for r in D.scrub_duplicate_spans(tok_frame, window=8).collect()}
+    # doc 1: dup windows start 1..3, covering positions 1..10 -> [7, 55] survive
+    assert out[1].tokens_clean == [7, 55]
+    assert out[1].n_dup_windows == 3 and out[1].n_tok_clean == 2
+    # doc 2: covered 0..9 -> tail survives
+    assert out[2].tokens_clean == [42, 43, 44]
+    # clean and too-short docs untouched
+    assert out[3].tokens_clean == [900, 901, 902, 903, 904, 905, 906, 907, 908, 909]
+    assert out[4].tokens_clean == [1, 2, 3] and out[4].n_dup_windows == 0
+
+
+def test_token_decontaminate_flags_overlap_only(spark, tok_frame):
+    evals = spark.createDataFrame(
+        [(90, [101, 102, 103, 104, 105, 106, 107, 108])], ["doc_id", "tokens"]
+    )
+    out = {r.doc_id: r for r in D.token_decontaminate(tok_frame, evals, window=8).collect()}
+    assert out[1].contaminated and out[2].contaminated
+    assert not out[3].contaminated and not out[4].contaminated
+    # doc 2 holds the eval window at start 1; doc 1 at start 2
+    assert out[2].first_hit_start == 1 and out[1].first_hit_start == 2
+    assert out[3].n_eval_hits == 0
+
+
+def test_token_decontaminate_eval_side_broadcast(tok_frame, spark):
+    evals = spark.createDataFrame([(9, [1, 2, 3, 4, 5, 6, 7, 8])], ["doc_id", "tokens"])
+    plan = (
+        D.token_decontaminate(tok_frame, evals, window=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_window_dupes_join_shape(tok_frame):
+    """The join back on whash must be cheap in one of two good shapes:
+    AQE broadcasts the df-cut duplicated-hash table (tiny by
+    construction), or a sort-merge join reuses the groupBy(whash)
+    exchange. Either way the window table is never shuffled twice."""
+    out = D.token_window_dupes(tok_frame, window=8)
+    out.collect()  # finalize the AQE plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # final AQE plan only
+    assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan
+    # 3 keyed exchanges max: probe side on whash + the exact-distinct
+    # expansion (partial on (whash, doc_id), merge on whash) — each with
+    # map-side partial aggregation, never a second pass over raw windows.
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "partial_count" in plan
+
+
+def test_vocab_stats_head_and_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, [5, 5, 5, 9, 9, 2]), (2, [5, 9, 7, 7])], ["doc_id", "tokens"]
+    )
+    rows = D.vocab_stats(df, top_k=3).collect()
+    assert [(r.token, r.cnt, r.n_docs, r.rank) for r in rows] == [
+        (5, 4, 2, 1),
+        (9, 3, 2, 2),
+        (7, 2, 1, 3),
+    ]
+    # exact integer ppm over 10 total tokens
+    assert [r.cum_share_ppm for r in rows] == [400000, 700000, 900000]
