@@ -144,3 +144,126 @@ def environment(df: DataFrame, fields: dict[str, str]) -> DataFrame:
             for target, var in fields.items()
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# tld — registered-domain decomposition (logstash-filter-tld)
+# ---------------------------------------------------------------------------
+
+# Bounded subset of the public-suffix list: the multi-label suffixes a
+# log pipeline actually meets. The reference filter ships the full
+# Mozilla PSL via the `public_suffix` gem; at Spark scale the list is a
+# plan-time constant folded into one CASE expression, so extending it to
+# the full PSL is a data change, not a code change (generate the same
+# chain from the published file). Single-label TLDs need no listing —
+# they are the fallback branch.
+PUBLIC_SUFFIX_2LD = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "go.kr",
+    "com.mx", "org.mx",
+    "co.za", "org.za",
+    "com.tr", "org.tr",
+    "com.ar", "com.sg", "com.hk", "com.tw",
+    "co.nz", "net.nz", "org.nz",
+)
+
+
+def domain_parts(host: Column) -> dict[str, Column]:
+    """Decompose a hostname into public-suffix parts as pure Catalyst
+    expressions (zero shuffle, plan-time suffix table).
+
+    Returns {tld, sld, trd, domain} mirroring logstash-filter-tld's
+    output fields ([tld][tld]/[sld]/[trd]/[domain], which it takes from
+    the public_suffix gem): `tld` is the (possibly multi-label) public
+    suffix, `sld` the registrable label, `trd` the subdomain prefix
+    (null when absent), `domain` = sld + "." + tld.
+    """
+    h = F.lower(F.trim(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    is2 = F.lit(False)
+    for s in PUBLIC_SUFFIX_2LD:
+        is2 = is2 | h.endswith("." + s)
+    k = F.when(is2, F.lit(2)).otherwise(F.lit(1))  # labels in the suffix
+    tld = F.array_join(F.slice(labels, n - k + 1, k), ".")
+    sld = F.when(n >= k + 1, F.element_at(labels, (n - k).cast("int")))
+    trd = F.when(
+        n >= k + 2, F.array_join(F.slice(labels, F.lit(1), n - k - 1), ".")
+    )
+    domain = F.when(sld.isNotNull(), F.concat_ws(".", sld, tld))
+    return {"tld": tld, "sld": sld, "trd": trd, "domain": domain}
+
+
+@op("tld")
+def tld(df: DataFrame, source: str = "message", *, prefix: str = "") -> DataFrame:
+    """logstash-filter-tld: split a hostname into tld/sld/trd/domain
+    columns (reference plugin writes [tld][tld] etc.; flat columns here,
+    `prefix` for collision control)."""
+    parts = domain_parts(F.col(source))
+    return df.withColumns({prefix + k: v for k, v in parts.items()})
+
+
+@op("age")
+def age(
+    df: DataFrame,
+    *,
+    source: str = "ts",
+    target: str = "age",
+    now: str | None = None,
+    max_age: float | None = None,
+    tag: str = "_agefilter",
+) -> DataFrame:
+    """logstash-filter-age: event age in (fractional) seconds.
+
+    The reference computes `Time.now - event.timestamp` per event; a
+    distributed batch needs ONE reference instant for the whole job or
+    the answer depends on task scheduling — `now` (ISO string) pins it
+    (defaults to the wall clock via current_timestamp(), which Spark
+    also evaluates once per query). `max_age` tags rows older than the
+    cutoff, the plugin's documented drop-old-events idiom."""
+    now_c = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+    a = now_c.cast("double") - F.col(source).cast("timestamp").cast("double")
+    out = df.withColumn(target, a)
+    if max_age is not None:
+        out = add_tag_when(out, F.col(target) > F.lit(max_age), tag)
+    return out
+
+
+@op("alter")
+def alter(
+    df: DataFrame,
+    *,
+    condrewrite: Sequence[tuple[str, str, str]] = (),
+    condrewriteother: Sequence[tuple[str, str, str, str]] = (),
+    coalesce: Sequence[tuple[str, Sequence[str]]] = (),
+) -> DataFrame:
+    """logstash-filter-alter: conditional field rewrites.
+
+    condrewrite [(field, expected, new)]: field := new where field ==
+    expected. condrewriteother [(cond_field, expected, target, new)]:
+    target := new where cond_field == expected. coalesce [(target,
+    [sources...])]: target := first non-null source (string-cast, like
+    the Ruby filter's to_s). All pure CASE expressions, zero shuffle."""
+    for field, expected, new in condrewrite:
+        df = df.withColumn(
+            field,
+            F.when(F.col(field) == F.lit(expected), F.lit(new)).otherwise(
+                F.col(field)
+            ),
+        )
+    for cond_field, expected, target_f, new in condrewriteother:
+        base = F.col(target_f) if target_f in df.columns else F.lit(None).cast("string")
+        df = df.withColumn(
+            target_f,
+            F.when(F.col(cond_field) == F.lit(expected), F.lit(new)).otherwise(base),
+        )
+    for target_f, sources in coalesce:
+        df = df.withColumn(
+            target_f, F.coalesce(*[F.col(s).cast("string") for s in sources])
+        )
+    return df

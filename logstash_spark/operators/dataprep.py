@@ -1643,3 +1643,121 @@ def binary_meta_decode(
             )
 
     return df.select("doc_id", payload_col).mapInPandas(decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host-level corpus hygiene
+#
+# Web-crawl pipelines (CCNet, RefinedWeb §"URL filtering") dedup and
+# filter at URL/host granularity BEFORE text-level dedup — it is the
+# cheapest cut (pure string expressions, zero shuffle for the
+# normalization; ONE keyed shuffle for host rollups). Both engines run
+# the same regex/lambda logic, so the DuckDB oracle reproduces results
+# exactly.
+# ---------------------------------------------------------------------------
+
+_URL_RX = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+# Tracking parameters dropped by normalization (prefix match for utm_*).
+URL_DROP_PARAM_PREFIXES = ("utm_",)
+URL_DROP_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical form of a URL as ONE pure column expression.
+
+    Steps (the standard safe subset of RFC 3986 normalization +
+    tracking-param stripping): lowercase scheme and host; drop default
+    ports (http:80, https:443); empty path → "/"; drop the fragment;
+    drop utm_*/click-id query params; sort surviving params (query order
+    is almost never semantic, and sorting makes param-permuted URLs
+    dedup together). Unparseable URLs pass through unchanged (null-safe:
+    no-scheme strings don't match the regex → original returned)."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RX, 1))
+    host = F.lower(F.regexp_extract(url, _URL_RX, 2))
+    port = F.regexp_extract(url, _URL_RX, 3)
+    path = F.regexp_extract(url, _URL_RX, 4)
+    query = F.regexp_extract(url, _URL_RX, 5)
+
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    port_part = F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+
+    def _keep(p: Column) -> Column:
+        key = F.split(p, "=", 2).getItem(0)
+        cond = (p != "") & ~key.isin(*URL_DROP_PARAMS)
+        for pref in URL_DROP_PARAM_PREFIXES:
+            cond = cond & ~key.startswith(pref)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    query_part = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+    norm = F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+    return F.when(host == "", url).otherwise(norm)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL ('' when unparseable)."""
+    return F.lower(F.regexp_extract(url, _URL_RX, 2))
+
+
+def host_stats(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Registered-domain rollup: (domain, n_docs, n_hosts, avg_quality?).
+
+    ONE groupBy on the registered domain (plan-time public-suffix CASE,
+    no dictionary join) with map-side partial aggregation — the standard
+    first-pass census a crawl pipeline runs to find spam/SEO domains.
+    At 10^11 URLs the domain key is heavy-tailed; counts and averages
+    are algebraic so partial aggregation absorbs the skew (no salting
+    needed — unlike collect-list rollups)."""
+    from logstash_spark.functions import domain_parts
+
+    host = url_host(F.col(url_col))
+    dom = domain_parts(host)["domain"]
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.countDistinct(host.alias("_h")).alias("n_hosts"),
+    ]
+    if quality_col is not None:
+        aggs.append(F.avg(F.col(quality_col)).alias("avg_quality"))
+    return (
+        df.where(host != "")
+        .groupBy(dom.alias("domain"))
+        .agg(*aggs)
+    )
+
+
+def host_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    *,
+    url_col: str = "url",
+    by: str = "domain",
+) -> DataFrame:
+    """Drop documents whose registered domain is on a blocklist.
+
+    Broadcast LEFT ANTI join — blocklists are small (10^4-10^6 domains,
+    a few MB) next to the corpus, so the corpus never shuffles; each
+    task probes the broadcast hash table. `blocklist` must carry a
+    `domain` column (or pass `by`)."""
+    from logstash_spark.functions import domain_parts
+
+    dom = domain_parts(url_host(F.col(url_col)))["domain"]
+    return (
+        df.withColumn("_dom", dom)
+        .join(F.broadcast(blocklist.select(F.col(by).alias("_dom")).distinct()),
+              "_dom", "left_anti")
+        .drop("_dom")
+    )

@@ -73,3 +73,37 @@ def dedupe(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """fingerprint+conditional dedupe pattern → dropDuplicates (map-side
     partial aggregation keeps the shuffle small at scale)."""
     return df.dropDuplicates(list(keys))
+
+
+@op("metricize")
+def metricize(
+    df: DataFrame,
+    metrics: Sequence[str],
+    *,
+    metric_field: str = "metric",
+    value_field: str = "value",
+    drop_null: bool = True,
+) -> DataFrame:
+    """logstash-filter-metricize: split one event carrying N metric
+    fields into N single-metric events.
+
+    The reference clones the event once per metric field, keeps only
+    that metric, and cancels the original. Relationally: build an
+    array<struct<metric,value>> literal-keyed from the metric columns
+    and explode it — a 1→N generator in one narrow stage, zero shuffle.
+    `drop_null` mirrors the plugin's skip of absent metric fields."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias(metric_field),
+                F.col(m).cast("double").alias(value_field),
+            )
+            for m in metrics
+        ]
+    )
+    if drop_null:
+        pairs = F.filter(pairs, lambda p: p[value_field].isNotNull())
+    keep = [c for c in df.columns if c not in set(metrics)]
+    return df.select(*keep, F.explode(pairs).alias("_m")).select(
+        *keep, f"_m.{metric_field}", f"_m.{value_field}"
+    )

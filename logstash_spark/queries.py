@@ -795,6 +795,11 @@ _DRIVER_PRIORITY = [
     "token_window_dedup",
     "token_decontam",
     "vocab_stats",
+    "tld_extract",
+    "metricize_split",
+    "age_alter_tagged",
+    "url_normalize_canon",
+    "host_domain_stats",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

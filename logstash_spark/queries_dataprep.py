@@ -1248,3 +1248,106 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard). The motif tokens dominate the head (100 planted docs each);
     the md5-mixed tail is near-uniform."""
     return D.vocab_stats(_tok_docs2(spark, sf_dir), top_k=40)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host-level hygiene (round-3 batch 2)
+# ---------------------------------------------------------------------------
+
+# Both engines rebuild the canonical URL; the oracle derives it from the
+# synthesis recipe rather than re-running the parser regex, so the two
+# derivations are independent.
+_URL_SYN_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+             || '://WWW.Shop' || CAST(doc_id % 40 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '.Example.CO.UK' ELSE '.example.com' END
+             || CASE WHEN doc_id % 4 = 0 THEN ':80'
+                     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/p/' || CAST(doc_id AS VARCHAR) END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '?utm_source=feed&b=' || CAST(doc_id % 9 AS VARCHAR) || '&a=1'
+                     ELSE '?fbclid=xyz' END
+             || '#sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+    FROM documents
+"""
+
+
+def _url_corpus(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Shop"), (did % 40).cast("string"),
+        F.when(did % 5 == 0, F.lit(".Example.CO.UK")).otherwise(F.lit(".example.com")),
+        F.when(did % 4 == 0, F.lit(":80"))
+         .when(did % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), did.cast("string"))
+        ),
+        F.when(did % 2 == 0, F.concat(
+            F.lit("?utm_source=feed&b="), (did % 9).cast("string"), F.lit("&a=1"))
+        ).otherwise(F.lit("?fbclid=xyz")),
+        F.lit("#sec"), (did % 7).cast("string"),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+@query(
+    "url_normalize_canon",
+    f"""
+    WITH u AS ({_URL_SYN_SQL})
+    SELECT doc_id, url,
+           lower(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+             || '://www.shop' || CAST(doc_id % 40 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk' ELSE '.example.com' END
+             -- :80 is stripped only because those rows are http; :8080 survives
+             || CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/p/' || CAST(doc_id AS VARCHAR) END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '?a=1&b=' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END AS url_norm
+    FROM u
+    """,
+)
+def url_normalize_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (RefinedWeb/CCNet URL-filtering stage):
+    lowercase scheme+host, strip default ports and fragments, drop
+    utm_*/click-id params, sort survivors, empty path → '/'. Zero
+    shuffle — one regexp + lambda chain per row."""
+    u = _url_corpus(_docs(spark, sf_dir))
+    return u.select(
+        "doc_id", "url", D.url_normalize(F.col("url")).alias("url_norm")
+    )
+
+
+@query(
+    "host_domain_stats",
+    f"""
+    WITH u AS ({_URL_SYN_SQL}),
+    h AS (
+        SELECT doc_id,
+               'www.shop' || CAST(doc_id % 40 AS VARCHAR)
+                 || CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk'
+                         ELSE '.example.com' END AS host,
+               CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk'
+                    ELSE 'example.com' END AS domain
+        FROM u
+    )
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT host) AS n_hosts
+    FROM h
+    WHERE domain <> 'example.co.uk'
+    GROUP BY domain
+    """,
+)
+def host_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host hygiene pass: blocklist anti-join (broadcast — the corpus
+    never shuffles) then registered-domain census (ONE groupBy with
+    map-side partials). The oracle computes domains from the synthesis
+    recipe; Spark runs the generic public-suffix decomposition."""
+    u = _url_corpus(_docs(spark, sf_dir))
+    block = u.sparkSession.createDataFrame(
+        [("example.co.uk",), ("spam.example.org",)], "domain string"
+    )
+    kept = D.host_blocklist_filter(u, block, url_col="url")
+    return D.host_stats(kept, url_col="url")

@@ -473,3 +473,114 @@ def pipeline_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type", "handled", "sev").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# tld / alter / age / metricize (round-3 breadth batch 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tld_extract",
+    """
+    WITH h AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 3 = 0 THEN 'www.' ELSE '' END
+                 || 'svc' || CAST(user_id % 50 AS VARCHAR)
+                 || '.brand' || CAST(event_id % 97 AS VARCHAR) || '.'
+                 || list_extract(['co.uk','com','org','com.au','co.jp','net'],
+                                 CAST(event_id % 6 AS INT) + 1) AS host,
+               list_extract(['co.uk','com','org','com.au','co.jp','net'],
+                            CAST(event_id % 6 AS INT) + 1) AS sfx
+        FROM events
+    )
+    SELECT event_id, host,
+           sfx AS tld,
+           'brand' || CAST(event_id % 97 AS VARCHAR) AS sld,
+           CASE WHEN event_id % 3 = 0 THEN 'www.' ELSE '' END
+             || 'svc' || CAST(user_id % 50 AS VARCHAR) AS trd,
+           'brand' || CAST(event_id % 97 AS VARCHAR) || '.' || sfx AS domain
+    FROM h
+    """,
+)
+def tld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-tld over synthesized hostnames spanning multi-label
+    public suffixes (co.uk/com.au/co.jp) and plain TLDs. The oracle derives
+    ground truth from the synthesis recipe — an independent derivation, not
+    a re-run of the parser (reference: logstash-filter-tld + public_suffix
+    gem field set tld/sld/trd/domain)."""
+    from logstash_spark.functions import tld as tld_op
+
+    ev = _ev(spark, sf_dir)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in ["co.uk", "com", "org", "com.au", "co.jp", "net"]]),
+        (eid % 6 + 1).cast("int"),
+    )
+    host = F.concat(
+        F.when(eid % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("svc"), (uid % 50).cast("string"),
+        F.lit(".brand"), (eid % 97).cast("string"), F.lit("."), sfx,
+    )
+    out = tld_op(ev.withColumn("host", host), "host")
+    return out.select("event_id", "host", "tld", "sld", "trd", "domain")
+
+
+@query(
+    "metricize_split",
+    """
+    SELECT event_id, 'cpu' AS metric, round(value, 3) AS value FROM events
+    UNION ALL
+    SELECT event_id, 'mem' AS metric, round(value * 2, 3) AS value
+    FROM events WHERE event_id % 7 <> 0
+    """,
+)
+def metricize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-metricize: one event carrying cpu+mem readings →
+    one event per metric; absent (null) metrics skipped like the plugin
+    skips missing fields (reference: logstash-filter-metricize)."""
+    from logstash_spark.operators.multiplicity import metricize
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.round(F.col("value"), 3).alias("cpu"),
+        F.when(F.col("event_id") % 7 != 0, F.round(F.col("value") * 2, 3)).alias("mem"),
+    )
+    return metricize(ev, ["cpu", "mem"])
+
+
+@query(
+    "age_alter_tagged",
+    """
+    SELECT event_id,
+           CAST(floor(date_diff('microsecond', ts, TIMESTAMP '2024-02-01 00:00:00')
+                      / 1000000.0) AS BIGINT) AS age_s,
+           date_diff('microsecond', ts, TIMESTAMP '2024-02-01 00:00:00')
+             / 1000000.0 > 1209600 AS is_old,
+           CASE WHEN event_type = 'error' THEN 'failure' ELSE event_type END AS etype,
+           CASE WHEN event_type = 'purchase' THEN 'revenue' ELSE 'ops' END AS lane
+    FROM events
+    """,
+)
+def age_alter_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-age (pinned reference instant, 14-day max_age tag)
+    composed with logstash-filter-alter (condrewrite error→failure,
+    condrewriteother purchase→revenue-lane). Age floor-rounded to whole
+    seconds so both engines hash identically."""
+    from logstash_spark.functions import age as age_op, alter as alter_op
+
+    ev = _ev(spark, sf_dir)
+    a = age_op(ev, source="ts", now="2024-02-01 00:00:00", max_age=1209600.0)
+    a = a.withColumn("lane", F.lit("ops"))
+    a = alter_op(
+        a,
+        condrewrite=[("event_type", "error", "failure")],
+        condrewriteother=[("event_type", "purchase", "lane", "revenue")],
+    )
+    return a.select(
+        "event_id",
+        F.floor(F.col("age")).cast("bigint").alias("age_s"),
+        F.array_contains(F.col("tags"), "_agefilter").alias("is_old"),
+        F.col("event_type").alias("etype"),
+        F.coalesce(F.col("lane"), F.lit("ops")).alias("lane"),
+    )
