@@ -1761,3 +1761,407 @@ def host_blocklist_filter(
               "_dom", "left_anti")
         .drop("_dom")
     )
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality (CCNet-style language-model filter analog)
+# ---------------------------------------------------------------------------
+
+
+def unigram_vocab_logp(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """Corpus unigram LM table: the `vocab_size` most frequent words with
+    integer-quantized log2 probabilities. Output: (word, cnt, logp2) where
+    logp2 = floor(log2(cnt)) - floor(log2(total_words)) — a bit-length
+    quantization chosen for CROSS-ENGINE EXACTNESS: floor(log2(n)) of an
+    integer is reproducible bit-for-bit in any IEEE engine (log2 of an
+    integer is either exact — powers of two — or bounded away from the
+    next integer by far more than one ulp for n < 2^50), where a full-
+    precision double logp would drift in the last ulp between engines.
+
+    This is the model-building half of the CCNet / KenLM-style LM quality
+    filter (score docs by average token log-likelihood; low-likelihood
+    docs are boilerplate/gibberish). Scale topology: ONE explode +
+    groupBy(word) with map-side partial aggregation; the corpus-wide
+    total is a separate scalar aggregate cross-joined back (broadcast,
+    1 row); the vocab cut is a global top-K (TakeOrderedAndProject —
+    map-side partial top-K, never a full sort).
+    """
+    w = df.select(F.explode(words_of(F.col(text_col))).alias("word")).where(
+        F.col("word") != ""
+    )
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp2",
+            (F.floor(F.log2("cnt")) - F.floor(F.log2("_total"))).cast("int"),
+        )
+        .drop("_total")
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(vocab_size)
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_logp2: int = -30,
+) -> DataFrame:
+    """Score each document by its average unigram log2-likelihood under a
+    `unigram_vocab_logp` table: (id_col, n_words, logp2_sum, avg_logp2).
+    Out-of-vocabulary words take the `oov_logp2` floor. All arithmetic up
+    to the final average is INTEGER (exact cross-engine; the average is
+    one rounded division of two exact longs).
+
+    Scale: the vocab table is dictionary-sized by construction
+    (`vocab_size` rows) → broadcast hash join; the corpus explodes to
+    words map-side and re-aggregates with ONE groupBy(id) shuffle.
+    """
+    vb = F.broadcast(vocab.select(F.col("word").alias("_w"), F.col("logp2").alias("_lp")))
+    w = df.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("_w")
+    ).where(F.col("_w") != "")
+    scored = w.join(vb, "_w", "left").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.coalesce(F.col("_lp"), F.lit(oov_logp2))).alias("logp2_sum"),
+    )
+    return scored.withColumn(
+        "avg_logp2", F.round(F.col("logp2_sum") / F.col("n_words"), 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster embeddings, drop near-dups within)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.92,
+    max_bucket: int = 1000,
+    mode: str = "flag",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embedding space, then inside each cluster drop every vector that has
+    a cosine-similar neighbor, keeping one deterministic survivor. Drop
+    rule: a row is a semantic duplicate iff a SMALLER-id row in the same
+    cluster has cosine >= threshold (greedy-by-id — the paper keeps the
+    point closest to the centroid; min-id is the engine-reproducible
+    stand-in, same dedup rate).
+
+    Scale topology (the whole point of clustering first):
+      * centroid assignment is a broadcast scan (`ivf_assign`) — the
+        corpus never shuffles to be clustered;
+      * the pairwise check is confined WITHIN clusters: one equi-join on
+        `bucket`, so work per reducer is O(cluster²) with clusters sized
+        ~N/sqrt(N) at production centroid counts, never O(N²) global;
+      * the within-cluster self-join carries ONLY ids; vectors re-join
+        AFTER the candidate pairs are deduped (shuffle bytes ∝ pairs,
+        not pairs × dimension);
+      * clusters above `max_bucket` (an embedding-identical shard) are
+        star-compared against the cluster's min-id representative only —
+        O(B) not O(B²); identical vectors still all drop to the rep.
+
+    mode='flag' returns df + (cluster, semantic_dup); mode='drop' keeps
+    survivors only, original columns.
+    """
+    from pyspark.sql.window import Window
+
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    ids = assign.select(F.col(id_col).alias("_id"), "bucket")
+    w = Window.partitionBy("bucket")
+    banded = ids.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min("_id").over(w)
+    )
+    normal = banded.where(F.col("_bn") <= max_bucket)
+    left, right = normal.alias("l"), normal.alias("r")
+    # candidate (smaller id, larger id) pairs, ids only
+    pairs_normal = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")),
+    ).select(F.col("l._id").alias("_a"), F.col("r._id").alias("_b"))
+    pairs_hot = banded.where(
+        (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("_a"), F.col("_id").alias("_b"))
+    cand = pairs_normal.unionByName(pairs_hot).dropDuplicates(["_a", "_b"])
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    scored = (
+        cand.join(vecs.withColumnsRenamed({"_vid": "_a", "_v": "_va"}), "_a")
+        .join(vecs.withColumnsRenamed({"_vid": "_b", "_v": "_vb"}), "_b")
+        .withColumn("_cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+    )
+    dropped = scored.where(F.col("_cos") >= threshold).select(
+        F.col("_b").alias("_dup_id")
+    ).distinct()
+    out = df.join(
+        assign.select(F.col(id_col), F.col("bucket").alias("cluster")), id_col
+    ).join(dropped, F.col(id_col) == F.col("_dup_id"), "left")
+    if mode == "drop":
+        return out.where(F.col("_dup_id").isNull()).drop("_dup_id", "cluster")
+    return out.withColumn("semantic_dup", F.col("_dup_id").isNotNull()).drop("_dup_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (fixed-size broadcast, eval set any size)
+# ---------------------------------------------------------------------------
+
+# k independent double-hash parameters for Bloom bit positions:
+# pos_i = (a_i * h + b_i) mod m_bits, h = portable_hash32(gram)
+BLOOM_AB = [(3, 7), (5, 11), (7, 17)]
+BLOOM_WORD_BITS = 32  # bits per bitmap word (int64-safe: values < 2^32)
+
+
+def bloom_bit_positions(h: Column, m_bits: int, k: int = 3) -> list[Column]:
+    """k Bloom bit positions for a 32-bit gram hash (pure column exprs)."""
+    return [
+        F.pmod(F.lit(a) * h + F.lit(b), F.lit(m_bits)).cast("int")
+        for a, b in BLOOM_AB[:k]
+    ]
+
+
+def build_gram_bloom(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> list[int]:
+    """Build a Bloom bitmap (list of m_bits/32 int words) over the
+    benchmark's distinct word n-gram hashes.
+
+    The driver-side collect is of BIT POSITIONS (≤ distinct_grams × k,
+    and the whole point is the eval set is dictionary-sized) — the
+    bitmap it produces is FIXED-SIZE (m_bits/8 bytes) no matter how the
+    eval set grows, unlike `decontaminate`'s exact broadcast set. At
+    m_bits=2^26 the broadcast is 8 MB for eval sets of any size.
+    """
+    if m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError("m_bits must be a multiple of 32")
+    grams = benchmark.select(
+        F.explode(shingle_hashes(F.col(text_col), n=n)).alias("_g")
+    ).distinct()
+    pos_rows = (
+        grams.select(
+            F.explode(F.array(*bloom_bit_positions(F.col("_g"), m_bits, k))).alias("_p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // BLOOM_WORD_BITS)
+    for r in pos_rows:
+        p = r["_p"]
+        words[p // BLOOM_WORD_BITS] |= 1 << (p % BLOOM_WORD_BITS)
+    return words
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    bloom_words: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """Flag training documents whose word n-grams MIGHT appear in the
+    eval set, via a broadcast Bloom bitmap from `build_gram_bloom`.
+
+    Deterministic false positives, zero false negatives: use as the
+    cheap first pass at 100 TB (corpus scanned once, ZERO shuffle, the
+    broadcast is fixed-size), then run exact `decontaminate` on the
+    flagged survivors only. Output: df + (might_contaminated boolean,
+    n_bloom_hits int — count of gram positions that fully hit).
+    """
+    lit_words = F.lit(bloom_words)
+    # shiftleft() takes a literal shift amount only — index a 32-entry
+    # power-of-two literal array by (pos mod 32) instead
+    lit_bits = F.lit([1 << i for i in range(BLOOM_WORD_BITS)])
+
+    def _hit(h: Column) -> Column:
+        cond = F.lit(True)
+        for p in bloom_bit_positions(h, m_bits, k):
+            word = F.element_at(lit_words, (p / BLOOM_WORD_BITS).cast("int") + 1)
+            bit = F.element_at(lit_bits, F.pmod(p, F.lit(BLOOM_WORD_BITS)) + 1)
+            cond = cond & (word.bitwiseAND(bit) != 0)
+        return cond
+
+    hits = F.size(F.filter(shingle_hashes(F.col(text_col), n=n), _hit))
+    return df.withColumn("n_bloom_hits", hits).withColumn(
+        "might_contaminated", F.col("n_bloom_hits") > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (product quantization: codes travel, vectors never shuffle)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    m_sub: int, k_codes: int, sub_dim: int
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: cb[m][j][d] on a small rational lattice
+    (denominator 8 → exact dyadic doubles, reproducible in any engine).
+    Production would train these with k-means per subspace; the lattice
+    keeps the gate cross-engine-exact with the same join/score topology.
+    """
+    return [
+        [
+            [(((m * 31 + j * 17 + d * 13) % 19) - 9) / 8.0 for d in range(sub_dim)]
+            for j in range(k_codes)
+        ]
+        for m in range(m_sub)
+    ]
+
+
+def _l2sq(sub: Column, code_vec: list[float]) -> Column:
+    """Squared L2 distance between an array slice and a literal code
+    vector — left-fold over elements (same order as DuckDB list_reduce)."""
+    lit = F.array(*[F.lit(v) for v in code_vec])
+    # (a-b)*(a-b), NOT pow(a-b, 2): pow is not guaranteed bit-identical
+    # across engines; plain multiply is a single IEEE op everywhere.
+    return F.aggregate(
+        F.zip_with(
+            sub, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_lit(sub: Column, code_vec: list[float]) -> Column:
+    lit = F.array(*[F.lit(v) for v in code_vec])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+) -> DataFrame:
+    """Product-quantize vectors: split into `m_sub` subspaces, assign each
+    slice to its nearest codebook entry (squared L2, first-min tie break).
+    Output: (id_col, codes array<int>) — the M-byte sketch that REPLACES
+    the D-float vector everywhere downstream.
+
+    Pure column expressions, zero shuffle: at 10^12 vectors this is a
+    single map-side scan writing a table 64x narrower than the input
+    (64 dims x 4B floats → 4 codes). Encoding distances are rounded to
+    6 dp before the argmin so the argmin is engine-reproducible.
+    """
+    if dim % m_sub != 0:
+        raise ValueError("dim must divide evenly into m_sub subspaces")
+    sub_dim = dim // m_sub
+    cb = pq_codebook(m_sub, k_codes, sub_dim)
+    codes = []
+    for m in range(m_sub):
+        sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+        dists = F.array(
+            *[F.round(_l2sq(sub, cb[m][j]), 6) for j in range(k_codes)]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def ann_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors: IVF coarse lists bound the
+    candidate set, PQ codes replace corpus vectors in the scoring join.
+    Output: (q_id, c_id, score_pq, rank) — `score_pq` is the asymmetric
+    (ADC) approximate dot product sum_m <q_sub_m, cb[m][code_m]>.
+
+    Why this is the 100 TB shape (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011):
+      * the corpus side of the bucket equi-join carries (id, 4 int
+        codes) — 64x fewer shuffle bytes than shipping 64-float vectors
+        (`ann_ivf` ships vectors; at 10^12 rows that difference is the
+        job);
+      * scoring is codebook lookups against the query slice — the
+        corpus vector is NEVER read after encode, so the big table can
+        be stored codes-only;
+      * recall is tunable with nprobe/k_codes exactly as in FAISS'
+        IVF-PQ; re-ranking survivors with exact vectors is a k-sized
+        join afterwards if needed.
+    """
+    if dim % m_sub != 0:
+        raise ValueError("dim must divide evenly into m_sub subspaces")
+    sub_dim = dim // m_sub
+    cb = pq_codebook(m_sub, k_codes, sub_dim)
+    from pyspark.sql.window import Window
+
+    cbuck = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    ccodes = pq_encode(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m_sub=m_sub, k_codes=k_codes
+    )
+    cside = cbuck.select(F.col(id_col).alias("c_id"), "bucket").join(
+        ccodes.select(F.col(id_col).alias("c_id"), "codes"), "c_id"
+    )
+    qb = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
+    qside = qb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket")
+    scored = cside.join(qside, "bucket")
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("c_id"))
+    # ADC score: per subspace, dot(query slice, codebook[code]) — the
+    # codebook is a literal nested array, element_at picks the code row.
+    terms = []
+    for m in range(m_sub):
+        qsub = F.slice(F.col("q_vec"), m * sub_dim + 1, sub_dim)
+        cb_m = F.array(
+            *[F.array(*[F.lit(v) for v in cb[m][j]]) for j in range(k_codes)]
+        )
+        code_vec = F.element_at(cb_m, F.element_at(F.col("codes"), m + 1) + 1)
+        terms.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(qsub, code_vec, lambda a, b: a.cast("double") * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+        )
+    score = F.round(sum(terms[1:], terms[0]), 6)
+    scored = scored.withColumn("score_pq", score)
+    w = Window.partitionBy("q_id").orderBy(F.col("score_pq").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "score_pq", F.col("rank").cast("int").alias("rank"))
+    )

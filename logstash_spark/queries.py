@@ -747,6 +747,7 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
 # and the batch-2 Logstash operator queries into the same QUERIES/ORACLES
 # maps (bottom imports avoid a cycle).
 from logstash_spark import queries_dataprep as _qdp  # noqa: E402,F401
+from logstash_spark import queries_dataprep2 as _qdp2  # noqa: E402,F401
 from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401
 from logstash_spark import queries_logstash3 as _ql3  # noqa: E402,F401
 from logstash_spark import queries_logstash4 as _ql4  # noqa: E402,F401
@@ -800,6 +801,10 @@ _DRIVER_PRIORITY = [
     "age_alter_tagged",
     "url_normalize_canon",
     "host_domain_stats",
+    "unigram_lm_quality",
+    "semantic_dedup_flags",
+    "bloom_decontam",
+    "ann_ivf_pq",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",
