@@ -314,12 +314,22 @@ def throttle(
     max_count: int = 100,
     tag: str = "throttled",
     tiebreak: str | None = None,
+    before_count: int = -1,
+    after_count: int | None = None,
 ) -> DataFrame:
     """logstash-filter-throttle, tumbling-window form: tag each event past
     the first `max_count` within (key, window). Event-order within the
     window is (ts, tiebreak): pass a unique row-identity column as
     `tiebreak` for full determinism — with ties on `ts` alone, WHICH rows
-    get tagged is engine-dependent (the tagged COUNT is always exact)."""
+    get tagged is engine-dependent (the tagged COUNT is always exact).
+
+    `before_count` / `after_count` mirror the reference's full option
+    surface (logstash-filter-throttle §before_count/after_count): tag an
+    event when its 1-based sequence number within (key, window) is
+    < before_count OR > after_count; -1 disables a bound. `after_count`
+    defaults to `max_count` (the common single-bound form above)."""
+    if after_count is None:
+        after_count = max_count
     win_start = F.window(F.col(ts), f"{period_seconds} seconds").getField("start")
     df = df.withColumn("_win", win_start)
     order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
@@ -328,7 +338,12 @@ def throttle(
     from logstash_spark.operators.common import add_tag_when
 
     df = df.withColumn("_seq", seq)
-    df = add_tag_when(df, F.col("_seq") > max_count, tag)
+    cond = F.lit(False)
+    if after_count >= 0:
+        cond = cond | (F.col("_seq") > after_count)
+    if before_count >= 0:
+        cond = cond | (F.col("_seq") < before_count)
+    df = add_tag_when(df, cond, tag)
     return df.drop("_win", "_seq")
 
 

@@ -805,6 +805,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup_flags",
     "bloom_decontam",
     "ann_ivf_pq",
+    "throttle_before_after",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

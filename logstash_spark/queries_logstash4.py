@@ -584,3 +584,46 @@ def age_alter_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("etype"),
         F.coalesce(F.col("lane"), F.lit("ops")).alias("lane"),
     )
+
+
+@query(
+    "throttle_before_after",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id,
+             row_number() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE rn < 2) AS BIGINT) AS before_cnt,
+           CAST(count(*) FILTER (WHERE rn > 3) AS BIGINT) AS after_cnt,
+           CAST(count(*) FILTER (WHERE rn < 2 OR rn > 3) AS BIGINT) AS tagged_cnt
+    FROM seq GROUP BY user_id
+    """,
+)
+def throttle_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-throttle full option surface: before_count=2
+    tags the first event of each (user, day) window (sequence < 2),
+    after_count=3 tags everything past the third — the reference's
+    two-bound form (§before_count/after_count) over one window pass."""
+    from logstash_spark.operators.aggregate import throttle
+
+    ev = _ev(spark, sf_dir)
+    out = throttle(
+        ev, "user_id", "ts", period_seconds=86400, before_count=2,
+        after_count=3, tag="throttled", tiebreak="event_id",
+    )
+    tagged = F.array_contains("tags", "throttled")
+    # re-derive the sequence bounds for the per-bound counts (the op
+    # itself only tags; the gate splits the tag by cause)
+    from pyspark.sql.window import Window
+
+    win = F.window(F.col("ts"), "86400 seconds").getField("start")
+    w = Window.partitionBy("user_id", win).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    out = out.withColumn("_rn", F.row_number().over(w))
+    return out.groupBy("user_id").agg(
+        F.count(F.when(F.col("_rn") < 2, 1)).alias("before_cnt"),
+        F.count(F.when(F.col("_rn") > 3, 1)).alias("after_cnt"),
+        F.count(F.when(tagged, 1)).alias("tagged_cnt"),
+    )

@@ -139,3 +139,34 @@ class TestPQ:
         out = D.ann_ivf_pq(df, df, cent, dim=8, m_sub=2, k_codes=8, k=3, nprobe=2)
         top = {(r["q_id"], r["c_id"]) for r in out.collect() if r["rank"] == 1}
         assert (1, 11) in top or (11, 1) in top
+
+
+class TestThrottleBeforeAfter:
+    def test_two_bound_tagging(self, spark):
+        from logstash_spark.operators.aggregate import throttle
+
+        rows = [(i, "k", f"2024-01-01 00:00:{i:02d}") for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "event_id long, k string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = throttle(
+            df, "k", "ts", period_seconds=3600, before_count=2, after_count=3,
+            tag="t", tiebreak="event_id",
+        )
+        tagged = {r["event_id"] for r in out.collect()
+                  if "t" in (r["tags"] or [])}
+        # seq 1 (< before_count=2) and seqs 4,5 (> after_count=3)
+        assert tagged == {1, 4, 5}
+
+    def test_before_disabled_matches_max_count(self, spark):
+        from logstash_spark.operators.aggregate import throttle
+
+        rows = [(i, "k", "2024-01-01 00:00:01") for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "event_id long, k string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        a = throttle(df, "k", "ts", max_count=2, tag="t", tiebreak="event_id")
+        b = throttle(df, "k", "ts", after_count=2, tag="t", tiebreak="event_id")
+        ta = sorted(r["event_id"] for r in a.collect() if "t" in (r["tags"] or []))
+        tb = sorted(r["event_id"] for r in b.collect() if "t" in (r["tags"] or []))
+        assert ta == tb == [3, 4]

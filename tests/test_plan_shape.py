@@ -181,3 +181,63 @@ def test_whole_stage_codegen_present(spark, qname):
     plan = plan_of(df)
     # '*(N)' prefixes mark WholeStageCodegen stages in toString()
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_semantic_dedup_candidates_carry_bare_ids(spark):
+    """semantic_dedup: the within-cluster candidate dedup aggregates only
+    (id, id) pairs — no vector payload rides the candidate shuffle — and
+    the single ResolvedHint is the dictionary-sized centroid broadcast."""
+    import re
+
+    from logstash_spark.operators.dataprep import semantic_dedup
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = em.where(F.col("vec_id") < 4)
+    out = semantic_dedup(em, cent, threshold=0.9, mode="flag")
+    # every ResolvedHint in the tree is the centroid broadcast (the
+    # ivf_assign subtree appears 4x: l/r candidate aliases + output join)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") >= 1
+    m = re.search(r"Aggregate \[_a[^\n]*", optimized_of(out))
+    assert m is not None and "_v" not in m.group(0) and "embedding" not in m.group(0)
+
+
+def test_pq_encode_zero_shuffle_no_python(spark):
+    from logstash_spark.operators.dataprep import pq_encode
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(pq_encode(em, dim=64, m_sub=4, k_codes=16))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bloom_decontaminate_zero_shuffle(spark):
+    from logstash_spark.operators.dataprep import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bloom_decontaminate(docs, [0] * 32, n=5, m_bits=1024, k=3)
+    plan = plan_of(out)
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_unigram_vocab_topk_not_global_sort(spark):
+    """The vocab cut must be TakeOrderedAndProject (map-side partial
+    top-K), never a full Sort of the distinct-word table."""
+    from logstash_spark.operators.dataprep import unigram_vocab_logp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(unigram_vocab_logp(docs, vocab_size=64))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [cnt" not in plan
+
+
+def test_unigram_score_vocab_broadcast(spark):
+    from logstash_spark.operators.dataprep import (
+        unigram_logprob_score,
+        unigram_vocab_logp,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = unigram_vocab_logp(docs, vocab_size=64)
+    out = unigram_logprob_score(docs, vocab)
+    assert "BroadcastHashJoin" in plan_of(out)
