@@ -227,6 +227,61 @@ def bench_ann_scale(spark) -> float:
     return _time_best(lambda: out, spark)
 
 
+SEM_VECS = int(os.environ.get("SPARK_GRAFT_SEM_VECS", "20000"))
+
+
+def synthetic_vectors(spark, n: int, dim: int = 32, id_col: str = "vec_id"):
+    """Deterministic pseudo-random dense vectors (pure column synthesis)."""
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (((i * 63 + j.cast("long") * 40503) % 1000).cast("double") / 500.0 - 1.0),
+    )
+    return spark.range(0, n, 1, CPUS * 4).select(i.alias(id_col), vec.alias("embedding"))
+
+
+def bench_semantic_dedup(spark) -> float:
+    """SemDeDup over SEM_VECS synthetic 32-dim vectors (plus a 10%
+    identical-copy tail): 128-centroid broadcast assignment, within-
+    cluster ids-only pair join with the star guard active (production
+    config, max_bucket=500), exact-cosine verify, drop mode."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.dataprep import semantic_dedup
+
+    base = synthetic_vectors(spark, SEM_VECS)
+    dups = base.where(F.col("vec_id") < SEM_VECS // 10).select(
+        (F.col("vec_id") + SEM_VECS).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dups)
+    cent = synthetic_vectors(spark, 128).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(corpus, cent, threshold=0.95, max_bucket=500, mode="drop")
+    return _time_best(lambda: out, spark)
+
+
+def bench_ann_pq_scale(spark) -> float:
+    """IVF-PQ ANN over ANN_VECS synthetic 32-dim vectors: 64 coarse
+    lists, 4x8 PQ codes, 64 queries at nprobe=2 — the codes-only
+    scoring join that replaces vector shipping at production scale."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.dataprep import ann_ivf_pq
+
+    em = synthetic_vectors(spark, ANN_VECS)
+    cent = synthetic_vectors(spark, 64).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    out = ann_ivf_pq(
+        em, em.where(F.col("vec_id") < 64), cent,
+        dim=32, m_sub=4, k_codes=8, k=5, nprobe=2,
+    )
+    return _time_best(lambda: out, spark)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from logstash_spark.session import get_spark
@@ -246,6 +301,8 @@ def main() -> None:
     timings["dedupe_minhash_scale"] = round(bench_dedupe_scale(spark), 3)
     timings["dedupe_minhash_degenerate"] = round(bench_dedupe_degenerate(spark), 3)
     timings["ann_bruteforce_scale"] = round(bench_ann_scale(spark), 3)
+    timings["ann_ivf_pq_scale"] = round(bench_ann_pq_scale(spark), 3)
+    timings["semantic_dedup_scale"] = round(bench_semantic_dedup(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
