@@ -697,6 +697,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+# NOTE on the *_norm pre-computation used by every pairwise-cosine join
+# below: cosine(a, b) folds THREE interpreted HOF aggregates per pair
+# (dot + both norms). Each side's norm is a per-ROW quantity, so it is
+# computed once into a column BEFORE the join and the per-PAIR work
+# drops to the single dot fold (~3x fewer lambda evaluations; the join
+# is where rows multiply). dot/(anorm*bnorm) is the identical IEEE
+# expression tree, so oracle hashes are unchanged.
+
+
 def ann_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -720,14 +729,18 @@ def ann_topk_bruteforce(
 
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    ).withColumn("_qn", l2norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("_cn", l2norm(F.col("c_vec")))
     join_cond = (
         F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
     )
-    scored = (
-        c.join(F.broadcast(q), join_cond)
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    scored = c.join(F.broadcast(q), join_cond).withColumn(
+        "cos",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn")), 6
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -794,17 +807,20 @@ def ann_lsh_bucketed(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         hyperplane_sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
+    ).withColumn("_cn", l2norm(F.col("c_vec")))
     qb = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         hyperplane_sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
+    ).withColumn("_qn", l2norm(F.col("q_vec")))
     scored = cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
     if exclude_self:
         scored = scored.where(F.col("q_id") != F.col("c_id"))
     scored = scored.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        "cos",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn")), 6
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -812,6 +828,34 @@ def ann_lsh_bucketed(
         .where(F.col("rank") <= k)
         .select("q_id", "bucket", "c_id", "cos", "rank")
     )
+
+
+def _lit_dot_unrolled(vec_col: Column, values: list[float], offset: int = 0) -> Column:
+    """dot(vec[offset+1:offset+len], literal) as UNROLLED scalar exprs —
+    element_at/multiply/add are codegen-able where zip_with+aggregate
+    HOFs force interpreted projection (~10-30x slower). Fold order is
+    the identical left fold from 0.0, so values are bit-for-bit equal."""
+    expr: Column = F.lit(0.0)
+    for i, x in enumerate(values):
+        expr = expr + F.element_at(vec_col, offset + i + 1).cast("double") * F.lit(x)
+    return expr
+
+
+def _lit_l2sq_unrolled(vec_col: Column, values: list[float], offset: int = 0) -> Column:
+    """Squared L2 distance to a literal vector, unrolled (see above)."""
+    expr: Column = F.lit(0.0)
+    for i, x in enumerate(values):
+        d = F.element_at(vec_col, offset + i + 1).cast("double") - F.lit(x)
+        expr = expr + d * d
+    return expr
+
+
+def _l2norm_unrolled(vec_col: Column, dim: int) -> Column:
+    expr: Column = F.lit(0.0)
+    for i in range(dim):
+        x = F.element_at(vec_col, i + 1).cast("double")
+        expr = expr + x * x
+    return F.sqrt(expr)
 
 
 def ivf_assign(
@@ -827,18 +871,55 @@ def ivf_assign(
     id). Output: (id_col, vec_col, bucket, probe_rank).
 
     At 10^12 vectors the centroid table stays dictionary-sized (O(sqrt N)
-    lists at most) — assignment is a broadcast nested-loop scan, then all
-    downstream search joins are equi-joins on `bucket`.
+    lists at most) — assignment is a broadcast nested-loop scan. For the
+    corpus-side common case (nprobe=1) the nearest list is picked with
+    groupBy(id).agg(min(struct(-cos, cent_id))): min is an algebraic
+    aggregate, so MAP-SIDE COMBINE collapses the N x K joined rows back
+    to N before the exchange — the shuffle carries one row per vector.
+    (A Window.partitionBy(id) rank here would shuffle all N x K rows;
+    a fully expression-compiled assignment was tried and rejected: 128
+    unrolled cosines per projection blow the janino method limit and
+    fall back to interpreted eval, 2-5x slower than the join.)
+    nprobe>1 keeps the rank-window form — that path is for the QUERY
+    side, which is small by construction.
+
+    The `0.0 - cos` sort key normalizes -0.0 so a zero cosine cannot
+    order differently across engines; ordering is (cosine desc,
+    cent_id asc) either way.
     """
     from pyspark.sql.window import Window
 
     c = centroids.select(
         F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_vec")
+    ).withColumn("_cent_n", l2norm(F.col("_cent_vec")))
+    scored = df.withColumn("_vn", l2norm(F.col(vec_col))).join(
+        F.broadcast(c)
+    ).withColumn(
+        "_ccos",
+        F.round(
+            dot(F.col(vec_col), F.col("_cent_vec"))
+            / (F.col("_vn") * F.col("_cent_n")),
+            6,
+        ),
     )
-    scored = df.join(F.broadcast(c)).withColumn(
-        "_ccos", F.round(cosine(F.col(vec_col), F.col("_cent_vec")), 6)
+    if nprobe == 1:
+        key = F.struct(
+            (F.lit(0.0) - F.col("_ccos")).alias("_nc"),
+            F.col("_cent_id").alias("cent_id"),
+        )
+        return (
+            scored.groupBy(id_col)
+            .agg(F.min(key).alias("_best"), F.first(vec_col).alias(vec_col))
+            .select(
+                id_col,
+                vec_col,
+                F.col("_best.cent_id").alias("bucket"),
+                F.lit(1).alias("probe_rank"),
+            )
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        (F.lit(0.0) - F.col("_ccos")).asc(), F.col("_cent_id").asc()
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cent_id"))
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))
         .where(F.col("probe_rank") <= nprobe)
@@ -874,14 +955,19 @@ def ann_ivf(
     cb = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
     cb = cb.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket"
-    )
+    ).withColumn("_cn", l2norm(F.col("c_vec")))
     qb = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
-    qb = qb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket")
+    qb = qb.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    ).withColumn("_qn", l2norm(F.col("q_vec")))
     scored = cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
     if exclude_self:
         scored = scored.where(F.col("q_id") != F.col("c_id"))
     scored = scored.withColumn(
-        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        "cos",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn")), 6
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
@@ -954,10 +1040,22 @@ def embedding_dup_pairs(
         (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_rep"))
     ).select(F.col("_rep").alias("doc_a"), F.col("_id").alias("doc_b"))
     cand = pairs_normal.unionByName(pairs_hot).dropDuplicates(["doc_a", "doc_b"])
+    nbase = base.withColumn("_n", l2norm(F.col("_v")))
     scored = (
-        cand.join(base.withColumnsRenamed({"_id": "doc_a", "_v": "_va"}), "doc_a")
-        .join(base.withColumnsRenamed({"_id": "doc_b", "_v": "_vb"}), "doc_b")
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        cand.join(
+            nbase.withColumnsRenamed({"_id": "doc_a", "_v": "_va", "_n": "_na"}),
+            "doc_a",
+        )
+        .join(
+            nbase.withColumnsRenamed({"_id": "doc_b", "_v": "_vb", "_n": "_nb"}),
+            "doc_b",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
     )
     return scored.where(F.col("cos") >= threshold).select("doc_a", "doc_b", "cos")
 
@@ -1898,11 +1996,22 @@ def semantic_dedup(
         (F.col("_bn") > max_bucket) & (F.col("_id") != F.col("_rep"))
     ).select(F.col("_rep").alias("_a"), F.col("_id").alias("_b"))
     cand = pairs_normal.unionByName(pairs_hot).dropDuplicates(["_a", "_b"])
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    ).withColumn("_n", l2norm(F.col("_v")))
     scored = (
-        cand.join(vecs.withColumnsRenamed({"_vid": "_a", "_v": "_va"}), "_a")
-        .join(vecs.withColumnsRenamed({"_vid": "_b", "_v": "_vb"}), "_b")
-        .withColumn("_cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        cand.join(
+            vecs.withColumnsRenamed({"_vid": "_a", "_v": "_va", "_n": "_na"}), "_a"
+        )
+        .join(
+            vecs.withColumnsRenamed({"_vid": "_b", "_v": "_vb", "_n": "_nb"}), "_b"
+        )
+        .withColumn(
+            "_cos",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
     )
     dropped = scored.where(F.col("_cos") >= threshold).select(
         F.col("_b").alias("_dup_id")
@@ -2078,9 +2187,16 @@ def pq_encode(
     cb = pq_codebook(m_sub, k_codes, sub_dim)
     codes = []
     for m in range(m_sub):
-        sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+        # unrolled scalar math at absolute offsets (codegen; identical
+        # fold to the zip_with form and the DuckDB oracle)
         dists = F.array(
-            *[F.round(_l2sq(sub, cb[m][j]), 6) for j in range(k_codes)]
+            *[
+                F.round(
+                    _lit_l2sq_unrolled(F.col(vec_col), cb[m][j], offset=m * sub_dim),
+                    6,
+                )
+                for j in range(k_codes)
+            ]
         )
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")

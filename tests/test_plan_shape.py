@@ -111,11 +111,26 @@ def test_ann_ivf_no_query_side_broadcast_hint(spark):
         return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
     self_dedup = ann_ivf(em, em, cent, k=3, nprobe=1, broadcast_queries=False)
-    assert hints(self_dedup) == 2
+    assert hints(self_dedup) == 2  # the two centroid-table broadcasts
     dictionary_q = ann_ivf(
         em, em.where(F.col("vec_id") < 3), cent, k=3, nprobe=1, broadcast_queries=True
     )
     assert hints(dictionary_q) == 3
+
+
+def test_ivf_assign_nprobe1_mapside_combine(spark):
+    """Corpus-side assignment (nprobe=1) must be min-struct aggregation,
+    NOT a rank window: partial_min runs map-side, so the exchange
+    carries one row per vector instead of all N x K joined rows."""
+    from logstash_spark.operators.dataprep import ivf_assign
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(ivf_assign(em, em.where(F.col("vec_id") < 8), nprobe=1))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
+    # the query-side nprobe>1 path still ranks with a window
+    plan2 = plan_of(ivf_assign(em, em.where(F.col("vec_id") < 8), nprobe=2))
+    assert "Window" in plan2
 
 
 def test_sequence_packing_two_exchanges_no_token_rows(spark):
