@@ -215,14 +215,7 @@ def bench_ann_scale(spark) -> float:
 
     from logstash_spark.operators.dataprep import ann_topk_bruteforce
 
-    i = F.col("id")
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda j: (((i * 63 + j.cast("long") * 40503) % 1000).cast("double") / 500.0 - 1.0),
-    )
-    em = spark.range(0, ANN_VECS, 1, CPUS * 4).select(
-        i.alias("vec_id"), vec.alias("embedding")
-    )
+    em = synthetic_vectors(spark, ANN_VECS)
     out = ann_topk_bruteforce(em, em.where(F.col("vec_id") < 16), k=5)
     return _time_best(lambda: out, spark)
 
@@ -231,13 +224,21 @@ SEM_VECS = int(os.environ.get("SPARK_GRAFT_SEM_VECS", "20000"))
 
 
 def synthetic_vectors(spark, n: int, dim: int = 32, id_col: str = "vec_id"):
-    """Deterministic pseudo-random dense vectors (pure column synthesis)."""
+    """Deterministic pseudo-random dense vectors (pure column synthesis).
+
+    Components MUST be properly mixed (xxhash64): the earlier linear
+    form ((i*63 + j*40503) % 1000) was periodic in i mod 1000, so every
+    corpus was ~99% exact duplicates and the ANN/dedup benches measured
+    a degenerate workload."""
     from pyspark.sql import functions as F
 
     i = F.col("id")
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (((i * 63 + j.cast("long") * 40503) % 1000).cast("double") / 500.0 - 1.0),
+        lambda j: (
+            F.pmod(F.xxhash64(i * F.lit(1000003) + j.cast("long")), F.lit(2000))
+            .cast("double") / 1000.0 - 1.0
+        ),
     )
     return spark.range(0, n, 1, CPUS * 4).select(i.alias(id_col), vec.alias("embedding"))
 

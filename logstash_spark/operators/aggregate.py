@@ -326,10 +326,14 @@ def throttle(
     `before_count` / `after_count` mirror the reference's full option
     surface (logstash-filter-throttle §before_count/after_count): tag an
     event when its 1-based sequence number within (key, window) is
-    < before_count OR > after_count; -1 disables a bound. `after_count`
-    defaults to `max_count` (the common single-bound form above)."""
+    < before_count OR > after_count; -1 disables a bound. When
+    `after_count` is not given it defaults to `max_count` (the common
+    single-bound form above) — UNLESS `before_count` is set, in which
+    case the after bound is DISABLED, matching the reference where both
+    bounds default to -1 (a before-only config must not silently
+    inherit max_count=100)."""
     if after_count is None:
-        after_count = max_count
+        after_count = -1 if before_count >= 0 else max_count
     win_start = F.window(F.col(ts), f"{period_seconds} seconds").getField("start")
     df = df.withColumn("_win", win_start)
     order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])

@@ -830,16 +830,6 @@ def ann_lsh_bucketed(
     )
 
 
-def _lit_dot_unrolled(vec_col: Column, values: list[float], offset: int = 0) -> Column:
-    """dot(vec[offset+1:offset+len], literal) as UNROLLED scalar exprs —
-    element_at/multiply/add are codegen-able where zip_with+aggregate
-    HOFs force interpreted projection (~10-30x slower). Fold order is
-    the identical left fold from 0.0, so values are bit-for-bit equal."""
-    expr: Column = F.lit(0.0)
-    for i, x in enumerate(values):
-        expr = expr + F.element_at(vec_col, offset + i + 1).cast("double") * F.lit(x)
-    return expr
-
 
 def _lit_l2sq_unrolled(vec_col: Column, values: list[float], offset: int = 0) -> Column:
     """Squared L2 distance to a literal vector, unrolled (see above)."""
@@ -850,13 +840,6 @@ def _lit_l2sq_unrolled(vec_col: Column, values: list[float], offset: int = 0) ->
     return expr
 
 
-def _l2norm_unrolled(vec_col: Column, dim: int) -> Column:
-    expr: Column = F.lit(0.0)
-    for i in range(dim):
-        x = F.element_at(vec_col, i + 1).cast("double")
-        expr = expr + x * x
-    return F.sqrt(expr)
-
 
 def ivf_assign(
     df: DataFrame,
@@ -865,6 +848,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    vec_norm: str | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its `nprobe` nearest
     centroids by cosine (broadcast centroid table; ties break on centroid
@@ -885,45 +869,56 @@ def ivf_assign(
 
     The `0.0 - cos` sort key normalizes -0.0 so a zero cosine cannot
     order differently across engines; ordering is (cosine desc,
-    cent_id asc) either way.
+    cent_id asc) either way, with NULL/NaN cosines (degenerate
+    centroids) always last. Pass `vec_norm="col"` to also emit the
+    already-computed ||v|| so downstream scoring joins don't refold it.
     """
     from pyspark.sql.window import Window
 
     c = centroids.select(
         F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_vec")
     ).withColumn("_cent_n", l2norm(F.col("_cent_vec")))
-    scored = df.withColumn("_vn", l2norm(F.col(vec_col))).join(
+    scored = df.withColumn("_vnorm", l2norm(F.col(vec_col))).join(
         F.broadcast(c)
     ).withColumn(
         "_ccos",
         F.round(
             dot(F.col(vec_col), F.col("_cent_vec"))
-            / (F.col("_vn") * F.col("_cent_n")),
+            / (F.col("_vnorm") * F.col("_cent_n")),
             6,
         ),
     )
+    # sort key: (0.0 - cos) normalizes -0.0; coalesce sends a NULL
+    # cosine (null embedding element) LAST like the original desc
+    # ordering, and +-NaN (zero-norm vector) also sorts last under
+    # ascending double order — a degenerate centroid can never win.
+    nkey = F.coalesce(F.lit(0.0) - F.col("_ccos"), F.lit(float("inf")))
+    norm_cols = [F.col("_vnorm").alias(vec_norm)] if vec_norm else []
     if nprobe == 1:
-        key = F.struct(
-            (F.lit(0.0) - F.col("_ccos")).alias("_nc"),
-            F.col("_cent_id").alias("cent_id"),
-        )
+        key = F.struct(nkey.alias("_nc"), F.col("_cent_id").alias("cent_id"))
         return (
             scored.groupBy(id_col)
-            .agg(F.min(key).alias("_best"), F.first(vec_col).alias(vec_col))
+            .agg(
+                F.min(key).alias("_best"),
+                F.first(vec_col).alias(vec_col),
+                F.first("_vnorm").alias("_vnorm_agg"),
+            )
             .select(
                 id_col,
                 vec_col,
                 F.col("_best.cent_id").alias("bucket"),
                 F.lit(1).alias("probe_rank"),
+                *([F.col("_vnorm_agg").alias(vec_norm)] if vec_norm else []),
             )
         )
-    w = Window.partitionBy(id_col).orderBy(
-        (F.lit(0.0) - F.col("_ccos")).asc(), F.col("_cent_id").asc()
-    )
+    w = Window.partitionBy(id_col).orderBy(nkey.asc(), F.col("_cent_id").asc())
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))
         .where(F.col("probe_rank") <= nprobe)
-        .select(id_col, vec_col, F.col("_cent_id").alias("bucket"), "probe_rank")
+        .select(
+            id_col, vec_col, F.col("_cent_id").alias("bucket"), "probe_rank",
+            *norm_cols,
+        )
     )
 
 
@@ -952,14 +947,16 @@ def ann_ivf(
     the day queries = corpus."""
     from pyspark.sql.window import Window
 
-    cb = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
-    cb = cb.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket"
-    ).withColumn("_cn", l2norm(F.col("c_vec")))
-    qb = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
-    qb = qb.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
-    ).withColumn("_qn", l2norm(F.col("q_vec")))
+    cb = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1,
+        vec_norm="_cn",
+    ).select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+             "bucket", "_cn")
+    qb = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
+        vec_norm="_qn",
+    ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+             "bucket", "_qn")
     scored = cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
     if exclude_self:
         scored = scored.where(F.col("q_id") != F.col("c_id"))
@@ -2138,28 +2135,6 @@ def pq_codebook(
     ]
 
 
-def _l2sq(sub: Column, code_vec: list[float]) -> Column:
-    """Squared L2 distance between an array slice and a literal code
-    vector — left-fold over elements (same order as DuckDB list_reduce)."""
-    lit = F.array(*[F.lit(v) for v in code_vec])
-    # (a-b)*(a-b), NOT pow(a-b, 2): pow is not guaranteed bit-identical
-    # across engines; plain multiply is a single IEEE op everywhere.
-    return F.aggregate(
-        F.zip_with(
-            sub, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _dot_lit(sub: Column, code_vec: list[float]) -> Column:
-    lit = F.array(*[F.lit(v) for v in code_vec])
-    return F.aggregate(
-        F.zip_with(sub, lit, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def pq_encode(

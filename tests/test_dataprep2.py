@@ -170,3 +170,18 @@ class TestThrottleBeforeAfter:
         ta = sorted(r["event_id"] for r in a.collect() if "t" in (r["tags"] or []))
         tb = sorted(r["event_id"] for r in b.collect() if "t" in (r["tags"] or []))
         assert ta == tb == [3, 4]
+
+    def test_before_only_disables_after_bound(self, spark):
+        # reference parity: a before-only config must NOT inherit the
+        # max_count=100 after bound
+        from logstash_spark.operators.aggregate import throttle
+
+        rows = [(i, "k", "2024-01-01 00:00:01") for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "event_id long, k string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = throttle(df, "k", "ts", max_count=3, before_count=2,
+                       tag="t", tiebreak="event_id")
+        tagged = sorted(r["event_id"] for r in out.collect()
+                        if "t" in (r["tags"] or []))
+        assert tagged == [1]  # only the before bound fires
