@@ -2256,3 +2256,139 @@ def ann_ivf_pq(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "score_pq", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: deterministic sampling / classifier scoring / sharding
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+    seed: str = "strat",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    `portable_hash32(key ':' seed) % scale < rate(stratum) * scale`.
+
+    The training-mix workhorse (downweight a dominant language / crawl
+    source without a shuffle): the rate table compiles to a plan-time
+    CASE over literals, so the whole op is ONE pushdown-able filter —
+    zero shuffle, zero extra scan, and re-running with the same seed
+    reproduces the exact sample on any engine (md5-derived hash). A
+    different `seed` yields an independent sample; overlapping seeds
+    compose (p(keep both) = p1·p2) the way repeated Bernoulli thinning
+    should. For thousands of strata pass the rates as a broadcast-join
+    table instead; the literal CASE is for the common few-strata case.
+    Reference intent: logstash-filter-drop §percentage, made per-stratum
+    and collision-free."""
+    thr_expr = None
+    for strat, rate in sorted(rates.items()):
+        t = F.lit(int(round(rate * scale)))
+        cond = F.col(stratum_col) == F.lit(strat)
+        thr_expr = F.when(cond, t) if thr_expr is None else thr_expr.when(cond, t)
+    default = F.lit(int(round(default_rate * scale)))
+    thr = default if thr_expr is None else thr_expr.otherwise(default)
+    h = portable_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + seed))
+    )
+    return df.where(F.pmod(h, F.lit(scale)) < thr)
+
+
+#: Default linear quality-classifier weights over `quality_features`
+#: outputs. Dyadic rationals (k/2^n) so weight*feature is one exact IEEE
+#: multiply in every engine.
+CLF_WEIGHTS = {
+    "len_norm": 2.0,
+    "stop_ratio": 1.5,
+    "punct_ratio": -4.0,
+    "quality": 1.0,
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    *,
+    weights: dict[str, float] | None = None,
+    bias: float = -1.25,
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Linear quality classifier over `quality_features` (the fasttext /
+    DCLM-style keep-vs-drop model, re-expressed as a broadcastable
+    literal weight vector): logit = bias + Σ w_f·x_f, keep = logit >
+    threshold.
+
+    Pure column expressions — zero shuffle, survives any scale; training
+    happens offline and ships as literals (exactly how a 100 TB pass
+    deploys a small linear/fasttext scorer). The sigmoid is deliberately
+    NOT applied (transcendental, engine-dependent last ulp, monotone in
+    the probability anyway) and neither is floating accumulation: a sum
+    of 4dp-rounded features × decimal weights lands ON decimal rounding
+    ties constantly, so float round-then-compare diverges across
+    engines. Instead everything is integer-quantized — features to
+    1e-4 units (exact: they ARE 4dp decimals), weights/threshold to
+    1e-1 and bias to 1e-5 units (must be decimal-exact at that scale) —
+    and the logit is exact BIGINT arithmetic: `clf_logit_q` in 1e-5
+    units, `clf_logit` = that / 1e5 (one exact-input division).
+    `len_norm` = min(1, n_words/64) (dyadic, so ×10000 has no float
+    fuzz). Reference intent: quality scoring a la CCNet/Gopher,
+    deployed Logstash-style as a stateless filter."""
+    w = dict(CLF_WEIGHTS if weights is None else weights)
+    for name, wt in w.items():
+        if abs(wt * 10 - round(wt * 10)) > 1e-9:
+            raise ValueError(f"weight {name}={wt}: must be a multiple of 0.1")
+    feats = quality_features(F.col(text_col))
+    feats["len_norm"] = F.least(
+        F.lit(1.0), feats["n_words"].cast("double") / 64
+    )
+    logit_q = F.lit(int(round(bias * 100000)))
+    for name in sorted(w):
+        f_q = F.round(feats[name] * 10000).cast("long")
+        logit_q = logit_q + f_q * F.lit(int(round(w[name] * 10)))
+    return df.withColumn("clf_logit_q", logit_q).withColumn(
+        "clf_logit", logit_q.cast("double") / 100000
+    ).withColumn("clf_keep", logit_q > F.lit(int(round(threshold * 100000))))
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    key_col: str = "doc_id",
+    seed: str = "shard",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets a
+    `shard` in [0, n_shards) and a stable pseudo-random order within it.
+
+    shard = portable_hash32(key ':' seed) % n_shards; the order key is an
+    independent second hash (salt ':ord') so within-shard order shares no
+    bits with the shard choice. `with_position=True` adds the 1-based
+    `shard_pos` via row_number — ONE shuffle on `shard`. That bounds
+    parallelism at n_shards, which is the point for export (one writer
+    per output file); for n_shards << cores at 100 TB, instead write with
+    `df.repartition(n_shards, "shard").sortWithinPartitions("shard_ord")`
+    — identical order, full write parallelism, no window. Reference
+    intent: the elasticsearch output's deterministic routing
+    (logstash-output-elasticsearch §routing), generalized to shard files
+    for training-data loaders that need reshuffle-free, reproducible
+    epoch order."""
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string")
+    h = portable_hash32(F.concat(key, F.lit(":" + seed)))
+    out = df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int")).withColumn(
+        "shard_ord", portable_hash32(F.concat(key, F.lit(":" + seed + ":ord")))
+    )
+    if with_position:
+        w = Window.partitionBy("shard").orderBy(
+            F.col("shard_ord").asc(), F.col(key_col).asc()
+        )
+        out = out.withColumn("shard_pos", F.row_number().over(w))
+    return out

@@ -748,6 +748,7 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
 # maps (bottom imports avoid a cycle).
 from logstash_spark import queries_dataprep as _qdp  # noqa: E402,F401
 from logstash_spark import queries_dataprep2 as _qdp2  # noqa: E402,F401
+from logstash_spark import queries_dataprep3 as _qdp3  # noqa: E402,F401
 from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401
 from logstash_spark import queries_logstash3 as _ql3  # noqa: E402,F401
 from logstash_spark import queries_logstash4 as _ql4  # noqa: E402,F401
@@ -806,6 +807,9 @@ _DRIVER_PRIORITY = [
     "bloom_decontam",
     "ann_ivf_pq",
     "throttle_before_after",
+    "stratified_sample_det",
+    "quality_classifier_keep",
+    "shard_assign_det",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",
