@@ -204,3 +204,90 @@ def static_lookup_df(
 ) -> DataFrame:
     """Helper to build small dictionary DataFrames for broadcast joins."""
     return spark.createDataFrame(list(rows), schema=list(schema))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "valid_from",
+    value_cols: Sequence[str] | None = None,
+    right_tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
+    matched_ts: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the LATEST right row
+    with the same `on` keys and `right_ts` <= `left_ts` (point-in-time
+    enrichment — config/deploy version active when an event happened).
+
+    Spark lacks a native as-of join; the naive form is a range join that
+    Catalyst executes as a broadcast-nested-loop (O(N·M) per key — dead
+    at scale). This is the sort-merge re-expression: union both sides,
+    ONE window over (keys, time) carrying the last non-null right value
+    forward, keep left rows. ONE shuffle on the join keys, linear work,
+    no range explosion — the plan that survives 10^12 events against
+    10^6 dimension updates. Ties at identical timestamps: right rows
+    sort BEFORE left rows (inclusive <=, matching DuckDB ASOF JOIN and
+    pandas merge_asof); among equal-ts right rows, `right_tiebreak`
+    (ascending, last wins) makes the pick deterministic.
+
+    `tolerance_seconds` nulls out matches older than `left_ts - T`
+    (pandas merge_asof `tolerance`). `matched_ts` names an output column
+    carrying the matched right timestamp. NULL right values are skipped
+    by the carry-forward (an explicit NULL update falls through to the
+    prior version); encode deletions as sentinel values instead."""
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, right_ts)]
+    value_cols = list(value_cols)
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols already in left: {sorted(overlap)}")
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.col(right_ts).alias("_asof_rts"),
+        *[F.col(c) for c in value_cols],
+        *([F.col(right_tiebreak).alias("_asof_tb")] if right_tiebreak else []),
+    )
+    l = left.withColumn("_asof_ts", F.col(left_ts)).withColumn(
+        "_asof_side", F.lit(1)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    from pyspark.sql.window import Window
+
+    order = [F.col("_asof_ts").asc(), F.col("_asof_side").asc()]
+    if right_tiebreak:
+        order.append(F.col("_asof_tb").asc_nulls_first())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("_asof_rts", ignorenulls=True).over(w).alias("_asof_mts"),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_v_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.where(F.col("_asof_side") == 1)
+    keep_match = F.lit(True)
+    if tolerance_seconds is not None:
+        keep_match = F.col("_asof_mts") >= (
+            F.col("_asof_ts") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        )
+    sel = [c for c in left.columns]
+    for c in value_cols:
+        sel.append(
+            F.when(keep_match, F.col(f"_asof_v_{c}")).alias(c)
+        )
+    if matched_ts:
+        sel.append(F.when(keep_match, F.col("_asof_mts")).alias(matched_ts))
+    return out.select(*sel)

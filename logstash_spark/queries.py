@@ -810,6 +810,7 @@ _DRIVER_PRIORITY = [
     "stratified_sample_det",
     "quality_classifier_keep",
     "shard_assign_det",
+    "asof_enrich",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

@@ -627,3 +627,53 @@ def throttle_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_rn") > 3, 1)).alias("after_cnt"),
         F.count(F.when(tagged, 1)).alias("tagged_cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time enrichment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_enrich",
+    """
+    WITH dim AS (
+      SELECT event_type, ts AS valid_from, event_id AS cfg_version
+      FROM events WHERE event_id % 997 = 0
+    )
+    SELECT l.event_id, l.ts, l.event_type,
+           d.cfg_version, d.valid_from AS cfg_since
+    FROM events l ASOF LEFT JOIN dim d
+      ON l.event_type = d.event_type AND l.ts >= d.valid_from
+    """,
+)
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (`enrich.asof_join`): every event picks up the
+    config version active at its timestamp (latest dim row with
+    valid_from <= ts per event_type). The dim table is synthesized from
+    every 997th event. Spark has no native ASOF; the op is the
+    sort-merge re-expression — union + ONE window carry-forward, one
+    shuffle on the key, no O(N*M) range join. DuckDB's native ASOF LEFT
+    JOIN is the oracle."""
+    from logstash_spark.operators.enrich import asof_join
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "event_type")
+    dim = (
+        _ev(spark, sf_dir)
+        .where(F.col("event_id") % 997 == 0)
+        .select(
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.col("event_id").alias("cfg_version"),
+        )
+    )
+    return asof_join(
+        ev,
+        dim,
+        ["event_type"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["cfg_version"],
+        right_tiebreak="cfg_version",
+        matched_ts="cfg_since",
+    )

@@ -106,3 +106,63 @@ class TestShardAssign:
         out = D.shard_assign(docs, 8, with_position=False)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Window" not in plan
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, "a", "2024-01-01 00:00:05"),
+                (2, "a", "2024-01-01 00:00:15"),
+                (3, "a", "2024-01-01 00:00:30"),
+                (4, "b", "2024-01-01 00:00:10"),
+                (5, "c", "2024-01-01 00:00:10"),
+            ],
+            "event_id long, k string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [
+                ("a", "2024-01-01 00:00:00", 100),
+                ("a", "2024-01-01 00:00:15", 200),  # equal-ts: inclusive
+                ("b", "2024-01-01 00:00:20", 300),  # after the b event
+            ],
+            "k string, valid_from string, ver long",
+        ).withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+        return left, right
+
+    def test_backward_semantics(self, spark):
+        from logstash_spark.operators.enrich import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, ["k"], right_tiebreak="ver")
+        got = {r["event_id"]: r["ver"] for r in out.collect()}
+        # event 2 at :15 matches the :15 version (inclusive <=)
+        assert got == {1: 100, 2: 200, 3: 200, 4: None, 5: None}
+        assert out.count() == left.count()
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from logstash_spark.operators.enrich import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(
+            left, right, ["k"], right_tiebreak="ver",
+            tolerance_seconds=10, matched_ts="since",
+        )
+        got = {r["event_id"]: (r["ver"], r["since"] is not None) for r in out.collect()}
+        # event 3 at :30 is 15s past the :15 version -> outside tolerance
+        assert got[3] == (None, False)
+        assert got[2] == (200, True)
+
+    def test_single_shuffle_plan(self, spark):
+        from logstash_spark.operators.enrich import asof_join
+
+        left, right = self._frames(spark)
+        plan = (
+            asof_join(left, right, ["k"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # union + one window partitioned on the key: exactly ONE shuffle,
+        # and no broadcast-nested-loop range join
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
