@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -148,3 +148,123 @@ def multiline(
             ),
         ).drop("_chunk")
     return out.drop("_sess")
+
+
+@op("cef")
+def cef_decode(
+    df: DataFrame,
+    field: str,
+    *,
+    ext_target: str = "cef_ext",
+    keep_field: bool = False,
+) -> DataFrame:
+    """logstash-codec-cef (decode direction): parse an ArcSight Common
+    Event Format line
+    ``CEF:v|Vendor|Product|DevVersion|SigID|Name|Severity|k=v k2=v2 ...``
+    into typed header columns + an extension map.
+
+    Reference semantics (logstash-codec-cef README + CEF spec rev 25):
+      * the 7 header fields split on UNESCAPED ``|`` (``\\|`` is a
+        literal pipe inside a header value; ``\\\\`` a literal
+        backslash) — handled with a lookbehind split, then unescape;
+      * the trailing 8th segment is the extension: space-separated
+        ``key=value`` pairs where VALUES may contain spaces (the next
+        key starts at the next unescaped ``token=``), and ``\\=`` is a
+        literal equals inside a value.
+
+    All-Catalyst: one lookbehind split for headers, one lookahead split
+    for extension pair boundaries, HOF map build. Zero shuffle, zero
+    UDF; rows that don't start with ``CEF:`` tag ``_cefparsefailure``
+    and keep null headers (reference tags instead of throwing).
+    """
+    hdr = F.split(F.col(field), r"(?<!\\)\|", 8)
+
+    def unesc_hdr(c: Column) -> Column:
+        # \| -> | and \\ -> \  (single pass: any escaped char -> itself)
+        return F.regexp_replace(c, r"\\([\\|])", r"$1")
+
+    def seg(i: int) -> Column:
+        return F.when(F.size(hdr) >= i + 1, unesc_hdr(hdr[i]))
+
+    ok = F.col(field).rlike(r"^CEF:\d+\|")
+    version = F.when(ok, F.regexp_extract(hdr[0], r"^CEF:(\d+)$", 1).cast("int"))
+
+    # extension: pair boundaries are whitespace runs followed by a key=
+    # (keys are alnum/dot/bracket tokens per the CEF dictionary), '='
+    # inside values is escaped as \=
+    ext_raw = F.when(F.size(hdr) >= 8, hdr[7])
+    pairs = F.filter(
+        F.split(ext_raw, r"\s+(?=[A-Za-z0-9.\[\]_]+=)"),
+        lambda p: p.rlike(r"^[A-Za-z0-9.\[\]_]+="),
+    )
+    unesc_val = lambda c: F.regexp_replace(c, r"\\([\\=nr])", r"$1")  # noqa: E731
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.split(p, r"(?<!\\)=", 2).getItem(0).alias("key"),
+            unesc_val(F.split(p, r"(?<!\\)=", 2).getItem(1)).alias("value"),
+        ),
+    )
+    ext_map = F.when(ok & ext_raw.isNotNull(), F.map_from_entries(entries))
+
+    out = df.select(
+        *[c for c in df.columns if keep_field or c != field],
+        F.when(ok, version).alias("cef_version"),
+        F.when(ok, seg(1)).alias("device_vendor"),
+        F.when(ok, seg(2)).alias("device_product"),
+        F.when(ok, seg(3)).alias("device_version"),
+        F.when(ok, seg(4)).alias("signature_id"),
+        F.when(ok, seg(5)).alias("cef_name"),
+        F.when(ok, seg(6)).alias("severity"),
+        ext_map.alias(ext_target),
+        F.when(~ok, F.array(F.lit("_cefparsefailure")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("tags"),
+    )
+    return out
+
+
+def cef_encode(
+    df: DataFrame,
+    *,
+    vendor: str,
+    product: str,
+    device_version: str,
+    sig_id: str,
+    name: str,
+    severity: str,
+    ext_fields: Sequence[str],
+    target: str = "message",
+    cef_version: int = 0,
+) -> DataFrame:
+    """logstash-codec-cef (encode direction): render columns back into a
+    CEF line. Header COLUMNS (sig_id/name/severity name columns; vendor/
+    product/device_version are literals, matching the codec's config
+    knobs) are escaped (``\\`` then ``|``); extension values escape
+    ``\\`` then ``=``. Pure concat — zero shuffle."""
+    esc_hdr = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(c, r"\\", r"\\\\"), r"\|", r"\\|"
+    )
+    esc_val = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(c, r"\\", r"\\\\"), "=", r"\\="
+    )
+    esc_lit = lambda s: s.replace("\\", "\\\\").replace("|", "\\|")  # noqa: E731
+    ext = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"{k}="), esc_val(F.col(k).cast("string")))
+            for k in ext_fields
+        ],
+    )
+    line = F.concat_ws(
+        "|",
+        F.lit(f"CEF:{cef_version}"),
+        F.lit(esc_lit(vendor)),
+        F.lit(esc_lit(product)),
+        F.lit(esc_lit(device_version)),
+        esc_hdr(F.col(sig_id).cast("string")),
+        esc_hdr(F.col(name).cast("string")),
+        esc_hdr(F.col(severity).cast("string")),
+        ext,
+    )
+    return df.withColumn(target, line)

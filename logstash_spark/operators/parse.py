@@ -993,3 +993,37 @@ def syslog_pri(df: DataFrame, field: str = "syslog_pri") -> DataFrame:
             "syslog_facility": F.element_at(fac_arr, F.floor(pri / 8).cast("int") + 1),
         }
     )
+
+
+@op("json_encode")
+def json_encode(
+    df: DataFrame,
+    source: str | Sequence[str],
+    *,
+    target: str | None = None,
+) -> DataFrame:
+    """logstash-filter-json_encode: serialize a field into a JSON string
+    (the inverse of the json filter; the reference's one use case is
+    re-emitting a parsed hash as text for a downstream sink).
+
+    `source` may be one column (struct/map/array are serialized as-is;
+    a scalar is wrapped as ``{"<name>": value}`` to keep valid JSON —
+    the reference serializes whatever Ruby object the field holds) or a
+    list of columns, which serialize as one object in the given field
+    order. `to_json` is a JVM expression: zero UDF, zero shuffle, and
+    key order is the struct field order, so output is deterministic.
+    Default target overwrites the source in place (reference default)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(source, str):
+        dt = df.schema[source].dataType
+        col = (
+            F.col(source)
+            if isinstance(dt, (StructType, MapType, ArrayType))
+            else F.struct(F.col(source))
+        )
+        tgt = target or source
+    else:
+        col = F.struct(*[F.col(c) for c in source])
+        tgt = target or "json"
+    return df.withColumn(tgt, F.to_json(col))

@@ -752,6 +752,7 @@ from logstash_spark import queries_dataprep3 as _qdp3  # noqa: E402,F401
 from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401
 from logstash_spark import queries_logstash3 as _ql3  # noqa: E402,F401
 from logstash_spark import queries_logstash4 as _ql4  # noqa: E402,F401
+from logstash_spark import queries_logstash5 as _ql5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -811,6 +812,9 @@ _DRIVER_PRIORITY = [
     "quality_classifier_keep",
     "shard_assign_det",
     "asof_enrich",
+    "cef_codec",
+    "cipher_roundtrip",
+    "json_encode_field",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",
