@@ -17,6 +17,68 @@ from logstash_spark.operators import op
 from logstash_spark.operators.common import add_tag_when
 
 
+_HMAC_DIGESTS = {
+    "MD5": (lambda c: F.md5(c), 16),
+    "SHA1": (lambda c: F.sha1(c), 20),
+    "SHA256": (lambda c: F.sha2(c, 256), 32),
+}
+
+
+def hmac_hex(data: Column, key: str | bytes, method: str = "SHA256") -> Column:
+    """True RFC-2104 HMAC as a pure Catalyst expression.
+
+    The key is a config literal, so both pad blocks are computed driver-
+    side and embedded as binary literals: HMAC(k, m) = H(opad ‖ H(ipad ‖
+    m)). MD5/SHA1/SHA256 all use a 64-byte block; a key longer than the
+    block is first digested (RFC 2104 §2). The inner digest round-trips
+    hex→raw via unhex so the outer hash sees RAW digest bytes, exactly
+    like OpenSSL::HMAC in logstash-filter-fingerprint/anonymize. Zero
+    UDF, zero shuffle; verified bit-for-bit against Python's hmac module
+    in tests."""
+    import hashlib
+
+    m = method.upper().replace("-", "")
+    if m not in _HMAC_DIGESTS:
+        raise ValueError(f"hmac method must be one of {sorted(_HMAC_DIGESTS)}")
+    digest_fn, _ = _HMAC_DIGESTS[m]
+    kb = key.encode() if isinstance(key, str) else bytes(key)
+    if len(kb) > 64:
+        kb = hashlib.new(m.lower(), kb).digest()
+    blk = kb.ljust(64, b"\0")
+    ipad = bytearray(b ^ 0x36 for b in blk)
+    opad = bytearray(b ^ 0x5C for b in blk)
+    inner = digest_fn(F.concat(F.lit(ipad), data.cast("binary")))
+    return digest_fn(F.concat(F.lit(opad), F.unhex(inner)))
+
+
+@op("anonymize")
+def anonymize(
+    df: DataFrame,
+    fields: str | Sequence[str],
+    *,
+    algorithm: str = "SHA256",
+    key: str | None = None,
+) -> DataFrame:
+    """logstash-filter-anonymize: overwrite each field IN PLACE with its
+    hex digest (key=None) or keyed HMAC hexdigest (the reference uses
+    OpenSSL::HMAC when a key is configured — reproduced exactly by
+    `hmac_hex`, not a key-concat approximation). Null fields stay null
+    (the reference skips absent fields). Pure column rewrite, zero
+    shuffle."""
+    names = [fields] if isinstance(fields, str) else list(fields)
+    m = algorithm.upper().replace("-", "")
+    if key is not None:
+        mk = lambda c: hmac_hex(c, key, m)  # noqa: E731
+    elif m in _HMAC_DIGESTS:
+        fn, _ = _HMAC_DIGESTS[m]
+        mk = lambda c: fn(c.cast("string"))  # noqa: E731
+    else:
+        raise ValueError(f"anonymize algorithm must be one of {sorted(_HMAC_DIGESTS)}")
+    return df.withColumns(
+        {n: F.when(F.col(n).isNotNull(), mk(F.col(n).cast("string"))) for n in names}
+    )
+
+
 @op("fingerprint")
 def fingerprint(
     df: DataFrame,
@@ -30,8 +92,9 @@ def fingerprint(
     """logstash-filter-fingerprint: hash of field(s).
 
     MURMUR3→xxhash64 (both 64-bit non-crypto; stated substitution),
-    MD5/SHA1/SHA256 exact, UUID→uuid(). HMAC key folds into the input
-    (approximation — Logstash uses true HMAC when key is set).
+    MD5/SHA1/SHA256 exact, UUID→uuid(). A key engages true RFC-2104
+    HMAC via `hmac_hex` (exactly OpenSSL::HMAC in fingerprint.rb; the
+    pre-round-3 key-concat approximation is gone).
     concatenate_sources=False mirrors the reference's per-source loop
     where each source overwrites `target` — i.e. the LAST source's hash
     wins (fingerprint.rb sets the event field once per source).
@@ -39,9 +102,11 @@ def fingerprint(
     sources = [source] if isinstance(source, str) else list(source)
     cols = [F.col(s).cast("string") for s in sources]
     data = F.concat_ws("|", *cols) if concatenate_sources else cols[-1]
-    if key:
-        data = F.concat(F.lit(key), F.lit("|"), data)
     m = method.upper()
+    if key:
+        if m.replace("-", "") not in _HMAC_DIGESTS:
+            raise ValueError(f"fingerprint key= requires an HMAC-able method, got {method}")
+        return df.withColumn(target, hmac_hex(data, key, m))
     if m == "MURMUR3":
         out: Column = F.xxhash64(data)
     elif m == "MD5":

@@ -132,6 +132,28 @@ PATTERNS: dict[str, str] = {
         r" +(?:-|%{SYSLOG5424SD:syslog5424_sd})"
     ),
     "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+    # haproxy HTTP-mode access log (logstash-patterns-core
+    # patterns/legacy/haproxy — behavioral rewrite; captured header /
+    # cookie segments kept as single fields like the stock pattern)
+    "HAPROXYTIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})",
+    "HAPROXYDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{HAPROXYTIME}\.%{INT}",
+    "HAPROXYHTTPBASE": (
+        r"%{IP:client_ip}:%{INT:client_port:int} \[%{HAPROXYDATE:accept_date}\]"
+        r" %{NOTSPACE:frontend_name} %{NOTSPACE:backend_name}/%{NOTSPACE:server_name}"
+        r" %{INT:time_request:int}/%{INT:time_queue:int}/%{INT:time_backend_connect:int}"
+        r"/%{INT:time_backend_response:int}/%{NOTSPACE:time_duration}"
+        r" %{INT:http_status_code:int} %{NOTSPACE:bytes_read}"
+        r" %{DATA:captured_request_cookie} %{DATA:captured_response_cookie}"
+        r" %{NOTSPACE:termination_state}"
+        r" %{INT:actconn:int}/%{INT:feconn:int}/%{INT:beconn:int}"
+        r"/%{INT:srvconn:int}/%{NOTSPACE:retries}"
+        r" %{INT:srv_queue:int}/%{INT:backend_queue:int}"
+        r"(?: \{%{DATA:captured_request_headers}\})?"
+        r"(?: \{%{DATA:captured_response_headers}\})?"
+        r" \"(?:<BADREQ>|%{WORD:http_verb} %{NOTSPACE:http_request}"
+        r"(?: HTTP/%{NUMBER:http_version})?)\"?"
+    ),
+    "HAPROXYHTTP": r"(?:%{SYSLOGTIMESTAMP:syslog_timestamp}|%{TIMESTAMP_ISO8601:timestamp8601}) %{IPORHOST:syslog_server} %{SYSLOGPROG}: %{HAPROXYHTTPBASE}",
     # java
     "JAVACLASS": r"(?:[A-Za-z$_][A-Za-z$_0-9]*\.)*[A-Za-z$_][A-Za-z$_0-9]*",
     "JAVAFILE": r"[A-Za-z$_0-9. -]+",

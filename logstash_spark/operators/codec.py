@@ -224,6 +224,214 @@ def cef_decode(
     return out
 
 
+@op("json_lines")
+def json_lines_decode(
+    df: DataFrame,
+    field: str,
+    schema: str,
+    *,
+    delimiter: str = "\n",
+    line_no: str = "line_no",
+    keep_field: bool = False,
+) -> DataFrame:
+    """logstash-codec-json_lines (decode direction): split a blob on
+    `delimiter`, JSON-parse each line into top-level columns of
+    `schema` (a DDL string, e.g. ``"a INT, b STRING"``).
+
+    Reference semantics (logstash-codec-json_lines decode): an
+    unparsable line still becomes an event — raw text preserved in
+    `raw_line` — tagged ``_jsonparsefailure``; empty lines are skipped.
+    All-Catalyst: one narrow posexplode + from_json, zero shuffle, zero
+    UDF. Corrupt-line detection uses the PERMISSIVE-mode
+    columnNameOfCorruptRecord channel (same machinery as
+    parse.json_filter — from_json yields an all-null struct, never a
+    NULL struct, so struct-nullness alone can't signal failure).
+    """
+    from pyspark.sql import types as T
+
+    st = T._parse_datatype_string(schema)
+    corrupt = "_corrupt_record"
+    while corrupt in set(st.fieldNames()):
+        corrupt = "_" + corrupt
+    st_c = T.StructType(list(st.fields) + [T.StructField(corrupt, T.StringType())])
+
+    lines = F.filter(
+        F.split(F.col(field), re.escape(delimiter)), lambda s: s != ""
+    )
+    out = df.select(
+        *[c for c in df.columns if keep_field or c != field],
+        F.posexplode(lines).alias(line_no, "_raw"),
+    )
+    parsed = F.from_json(
+        F.col("_raw"), st_c,
+        {"columnNameOfCorruptRecord": corrupt, "mode": "PERMISSIVE"},
+    )
+    out = out.withColumn("_p", parsed)
+    ok = F.col("_p").isNotNull() & F.col(f"_p.`{corrupt}`").isNull()
+    return out.select(
+        *[c for c in out.columns if c not in ("_raw", "_p")],
+        *[F.when(ok, F.col(f"_p.`{f}`")).alias(f) for f in st.fieldNames()],
+        F.when(~ok, F.array(F.lit("_jsonparsefailure")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("tags"),
+        F.when(~ok, F.col("_raw")).alias("raw_line"),
+    )
+
+
+@op("graphite")
+def graphite_decode(
+    df: DataFrame,
+    field: str,
+    *,
+    keep_field: bool = False,
+) -> DataFrame:
+    """logstash-codec-graphite (decode direction): parse plaintext
+    graphite protocol lines ``metric.path value timestamp`` into
+    (metric string, value double, ts timestamp). Malformed lines keep
+    null columns and tag ``_graphiteparsefailure`` (the reference codec
+    raises per-line; tagging is the batch-engine analog, consistent
+    with every other parse op here). Zero shuffle, zero UDF."""
+    m = F.regexp_extract(F.col(field), r"^(\S+) (-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?) (\d+)$", 0)
+    ok = m != ""
+    metric = F.regexp_extract(F.col(field), r"^(\S+) ", 1)
+    value = F.regexp_extract(F.col(field), r"^\S+ (-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?) ", 1)
+    ts = F.regexp_extract(F.col(field), r" (\d+)$", 1)
+    return df.select(
+        *[c for c in df.columns if keep_field or c != field],
+        F.when(ok, metric).alias("metric"),
+        F.when(ok, value.cast("double")).alias("value"),
+        F.when(ok, F.timestamp_seconds(ts.cast("long"))).alias("ts"),
+        F.when(~ok, F.array(F.lit("_graphiteparsefailure")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("tags"),
+    )
+
+
+def graphite_encode(
+    df: DataFrame,
+    *,
+    metric_col: str = "metric",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    target: str = "message",
+) -> DataFrame:
+    """logstash-codec-graphite / logstash-output-graphite (encode
+    direction): render ``metric value epoch_seconds`` lines. Integral
+    values print without a trailing ``.0`` (graphite servers parse
+    either; the compact form matches the reference's Ruby Float#to_s
+    only for non-integral values — stated substitution). Pure concat."""
+    v = F.col(value_col).cast("double")
+    v_str = F.when(
+        v == F.floor(v), v.cast("long").cast("string")
+    ).otherwise(v.cast("string"))
+    return df.withColumn(
+        target,
+        F.concat_ws(
+            " ",
+            F.col(metric_col),
+            v_str,
+            F.unix_timestamp(F.col(ts_col)).cast("string"),
+        ),
+    )
+
+
+@op("es_bulk")
+def es_bulk_decode(
+    df: DataFrame,
+    field: str,
+    *,
+    group_by: Sequence[str],
+    keep_field: bool = False,
+) -> DataFrame:
+    """logstash-codec-es_bulk (decode direction): parse an Elasticsearch
+    bulk-API NDJSON body — alternating action/metadata lines
+    (``{"index":{"_index":"logs","_id":"7"}}``) and source-document
+    lines; ``delete`` actions carry no source line.
+
+    Relational pairing: posexplode lines, classify each line as an
+    action line (exactly one of the four action keys present at the top
+    level), then ``lead(1)`` over (group_by, line_no) attaches the
+    following line as the candidate source; a candidate that is itself
+    an action line (the ``delete`` case, or a malformed body) yields a
+    null source. ONE window shuffle keyed on `group_by` (the enclosing
+    request/blob id — bulk bodies are independent, so this parallelizes
+    across requests; lines within one body must be ordered, which is
+    inherent to the format, not a design choice). Non-action,
+    non-source lines are dropped exactly like the reference codec's
+    state machine consumes them.
+
+    Output: group keys + action, bulk_index, bulk_id, source (raw JSON
+    string — downstream json_filter applies a schema).
+    """
+    keys = list(group_by)
+    lines = F.filter(F.split(F.col(field), "\n"), lambda s: s != "")
+    ex = df.select(*keys, F.posexplode(lines).alias("_ln", "_raw"))
+
+    def meta(action: str, k: str) -> Column:
+        return F.get_json_object(F.col("_raw"), f"$.{action}.{k}")
+
+    action = (
+        F.when(F.get_json_object("_raw", "$.index").isNotNull(), F.lit("index"))
+        .when(F.get_json_object("_raw", "$.create").isNotNull(), F.lit("create"))
+        .when(F.get_json_object("_raw", "$.update").isNotNull(), F.lit("update"))
+        .when(F.get_json_object("_raw", "$.delete").isNotNull(), F.lit("delete"))
+    )
+    ex = ex.withColumn("_action", action)
+    w = Window.partitionBy(*keys).orderBy("_ln")
+    nxt_raw = F.lead("_raw", 1).over(w)
+    nxt_action = F.lead("_action", 1).over(w)
+    # lead() must see the source lines too — attach the candidate source
+    # BEFORE filtering down to action lines (filtering first would make
+    # lead() skip straight to the next action line).
+    out = ex.withColumn(
+        "source",
+        F.when((F.col("_action") != "delete") & nxt_action.isNull(), nxt_raw),
+    ).where(F.col("_action").isNotNull())
+    idx = F.coalesce(*[meta(a, "_index") for a in ("index", "create", "update", "delete")])
+    did = F.coalesce(*[meta(a, "_id") for a in ("index", "create", "update", "delete")])
+    return out.select(
+        *keys,
+        F.col("_ln").alias("line_no"),
+        F.col("_action").alias("action"),
+        idx.alias("bulk_index"),
+        did.alias("bulk_id"),
+        "source",
+    )
+
+
+def es_bulk_encode(
+    df: DataFrame,
+    *,
+    index: str | Column,
+    id_col: str,
+    source_cols: Sequence[str],
+    action: str = "index",
+    target: str = "message",
+) -> DataFrame:
+    """logstash-output-elasticsearch bulk serialization (the transport
+    itself is out of scope per SURVEY §7.4 — the Spark runtime replaces
+    it; what remains is the wire FORMAT): two NDJSON lines per event,
+    action/metadata then source. `index` may be a literal or a Column
+    (sprintf-style dynamic index names compose via operators.common).
+    Zero shuffle — pure to_json concat."""
+    idx = F.lit(index) if isinstance(index, str) else index
+    meta_line = F.to_json(
+        F.create_map(
+            F.lit(action),
+            F.struct(
+                idx.alias("_index"), F.col(id_col).cast("string").alias("_id")
+            ),
+        )
+    )
+    src_line = F.to_json(F.struct(*[F.col(c) for c in source_cols]))
+    body = (
+        meta_line
+        if action == "delete"
+        else F.concat(meta_line, F.lit("\n"), src_line)
+    )
+    return df.withColumn(target, body)
+
+
 def cef_encode(
     df: DataFrame,
     *,

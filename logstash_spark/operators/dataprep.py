@@ -1933,6 +1933,113 @@ def unigram_logprob_score(
     )
 
 
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_col, w1, w2) — consecutive non-empty word pairs per document.
+    Array-local construction (filter empties, pair adjacent via
+    element_at over a sequence) → ONE narrow explode; no window, no
+    shuffle before the caller's aggregation."""
+    w = F.filter(words_of(F.col(text_col)), lambda x: x != "")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
+        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+
+def bigram_vocab_logp(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """Corpus bigram LM table: the `vocab_size` most frequent word pairs
+    with integer-quantized CONDITIONAL log2 probabilities. Output
+    (w1, w2, cnt, logp2) where logp2 = floor(log2(cnt(w1,w2))) -
+    floor(log2(cnt(w1 as prefix))) ≈ log2 P(w2|w1) — the same
+    bit-length quantization as `unigram_vocab_logp`, exact cross-engine.
+
+    This is the KenLM-direction extension of the CCNet unigram filter:
+    conditional bigram likelihood separates fluent text from shuffled /
+    keyword-stuffed spam that unigram frequency alone scores well.
+    Scale topology: ONE explode + groupBy(w1, w2) with map-side partial
+    aggregation; prefix counts come from a window over the SAME (w1,*)
+    partitioning (no second shuffle — the groupBy output is already
+    hash-partitioned compatibly AQE-side, and the window repartitions by
+    w1 only once); the vocab cut is a global top-K
+    (TakeOrderedAndProject, never a full sort)."""
+    from pyspark.sql.window import Window
+
+    bg = _doc_bigrams(df.select(F.lit(1).alias("_one"), text_col), "_one", text_col)
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("w1")
+    return (
+        counts.withColumn("_pcnt", F.sum("cnt").over(wp))
+        .withColumn(
+            "logp2",
+            (F.floor(F.log2("cnt")) - F.floor(F.log2("_pcnt"))).cast("int"),
+        )
+        .drop("_pcnt")
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(vocab_size)
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    bigram_vocab: DataFrame,
+    unigram_vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff_logp2: int = -4,
+    oov_logp2: int = -30,
+) -> DataFrame:
+    """Score documents by average conditional bigram log2-likelihood
+    with stupid-backoff (Brants et al. 2007, integer-quantized): known
+    bigram → its logp2; unknown bigram but known w2 unigram → unigram
+    logp2 + `backoff_logp2` (backoff weight 2^-4 ≈ 0.0625); else the
+    `oov_logp2` floor. Output (id_col, n_bigrams, logp2_sum, avg_logp2);
+    docs with <2 words have no bigrams and drop out (score undefined).
+    All arithmetic before the final division is exact integers.
+
+    Scale: both vocab tables are top-K-bounded → broadcast hash joins;
+    the corpus explodes map-side and re-aggregates with ONE groupBy(id)
+    shuffle — same topology as `unigram_logprob_score`."""
+    bv = F.broadcast(
+        bigram_vocab.select("w1", "w2", F.col("logp2").alias("_lp_bi"))
+    )
+    uv = F.broadcast(
+        unigram_vocab.select(F.col("word").alias("w2"), F.col("logp2").alias("_lp_uni"))
+    )
+    bg = _doc_bigrams(df, id_col, text_col)
+    scored = (
+        bg.join(bv, ["w1", "w2"], "left")
+        .join(uv, "w2", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.coalesce(
+                    F.col("_lp_bi"),
+                    F.col("_lp_uni") + F.lit(backoff_logp2),
+                    F.lit(oov_logp2),
+                )
+            ).alias("logp2_sum"),
+        )
+    )
+    return scored.withColumn(
+        "avg_logp2", F.round(F.col("logp2_sum") / F.col("n_bigrams"), 4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style: cluster embeddings, drop near-dups within)
 # ---------------------------------------------------------------------------

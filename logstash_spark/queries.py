@@ -753,6 +753,7 @@ from logstash_spark import queries_logstash2 as _ql2  # noqa: E402,F401
 from logstash_spark import queries_logstash3 as _ql3  # noqa: E402,F401
 from logstash_spark import queries_logstash4 as _ql4  # noqa: E402,F401
 from logstash_spark import queries_logstash5 as _ql5  # noqa: E402,F401
+from logstash_spark import queries_logstash6 as _ql6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -815,6 +816,16 @@ _DRIVER_PRIORITY = [
     "cef_codec",
     "cipher_roundtrip",
     "json_encode_field",
+    # added late in round 3 — json_lines_codec takes sample slot 50;
+    # the rest sit just past the driver's 50-row window THIS round
+    # (displacing the never-verified block above would cost more);
+    # promote these to the top of this list at the start of round 4
+    "json_lines_codec",
+    "graphite_codec",
+    "es_bulk_codec",
+    "anonymize_fields",
+    "grok_haproxy",
+    "bigram_lm_quality",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

@@ -145,3 +145,80 @@ def shard_assign_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = D.shard_assign(docs, _N_SHARDS, seed="shard")
     return out.select("doc_id", "shard", "shard_ord", "shard_pos")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality (stupid-backoff)
+# ---------------------------------------------------------------------------
+
+_BG_VOCAB = 64
+_UNI_VOCAB = 64
+_BACKOFF = -4
+_OOV = -30
+
+
+@query(
+    "bigram_lm_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ),
+    nz AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      FROM w WHERE word != ''
+    ),
+    big AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY p) AS w1,
+               word AS w2
+        FROM nz
+      ) WHERE w1 IS NOT NULL
+    ),
+    bcounts AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2),
+    pref AS (SELECT w1, sum(cnt) AS pcnt FROM bcounts GROUP BY w1),
+    bvocab AS (
+      SELECT w1, w2,
+             CAST(floor(log2(cnt)) - floor(log2(pcnt)) AS INT) AS blp
+      FROM bcounts JOIN pref USING (w1)
+      ORDER BY cnt DESC, w1, w2 LIMIT {_BG_VOCAB}
+    ),
+    ucounts AS (SELECT word, count(*) AS cnt FROM nz GROUP BY word),
+    utot AS (SELECT sum(cnt) AS total FROM ucounts),
+    uvocab AS (
+      SELECT word AS w2,
+             CAST(floor(log2(cnt)) - floor(log2(total)) AS INT) AS ulp
+      FROM ucounts, utot
+      ORDER BY cnt DESC, word LIMIT {_UNI_VOCAB}
+    ),
+    s AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             sum(coalesce(bv.blp, uv.ulp + {_BACKOFF}, {_OOV})) AS logp2_sum
+      FROM big
+      LEFT JOIN bvocab bv USING (w1, w2)
+      LEFT JOIN uvocab uv USING (w2)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(logp2_sum AS BIGINT) AS logp2_sum,
+           round(CAST(logp2_sum AS DOUBLE) / n_bigrams, 4) AS avg_logp2
+    FROM s
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM quality with stupid-backoff
+    (`dataprep.bigram_vocab_logp` + `bigram_logprob_score`; Brants et
+    al. 2007): top-64 bigram table with integer log2-quantized
+    P(w2|w1), backoff to the top-64 unigram table at 2^-4, OOV floor
+    -30. All arithmetic before the final division is exact integers —
+    bit-for-bit reproducible across engines. Catches shuffled/keyword-
+    stuffed text that unigram frequency alone scores as fluent."""
+    docs = _docs(spark, sf_dir)
+    bv = D.bigram_vocab_logp(docs, vocab_size=_BG_VOCAB)
+    uv = D.unigram_vocab_logp(docs, vocab_size=_UNI_VOCAB)
+    out = D.bigram_logprob_score(
+        docs, bv, uv, backoff_logp2=_BACKOFF, oov_logp2=_OOV
+    )
+    return out.select("doc_id", "n_bigrams", "logp2_sum", "avg_logp2")
