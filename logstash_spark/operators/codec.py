@@ -432,6 +432,101 @@ def es_bulk_encode(
     return df.withColumn(target, body)
 
 
+def csv_encode(
+    df: DataFrame,
+    fields: Sequence[str],
+    *,
+    separator: str = ",",
+    target: str = "message",
+) -> DataFrame:
+    """logstash-output-csv serialization: render the named fields as one
+    CSV line. Native `to_csv` over a struct — univocity writer, JVM
+    codegen, RFC-4180 quoting (a value containing the separator, a
+    quote, or a newline is double-quoted). Zero shuffle."""
+    return df.withColumn(
+        target,
+        F.to_csv(
+            F.struct(*[F.col(c) for c in fields]),
+            {"sep": separator, "escape": '"'},
+        ),
+    )
+
+
+def syslog_encode(
+    df: DataFrame,
+    *,
+    facility: int = 1,
+    severity_col: str | None = None,
+    severity: int = 5,
+    ts_col: str = "ts",
+    host_col: str = "host",
+    program: str = "logstash",
+    pid_col: str | None = None,
+    message_col: str = "message",
+    target: str = "syslog_line",
+) -> DataFrame:
+    """logstash-output-syslog (RFC3164 line rendering; the UDP/TCP
+    transport is out of scope per SURVEY §7.4): ``<PRI>MMM dd HH:mm:ss
+    host program[pid]: message`` with PRI = facility*8 + severity.
+    Severity may be a column (numeric) or a literal. Pure concat —
+    zero shuffle. NOTE: RFC3164 day-of-month is space-padded; this
+    emits zero-padded `dd` (the format every modern syslogd also
+    accepts) — stated substitution, matching e.g. rsyslog's
+    RSYSLOG_ForwardFormat tolerance."""
+    sev = F.col(severity_col).cast("int") if severity_col else F.lit(severity)
+    pri = F.concat(F.lit("<"), (F.lit(facility * 8) + sev).cast("string"), F.lit(">"))
+    prog = F.lit(program)
+    tag = (
+        F.concat(prog, F.lit("["), F.col(pid_col).cast("string"), F.lit("]"))
+        if pid_col
+        else prog
+    )
+    return df.withColumn(
+        target,
+        F.concat(
+            pri,
+            F.date_format(F.col(ts_col), "MMM dd HH:mm:ss"),
+            F.lit(" "),
+            F.col(host_col),
+            F.lit(" "),
+            tag,
+            F.lit(": "),
+            F.col(message_col),
+        ),
+    )
+
+
+def statsd_encode(
+    df: DataFrame,
+    *,
+    namespace: str = "logstash",
+    sender_col: str | None = None,
+    metric_col: str = "metric",
+    value_col: str = "value",
+    metric_type: str = "c",
+    sample_rate: float | None = None,
+    target: str = "statsd_line",
+) -> DataFrame:
+    """logstash-output-statsd wire format: ``namespace.sender.metric:
+    value|type[|@rate]`` (type c/g/ms/s). Integral values print without
+    a trailing .0 like the graphite encoder. Pure concat, zero
+    shuffle."""
+    v = F.col(value_col).cast("double")
+    v_str = F.when(v == F.floor(v), v.cast("long").cast("string")).otherwise(
+        v.cast("string")
+    )
+    path_parts = [F.lit(namespace)]
+    if sender_col:
+        path_parts.append(F.col(sender_col))
+    path_parts.append(F.col(metric_col))
+    line = F.concat(
+        F.concat_ws(".", *path_parts), F.lit(":"), v_str, F.lit("|"), F.lit(metric_type)
+    )
+    if sample_rate is not None:
+        line = F.concat(line, F.lit(f"|@{sample_rate}"))
+    return df.withColumn(target, line)
+
+
 def cef_encode(
     df: DataFrame,
     *,

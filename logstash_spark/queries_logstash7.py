@@ -1,0 +1,130 @@
+"""Correctness-gate queries, batch 7 (round 3): output-side codecs —
+logstash-output-csv, logstash-output-syslog (RFC3164 line rendering),
+logstash-output-statsd wire format. Transport (TCP/UDP sockets) is out
+of scope per SURVEY §7.4; the serialization IS the reference behavior
+being matched. Parity discipline as usual: deterministic inputs derived
+from the events table, engine-identical string construction, no raw
+arrays in the SELECT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.queries import query
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# csv output codec
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "csv_codec_encode",
+    """
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
+           CASE
+             WHEN event_id % 13 = 0 THEN '"say ""hi"" now"'
+             WHEN event_id % 7 = 0
+               THEN '"v=' || CAST(event_id % 50 AS VARCHAR) || ',raw"'
+             ELSE 'plain-' || CAST(event_id % 50 AS VARCHAR)
+           END AS line
+    FROM events
+    """,
+)
+def csv_codec_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-output-csv: selected fields rendered as one RFC-4180 CSV
+    line via native ``to_csv`` (univocity writer, JVM codegen, zero
+    shuffle). The crafted ``note`` field exercises all three quoting
+    regimes — embedded separator (quoted), embedded double-quote (quoted
+    + doubled), and plain (bare) — against a DuckDB oracle that builds
+    the expected quoting by hand."""
+    from logstash_spark.operators.codec import csv_encode
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    note = (
+        F.when(eid % 13 == 0, F.lit('say "hi" now'))
+        .when(eid % 7 == 0, F.concat(F.lit("v="), (eid % 50).cast("string"), F.lit(",raw")))
+        .otherwise(F.concat(F.lit("plain-"), (eid % 50).cast("string")))
+    )
+    df = ev.withColumn("note", note)
+    out = csv_encode(df, ["event_id", "event_type", "note"], target="line")
+    return out.select("event_id", "line")
+
+
+# ---------------------------------------------------------------------------
+# syslog (RFC3164) + statsd output codecs — one gate, two wire formats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "syslog_statsd_encode",
+    """
+    SELECT event_id,
+           '<' || CAST(32 + event_id % 8 AS VARCHAR) || '>'
+               || strftime(ts, '%b %d %H:%M:%S') || ' '
+               || 'h' || CAST(event_id % 20 AS VARCHAR)
+               || ' app[' || CAST(user_id AS VARCHAR) || ']: '
+               || event_type AS syslog_line,
+           'ls.' || 'h' || CAST(event_id % 20 AS VARCHAR) || '.events:'
+               || CASE WHEN event_id % 2 = 0
+                       THEN CAST(event_id % 100 AS VARCHAR)
+                       ELSE CAST(event_id % 100 AS VARCHAR) || '.5' END
+               || '|c|@0.5' AS statsd_line
+    FROM events
+    """,
+)
+def syslog_statsd_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-output-syslog + logstash-output-statsd serialization in
+    one gate (two independent pure-projection columns; folded to spend
+    one driver-sample slot, per the round-2 verdict's gate-budget
+    advice). Syslog: ``<PRI>`` from facility*8+severity (severity a
+    per-row column here), RFC3164 header with English month
+    abbreviation, ``program[pid]:`` tag. Statsd: counter lines with the
+    integral/fractional value rendering and a ``|@rate`` suffix; the
+    fractional case uses a dyadic-rational (.5) so double→string agrees
+    across engines."""
+    from logstash_spark.operators.codec import statsd_encode, syslog_encode
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    df = (
+        ev.withColumn("sev", (eid % 8).cast("int"))
+        .withColumn("host", F.concat(F.lit("h"), (eid % 20).cast("string")))
+        .withColumn(
+            "value",
+            F.when(eid % 2 == 0, (eid % 100).cast("double")).otherwise(
+                (eid % 100).cast("double") + 0.5
+            ),
+        )
+        .withColumn("metric", F.lit("events"))
+    )
+    out = syslog_encode(
+        df,
+        facility=4,
+        severity_col="sev",
+        ts_col="ts",
+        host_col="host",
+        program="app",
+        pid_col="user_id",
+        message_col="event_type",
+        target="syslog_line",
+    )
+    out = statsd_encode(
+        out,
+        namespace="ls",
+        sender_col="host",
+        metric_col="metric",
+        value_col="value",
+        metric_type="c",
+        sample_rate=0.5,
+        target="statsd_line",
+    )
+    return out.select("event_id", "syslog_line", "statsd_line")
