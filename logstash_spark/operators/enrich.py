@@ -27,12 +27,16 @@ def translate(
     regex: bool = False,
     exact: bool = True,
     dictionary_path: str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """logstash-filter-translate.
 
     exact mode  → broadcast hash join + coalesce(fallback) — THE enrich op
                   the north rule names; dictionary may be a dict or a
-                  DataFrame(key, value).
+                  DataFrame(key, value). `broadcast=False` drops the hint
+                  for side tables beyond broadcast size (a jdbc_static
+                  dump with 10⁸ keys): Catalyst/AQE then picks a
+                  shuffle-hash or sort-merge join keyed on `source`.
     regex mode  → ordered when(rlike) chain (dictionary keys are patterns);
                   small-N only, stays fully codegen'd.
     dictionary_path → the reference's file-backed dictionary: a .json
@@ -56,7 +60,9 @@ def translate(
         )
     else:
         dict_df = dictionary.toDF(source, target)
-    joined = df.join(F.broadcast(dict_df), on=source, how="left")
+    if broadcast:
+        dict_df = F.broadcast(dict_df)
+    joined = df.join(dict_df, on=source, how="left")
     if fallback is not None:
         joined = joined.withColumn(target, F.coalesce(F.col(target), F.lit(fallback)))
     return joined
@@ -87,12 +93,18 @@ def translate_multi(
     key_col: str,
     *,
     fallbacks: Mapping[str, object] | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Multi-column dictionary enrich (jdbc_static analog): broadcast join
-    the whole side table, filling per-column fallbacks for misses."""
-    joined = df.join(
-        F.broadcast(dict_df.withColumnRenamed(key_col, source)), on=source, how="left"
-    )
+    the whole side table, filling per-column fallbacks for misses.
+    `broadcast=False` for side tables beyond broadcast size — the join
+    becomes a keyed shuffle both sides (sort-merge / shuffle-hash per
+    AQE), which is the correct 100 TB topology when the dimension no
+    longer fits in executor memory."""
+    side = dict_df.withColumnRenamed(key_col, source)
+    if broadcast:
+        side = F.broadcast(side)
+    joined = df.join(side, on=source, how="left")
     for colname, default in (fallbacks or {}).items():
         joined = joined.withColumn(colname, F.coalesce(F.col(colname), F.lit(default)))
     return joined

@@ -47,6 +47,26 @@ def test_translate_is_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan_of(out)
 
 
+def test_translate_broadcast_false_shuffles_both_sides(spark):
+    """A jdbc_static-scale side table must not be forced through a
+    broadcast: with broadcast=False (and the auto-broadcast threshold
+    off so the tiny test dim doesn't get re-promoted) the join is a
+    keyed shuffle — sort-merge or shuffle-hash, never BroadcastHashJoin."""
+    from logstash_spark.operators.enrich import translate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    dim = ev.select(F.col("event_type"), F.lit("x").alias("cat")).distinct()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = translate(ev, "event_type", "cat", dim, broadcast=False)
+        plan = plan_of(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_native_grok_has_no_python(spark):
     from logstash_spark.operators.parse import grok
 
