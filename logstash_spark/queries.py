@@ -755,6 +755,7 @@ from logstash_spark import queries_logstash4 as _ql4  # noqa: E402,F401
 from logstash_spark import queries_logstash5 as _ql5  # noqa: E402,F401
 from logstash_spark import queries_logstash6 as _ql6  # noqa: E402,F401
 from logstash_spark import queries_logstash7 as _ql7  # noqa: E402,F401
+from logstash_spark import queries_dataprep4 as _qdp4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -829,6 +830,7 @@ _DRIVER_PRIORITY = [
     "bigram_lm_quality",
     "csv_codec_encode",
     "syslog_statsd_encode",
+    "bpe_tokenize",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",
