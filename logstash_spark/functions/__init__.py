@@ -379,3 +379,98 @@ def cipher(
     else:
         raise ValueError(f"mode must be encrypt|decrypt, got {mode!r}")
     return df.withColumn(target, out)
+
+
+_NUM_PATTERN = r"[-+]?\d*\.\d+|[-+]?\d+"
+
+
+@op("extractnumbers")
+def extractnumbers(
+    df: DataFrame,
+    source: str = "message",
+    *,
+    max_fields: int = 10,
+    prefix_int: str = "int",
+    prefix_float: str = "float",
+) -> DataFrame:
+    """logstash-filter-extractnumbers: pull every number out of a string
+    field into typed `int{i}` / `float{i}` fields (reference naming), a
+    token counting as float iff it carries a decimal point. Pure column
+    exprs: one regexp_extract_all + HOF filters over the (small) match
+    array — zero shuffle, no UDF. `max_fields` caps the expanded
+    columns like the reference's implicit event-field budget; the full
+    arrays stay available as `_ints`/`_floats` for relational consumers
+    that prefer explode over wide columns."""
+    nums = F.regexp_extract_all(F.col(source).cast("string"), F.lit(_NUM_PATTERN), 0)
+    ints = F.filter(nums, lambda x: ~x.rlike(r"\.")).cast("array<long>")
+    floats = F.filter(nums, lambda x: x.rlike(r"\.")).cast("array<double>")
+    out = df.withColumn("_ints", ints).withColumn("_floats", floats)
+    for i in range(max_fields):
+        out = out.withColumn(f"{prefix_int}{i}", F.element_at("_ints", i + 1))
+        out = out.withColumn(f"{prefix_float}{i}", F.element_at("_floats", i + 1))
+    return out
+
+
+_MATH_OPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "subtract": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "multiply": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "divide": lambda a, b: a / b,
+    "fdiv": lambda a, b: F.floor(a / b).cast("long"),
+    "mod": lambda a, b: a % b,
+}
+
+
+@op("math")
+def math_ops(
+    df: DataFrame,
+    calculate: Sequence[tuple[str, object, object, str]],
+) -> DataFrame:
+    """logstash-filter-math: a `calculate` list of
+    ``(operation, operand1, operand2, target)`` rows evaluated IN ORDER
+    (later rows may reference earlier targets, reference semantics).
+    String operands are field references, numerics are literals;
+    `round` takes the digit count as operand2. Pure sequential column
+    arithmetic — zero shuffle, whole-stage codegen."""
+
+    def operand(v: object) -> Column:
+        return F.col(v) if isinstance(v, str) else F.lit(v)
+
+    out = df
+    for operation, left, right, target in calculate:
+        a = operand(left)
+        if operation == "round":
+            expr = F.round(a, int(right))  # type: ignore[arg-type]
+        else:
+            fn = _MATH_OPS.get(operation)
+            if fn is None:
+                raise ValueError(f"unknown math operation {operation!r}")
+            expr = fn(a, operand(right))
+        out = out.withColumn(target, expr)
+    return out
+
+
+# 1:1 accent folds (translate is char-for-char); multi-char expansions
+# (ß→ss, æ→ae, œ→oe) follow as replace steps in `transliterate`.
+_FOLD_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝšŠžŽđĐ"
+_FOLD_TO = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUYsSzZdD"
+_FOLD_MULTI = [("ß", "ss"), ("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE")]
+
+
+@op("transliterate")
+def transliterate(
+    df: DataFrame, source: str, *, target: str | None = None
+) -> DataFrame:
+    """logstash-filter-i18n (transliterate option): fold accented Latin
+    characters to ASCII — char-for-char via one `translate` plus a short
+    replace chain for the multi-char expansions. Deliberately a FIXED
+    public folding table (the reference delegates to Ruby i18n's
+    transliteration tables): deterministic, engine-portable, and the
+    gate replays the identical table in DuckDB. Zero shuffle."""
+    c = F.translate(F.col(source).cast("string"), _FOLD_FROM, _FOLD_TO)
+    for frm, to in _FOLD_MULTI:
+        c = F.replace(c, F.lit(frm), F.lit(to))
+    return df.withColumn(target or source, c)

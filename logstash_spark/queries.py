@@ -831,6 +831,7 @@ _DRIVER_PRIORITY = [
     "csv_codec_encode",
     "syslog_statsd_encode",
     "bpe_tokenize",
+    "extract_math_translit",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

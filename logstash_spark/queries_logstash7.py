@@ -20,6 +20,84 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# extractnumbers + math + i18n transliterate — one gate, three filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "extract_math_translit",
+    """
+    SELECT event_id,
+           CAST(event_id % 1000 AS BIGINT) AS int0,
+           CAST(-(event_id % 10) AS BIGINT) AS int1,
+           CAST(event_id % 50 AS DOUBLE) + 0.25 AS float0,
+           2 AS n_ints,
+           1 AS n_floats,
+           event_id + user_id AS m_add,
+           user_id * 3 AS m_mul,
+           (event_id + user_id) / 4.0 AS m_div,
+           round((event_id + user_id) / 4.0, 0) AS m_round,
+           CAST(floor(event_id / 7) AS BIGINT) AS m_fdiv,
+           event_id % 9 AS m_mod,
+           'cafe ' || event_type || ' AEIOU ss-ae-oe Z' AS ascii_text
+    FROM events
+    """,
+)
+def extract_math_translit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-extractnumbers + logstash-filter-math +
+    logstash-filter-i18n (transliterate), folded into one driver-sample
+    slot. The oracle derives every expected value INDEPENDENTLY from
+    event_id arithmetic rather than replaying the extraction — a
+    stronger check than mirrored machinery. Number extraction covers
+    signed ints and decimals in one message; math covers
+    add/mul/div/round/fdiv/mod with a chained operand (m_div reads
+    m_add, reference in-order semantics); transliterate folds the fixed
+    public accent table including the multi-char ß/æ/œ expansions."""
+    from logstash_spark.functions import extractnumbers, math_ops, transliterate
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    msg = F.concat(
+        F.lit("pid="), (eid % 1000).cast("string"),
+        F.lit(" load="), (eid % 50).cast("string"),
+        F.lit(".25 t=-"), (eid % 10).cast("string"),
+    )
+    df = ev.withColumn("message", msg)
+    df = extractnumbers(df, "message", max_fields=2)
+    df = math_ops(
+        df,
+        [
+            ("add", "event_id", "user_id", "m_add"),
+            ("mul", "user_id", 3, "m_mul"),
+            ("div", "m_add", 4.0, "m_div"),
+            ("round", "m_div", 0, "m_round"),
+            ("fdiv", "event_id", 7, "m_fdiv"),
+            ("mod", "event_id", 9, "m_mod"),
+        ],
+    )
+    df = df.withColumn(
+        "accented",
+        F.concat(F.lit("café "), F.col("event_type"), F.lit(" ÀÉÎÕÜ ß-æ-œ Ž")),
+    )
+    df = transliterate(df, "accented", target="ascii_text")
+    return df.select(
+        "event_id",
+        "int0",
+        "int1",
+        "float0",
+        F.size("_ints").alias("n_ints"),
+        F.size("_floats").alias("n_floats"),
+        "m_add",
+        "m_mul",
+        "m_div",
+        "m_round",
+        "m_fdiv",
+        "m_mod",
+        "ascii_text",
+    )
+
+
+# ---------------------------------------------------------------------------
 # csv output codec
 # ---------------------------------------------------------------------------
 
