@@ -283,6 +283,25 @@ def bench_ann_pq_scale(spark) -> float:
     return _time_best(lambda: out, spark)
 
 
+def bench_bpe_scale(spark) -> float:
+    """BPE encode over DEDUP_DOCS synthetic docs (~40 words each): the
+    Arrow pandas-UDF slow path with the per-executor word memo — the
+    Zipfian-realistic case where the merge loop runs per DISTINCT word
+    while every token still crosses the Arrow boundary. Merges are
+    trained once (untimed setup: training is a separate one-pass job in
+    production, amortized across every encode run)."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = synthetic_docs(spark, DEDUP_DOCS)
+    merges = bpe_train(docs.limit(20_000), "text", num_merges=100, top_words=10_000)
+    out = bpe_encode(docs, "text", merges, word_sep="_").select(
+        F.sum(F.size("bpe_tokens")).alias("n_tok")
+    )
+    return _time_best(lambda: out, spark)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from logstash_spark.session import get_spark
@@ -304,6 +323,7 @@ def main() -> None:
     timings["ann_bruteforce_scale"] = round(bench_ann_scale(spark), 3)
     timings["ann_ivf_pq_scale"] = round(bench_ann_pq_scale(spark), 3)
     timings["semantic_dedup_scale"] = round(bench_semantic_dedup(spark), 3)
+    timings["bpe_encode_scale"] = round(bench_bpe_scale(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
