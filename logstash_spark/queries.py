@@ -818,10 +818,12 @@ _DRIVER_PRIORITY = [
     "cef_codec",
     "cipher_roundtrip",
     "json_encode_field",
-    # added late in round 3 — json_lines_codec takes sample slot 50;
-    # the rest sit just past the driver's 50-row window THIS round
-    # (displacing the never-verified block above would cost more);
-    # promote these to the top of this list at the start of round 4
+    # added late in round 3 — json_lines_codec takes sample slot 50; the
+    # rest (through extract_math_translit, plus the r01-only re-confirm
+    # block) sit past the driver's 50-row window THIS round — displacing
+    # the never-driver-verified block above would cost more. PROMOTE
+    # EVERYTHING FROM HERE DOWN to the top of this list at the start of
+    # round 4.
     "json_lines_codec",
     "graphite_codec",
     "es_bulk_codec",
