@@ -644,7 +644,14 @@ def date(
                 attempts.append(F.try_to_timestamp(src, F.lit(jdk)))
     parsed = F.coalesce(*attempts) if attempts else F.lit(None).cast("timestamp")
     if timezone:
-        parsed = F.to_utc_timestamp(parsed, timezone)
+        if "%{" in timezone:
+            # reference: timezone supports sprintf ("%{[tz]}") — a
+            # per-event zone column; to_utc_timestamp takes a Column tz
+            from logstash_spark.operators.common import sprintf
+
+            parsed = F.to_utc_timestamp(parsed, sprintf(timezone))
+        else:
+            parsed = F.to_utc_timestamp(parsed, timezone)
     df = ensure_tags(df)
     # try_cast, not cast: when target == field (or holds strings), the
     # coalesce fallback must not ANSI-throw on unparseable rows —

@@ -834,6 +834,7 @@ _DRIVER_PRIORITY = [
     "syslog_statsd_encode",
     "bpe_tokenize",
     "extract_math_translit",
+    "date_tz_per_event",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

@@ -98,6 +98,54 @@ def extract_math_translit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# date filter: per-event timezone (sprintf)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_tz_per_event",
+    """
+    SELECT event_id,
+           CASE event_id % 3 WHEN 0 THEN '+02:00'
+                             WHEN 1 THEN '-05:00'
+                             ELSE '+00:00' END AS tzf,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CASE event_id % 3 WHEN 0 THEN 7200
+                                 WHEN 1 THEN -18000
+                                 ELSE 0 END AS epoch_utc
+    FROM events
+    """,
+)
+def date_tz_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logstash-filter-date `timezone => "%{tzf}"` — a sprintf per-event
+    zone: the wall-clock string is re-interpreted in each row's own
+    zone before normalizing to UTC (`to_utc_timestamp` with a COLUMN
+    tz). The oracle derives expected epochs independently by interval
+    arithmetic over fixed offsets (utc = local − offset), so no
+    timezone machinery has to agree across engines."""
+    from logstash_spark.operators.parse import date as date_op
+
+    ev = _ev(spark, sf_dir)
+    eid = F.col("event_id")
+    tzf = (
+        F.when(eid % 3 == 0, F.lit("+02:00"))
+        .when(eid % 3 == 1, F.lit("-05:00"))
+        .otherwise(F.lit("+00:00"))
+    )
+    df = ev.select(
+        "event_id",
+        tzf.alias("tzf"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dstr"),
+    )
+    out = date_op(
+        df, "dstr", ["yyyy-MM-dd HH:mm:ss"], timezone="%{tzf}", target="parsed"
+    )
+    return out.select(
+        "event_id", "tzf", F.unix_timestamp("parsed").alias("epoch_utc")
+    )
+
+
+# ---------------------------------------------------------------------------
 # csv output codec
 # ---------------------------------------------------------------------------
 

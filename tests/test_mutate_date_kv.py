@@ -281,3 +281,36 @@ def test_kv_recursive_one_level(spark):
 
     with _pt.raises(ValueError):
         kv(df, "line", recursive=True, duplicates="array")
+
+
+class TestDatePerEventTimezone:
+    def test_sprintf_timezone_named_zones(self, spark):
+        from logstash_spark.operators.parse import date as date_op
+
+        df = spark.createDataFrame(
+            [
+                (1, "2026-01-15 12:00:00", "America/New_York"),  # EST -5
+                (2, "2026-01-15 12:00:00", "Asia/Tokyo"),        # +9
+                (3, "2026-01-15 12:00:00", "UTC"),
+            ],
+            "id long, dstr string, tz string",
+        )
+        out = date_op(
+            df, "dstr", ["yyyy-MM-dd HH:mm:ss"], timezone="%{tz}", target="p"
+        )
+        got = {
+            r["id"]: r["epoch"]
+            for r in out.selectExpr("id", "unix_timestamp(p) AS epoch").collect()
+        }
+        base = got[3]
+        assert got[1] == base + 5 * 3600    # NY noon is 5h later in UTC
+        assert got[2] == base - 9 * 3600    # Tokyo noon is 9h earlier
+
+    def test_static_timezone_still_string_path(self, spark):
+        from logstash_spark.operators.parse import date as date_op
+
+        df = spark.createDataFrame([(1, "2026-06-01 00:00:00")], "id long, dstr string")
+        out = date_op(df, "dstr", ["yyyy-MM-dd HH:mm:ss"], timezone="+03:00", target="p")
+        epoch = out.selectExpr("unix_timestamp(p) AS e").first()["e"]
+        utc = date_op(df, "dstr", ["yyyy-MM-dd HH:mm:ss"], target="p")
+        assert epoch == utc.selectExpr("unix_timestamp(p) AS e").first()["e"] - 3 * 3600
