@@ -273,6 +273,95 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    short_doc: str = "drop",
+    new_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-ingest near-dup detection: match a NEW shard against
+    an EXISTING corpus's persisted MinHash signatures without ever
+    self-joining the corpus. Output: (new_id, corpus_id, jaccard) with
+    exact Jaccard ≥ threshold.
+
+    This is the 100 TB ingestion pattern the self-join form can't serve:
+    the corpus signature table (`shingle_sig_table` output, _id/_sh/_sig)
+    is computed ONCE when each shard lands and persisted; admitting a new
+    shard costs O(|shard|) signature work plus a band equi-join — the
+    existing corpus is only ever read, never re-shingled and never
+    re-shuffled against itself.
+
+    Scale topology (mirrors `minhash_lsh_pairs`'s three rules):
+      * the band join carries ids only; shingle sets re-join per side
+        AFTER candidate dedup;
+      * hot CORPUS buckets (> `max_bucket` members under one band key)
+        are collapsed to their min-id representative BEFORE the join, so
+        one boilerplate band key costs each new doc O(1) candidates,
+        not O(bucket). New docs colliding with a hot bucket link through
+        the representative (same contract as the self-join star guard);
+      * corpus bucket sizes come from a window over (band, key) — the
+        same hash partitioning the join uses. At production scale the
+        banded+counted corpus table is ALSO a persisted artifact,
+        amortized across every shard admission.
+    """
+    base_new = (
+        new_sig
+        if new_sig is not None
+        else shingle_sig_table(new_df, id_col, text_col, n=n, k=k, short_doc=short_doc)
+    )
+    rows = k // bands
+    if not (1 <= bands <= k) or k % bands != 0:
+        raise ValueError(
+            f"bands must divide k with 1 <= bands <= k (got k={k}, bands={bands})"
+        )
+
+    def _banded(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rows)).alias("_bk")
+        ).select("_id", F.col("_bk.band").alias("_band"), F.col("_bk.key").alias("_key"))
+
+    from pyspark.sql.window import Window
+
+    nb = _banded(base_new)
+    cb = _banded(corpus_sig)
+    w = Window.partitionBy("_band", "_key")
+    cb = cb.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min("_id").over(w)
+    )
+    # hot corpus buckets shrink to one representative row pre-join
+    cb = cb.where((F.col("_bn") <= max_bucket) | (F.col("_id") == F.col("_rep")))
+
+    cand = (
+        nb.alias("l")
+        .join(
+            cb.alias("r"),
+            (F.col("l._band") == F.col("r._band")) & (F.col("l._key") == F.col("r._key")),
+        )
+        .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_new = base_new.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sha"))
+    sh_corp = corpus_sig.select(
+        F.col("_id").alias("corpus_id"), F.col("_sh").alias("_shb")
+    )
+    scored = (
+        cand.join(sh_new, "new_id")
+        .join(sh_corp, "corpus_id")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 4))
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "new_id", "corpus_id", "jaccard"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -835,6 +835,7 @@ _DRIVER_PRIORITY = [
     "bpe_tokenize",
     "extract_math_translit",
     "date_tz_per_event",
+    "dedupe_minhash_cross",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

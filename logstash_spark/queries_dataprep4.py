@@ -19,8 +19,79 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logstash_spark.queries import query
+from logstash_spark.queries_dataprep import (
+    _SHINGLES_FALLBACK_SQL,
+    _SIG_SQL,
+)
 
 _MERGES = [("t", "h"), ("e", "r"), ("i", "n"), ("o", "u"), ("a", "l"), ("c", "k")]
+
+# corpus = the documents table as-is; new shard = 2/3-prefix variants
+# (ids offset by +100000) simulating a freshly landed crawl shard that
+# near-duplicates existing corpus docs.
+_CROSS_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(w[1:greatest(2*len(w)//3, 1)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@query(
+    "dedupe_minhash_cross",
+    f"""
+    WITH corpus AS ({_CROSS_CORPUS_SQL}),
+    sh AS ({_SHINGLES_FALLBACK_SQL}),
+    sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sh, b.band,
+             md5(CAST(sig[b.band*2 + 1] AS VARCHAR) || '_' ||
+                 CAST(sig[b.band*2 + 2] AS VARCHAR)) AS key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id,
+                      l.sh AS sha, r.sh AS shb
+      FROM banded l
+      JOIN banded r ON l.band = r.band AND l.key = r.key
+      WHERE l.doc_id >= 100000 AND r.doc_id < 100000
+    ),
+    scored AS (
+      SELECT new_id, corpus_id,
+             round(CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE)
+                   / (len(sha) + len(shb)
+                      - len(list_filter(sha, x -> list_contains(shb, x)))), 4) AS jaccard
+      FROM cand
+    )
+    SELECT new_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def dedupe_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus MinHash-LSH dedup: a new shard (2/3-prefix
+    variants of existing docs, ids +100000) matched against the EXISTING
+    corpus's persisted signature table — no corpus self-join, corpus
+    never re-shingled. The gate disables the hot-bucket representative
+    guard (max_bucket > corpus size) so the all-pairs band-join DuckDB
+    oracle stays valid; the guard is pinned by unit tests."""
+    from logstash_spark.operators.dataprep import (
+        minhash_lsh_pairs_cross,
+        shingle_sig_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    cut = F.greatest(F.floor(F.size(w) * 2 / 3).cast("int"), F.lit(1))
+    shard = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, cut)).alias("text"),
+    )
+    corpus_sig = shingle_sig_table(docs, "doc_id", "text", n=3, k=8, short_doc="whole_text")
+    return minhash_lsh_pairs_cross(
+        shard, corpus_sig, "doc_id", "text",
+        n=3, k=8, bands=4, threshold=0.5,
+        max_bucket=10**9, short_doc="whole_text",
+    )
 
 
 @query(

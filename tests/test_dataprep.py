@@ -633,3 +633,50 @@ def test_vocab_stats_head_and_coverage(spark):
     ]
     # exact integer ppm over 10 total tokens
     assert [r.cum_share_ppm for r in rows] == [400000, 700000, 900000]
+
+
+def test_minhash_cross_basic_and_no_corpus_selfpairs(spark):
+    """Cross form finds (new, corpus) near-dups only — corpus-corpus and
+    new-new duplicates never appear in the output."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # corpus-internal dup
+            (3, "wholly unrelated text about something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    shard = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),  # dups 1 and 2
+            (101, "brand new content never seen before anywhere at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = D.shingle_sig_table(corpus, "doc_id", "text", n=2, k=8)
+    pairs = D.minhash_lsh_pairs_cross(
+        shard, sig, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5
+    ).collect()
+    found = {(r.new_id, r.corpus_id) for r in pairs}
+    assert found == {(100, 1), (100, 2)}
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_minhash_cross_hot_corpus_bucket_star_guard(spark):
+    """A hot corpus bucket (> max_bucket members under one band key)
+    collapses to its min-id representative BEFORE the join: each new doc
+    gets exactly ONE candidate from that bucket, not O(bucket)."""
+    n_dup = 40
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n_dup)],
+        ["doc_id", "text"],
+    )
+    shard = spark.createDataFrame(
+        [(500, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    sig = D.shingle_sig_table(corpus, "doc_id", "text", n=2, k=8)
+    pairs = D.minhash_lsh_pairs_cross(
+        shard, sig, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5, max_bucket=10
+    ).collect()
+    # representative-only linking: the single new doc pairs with min-id 0
+    assert {(r.new_id, r.corpus_id) for r in pairs} == {(500, 0)}
