@@ -276,3 +276,59 @@ def test_unigram_score_vocab_broadcast(spark):
     vocab = unigram_vocab_logp(docs, vocab_size=64)
     out = unigram_logprob_score(docs, vocab)
     assert "BroadcastHashJoin" in plan_of(out)
+
+
+def test_output_encoders_zero_shuffle_no_python(spark):
+    """csv/syslog/statsd encode must stay pure column expressions:
+    no Exchange, no Python eval node — one codegen'd projection."""
+    from logstash_spark.operators.codec import csv_encode, statsd_encode, syslog_encode
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "metric", F.lit("m")
+    ).withColumn("value", F.col("event_id").cast("double"))
+    out = csv_encode(ev, ["event_id", "event_type"], target="line")
+    out = syslog_encode(out, host_col="event_type", message_col="line")
+    out = statsd_encode(out)
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # "*(1)" is executedPlan toString's whole-stage-codegen marker
+    assert "*(1) Project" in plan
+
+
+def test_bpe_encode_single_arrow_node(spark):
+    """BPE encode is ONE Arrow pandas-UDF eval over the text column —
+    no shuffle, no extra Python nodes, scan not widened."""
+    from logstash_spark.operators.tokenizer import bpe_encode
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bpe_encode(docs.select("doc_id", "text"), "text", [("t", "h")]).select(
+        "doc_id", F.size("bpe_tokens").alias("n")
+    )
+    plan = plan_of(out)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+
+
+def test_minhash_cross_band_join_carries_ids_only(spark):
+    """The cross-dedup band join must move (id, band, key) rows only —
+    shingle arrays (_sh) and signatures (_sig) never enter the join's
+    exchanges; they re-join after candidate dedup."""
+    from logstash_spark.operators.dataprep import (
+        minhash_lsh_pairs_cross,
+        shingle_sig_table,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    shard = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    sig = shingle_sig_table(docs, "doc_id", "text", n=3, k=8)
+    out = minhash_lsh_pairs_cross(shard, sig, "doc_id", "text", n=3, k=8)
+    plan = plan_of(out)
+    # every exchange feeding the band join is id/band/key-shaped: no
+    # exchange row carries the shingle array column
+    band_join_region = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        header = seg.splitlines()[0]
+        if "_band" in header or "_key" in header:
+            # the banded exchanges: their output schema should not have _sh
+            assert "_sh#" not in header
