@@ -21,7 +21,11 @@ INTERLEAVED across ROUNDS (1x8, 4x8, 1x8, 4x8, ...) and the best run
 per level wins — back-to-back reps would land a whole level in one bad
 epoch. Per-run guest steal% is recorded alongside.
 
-Usage: python BENCH/scaling.py [N_ROWS]   (default 16_000_000)
+Usage: python BENCH/scaling.py [N_ROWS] [JOB]
+  JOB = flagship (default; N_ROWS default 24,000,000)
+      | dedup    (MinHash-LSH near-dup over synthetic docs — the
+                  shuffle-heavy second witness for the north rule;
+                  N_ROWS = doc count, suggest 200,000-400,000)
 """
 
 from __future__ import annotations
@@ -33,7 +37,55 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
+JOB = sys.argv[2] if len(sys.argv) > 2 else "flagship"
 ROUNDS = 3
+
+# each payload defines run_job() over `spark`, `n`, `total`
+PAYLOADS = {
+    "flagship": r"""
+from logstash_spark.sources.gen import input_sequences
+from logstash_spark.plans.flagship import build_flagship
+df = input_sequences(spark, n, partitions=total * 8)
+routed = build_flagship(df)
+agg = (routed.select(F.explode("routes").alias("sink"), "source", "n_tok")
+       .groupBy("sink", "source")
+       .agg(F.count("*").alias("cnt"), F.sum("n_tok").alias("sum_n_tok")))
+def run_job():
+    agg.write.format("noop").mode("overwrite").save()
+""",
+    # the second north-rule witness: a shuffle-dominated job (keyed
+    # groupBys + band self-join) instead of the map-dominated flagship.
+    # Same synthetic corpus recipe as bench.synthetic_docs; production
+    # settings (star guard ON at max_bucket=1000).
+    "dedup": r"""
+from logstash_spark.operators.dataprep import minhash_lsh_pairs, shingle_sig_table
+i = F.col("id")
+words = F.transform(
+    F.sequence(F.lit(0), F.lit(24) + (i % 31).cast("int")),
+    lambda j: F.format_string(
+        "w%03d", F.pmod(F.xxhash64(i * F.lit(100003) + j.cast("long")), F.lit(512))),
+)
+base = spark.range(0, n, 1, total * 8).select(
+    i.alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+dup_src = base.where(F.col("doc_id") < n // 10)
+w = F.split(F.col("text"), " ")
+dups = dup_src.select(
+    (F.col("doc_id") + n).alias("doc_id"),
+    F.concat_ws(" ", F.slice(w, 1, F.greatest((F.size(w) * 4 / 5).cast("int"), F.lit(3)))).alias("text"))
+docs = base.unionByName(dups)
+def run_job():
+    sig = shingle_sig_table(docs, "doc_id", "text", n=3, k=8).persist()
+    try:
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, k=8, bands=4,
+            threshold=0.5, max_bucket=1000, sig_table=sig)
+        pairs.write.format("noop").mode("overwrite").save()
+    finally:
+        sig.unpersist()
+""",
+}
+
+LABELS = {"flagship": "flagship E2E", "dedup": "minhash dedup E2E (docs/s)"}
 
 CHILD = r"""
 import json, sys, time
@@ -48,14 +100,8 @@ if master.startswith("local-cluster"):
     extra["spark.executor.memory"] = "4g"
 spark = get_spark(master=master, shuffle_partitions=total, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
-from logstash_spark.sources.gen import input_sequences
-from logstash_spark.plans.flagship import build_flagship
-df = input_sequences(spark, n, partitions=total * 8)
-routed = build_flagship(df)
-agg = (routed.select(F.explode("routes").alias("sink"), "source", "n_tok")
-       .groupBy("sink", "source")
-       .agg(F.count("*").alias("cnt"), F.sum("n_tok").alias("sum_n_tok")))
-agg.write.format("noop").mode("overwrite").save()  # warm plan+codegen+JIT
+{payload}
+run_job()  # warm plan+codegen+JIT
 def stat():
     with open("/proc/stat") as f:
         v = list(map(int, f.readline().split()[1:]))
@@ -63,7 +109,7 @@ def stat():
 best = None
 for _ in range(3):  # in-process reps: later reps run fully JIT-compiled
     t0 = time.perf_counter(); tot0, st0 = stat()
-    agg.write.format("noop").mode("overwrite").save()
+    run_job()
     wall = time.perf_counter() - t0; tot1, st1 = stat()
     steal = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
     if best is None or wall < best[0]:
@@ -74,8 +120,9 @@ print(json.dumps({{"master": master, "sec": best[0], "rows_per_sec": n / best[0]
 
 
 def run_once(master: str, total_cores: int) -> dict:
+    child = CHILD.format(repo=REPO, payload=PAYLOADS[JOB])
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), master, str(total_cores), str(N)],
+        [sys.executable, "-c", child, master, str(total_cores), str(N)],
         capture_output=True, text=True, timeout=1800,
     )
     if not out.stdout.strip():
@@ -130,7 +177,7 @@ def main() -> None:
     print(json.dumps(result))
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
-            f"\n| flagship E2E N={N:,} | executors 1x4: {result['exec_1x4_rows_per_sec']:,}/s "
+            f"\n| {LABELS[JOB]} N={N:,} | executors 1x4: {result['exec_1x4_rows_per_sec']:,}/s "
             f"→ 4x4: {result['exec_4x4_rows_per_sec']:,}/s, eff "
             f"{result['scaling_efficiency_executors_1_to_4']} "
             f"(rounds: {result['all_round_efficiencies_exec']}, steal {result['steal_pct']}) "
