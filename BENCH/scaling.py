@@ -38,7 +38,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
 JOB = sys.argv[2] if len(sys.argv) > 2 else "flagship"
-ROUNDS = 3
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 
 # each payload defines run_job() over `spark`, `n`, `total`
 PAYLOADS = {
@@ -92,13 +92,14 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 import os
 master = sys.argv[1]; total = int(sys.argv[2]); n = int(sys.argv[3])
+shuffle = int(sys.argv[4]); reps = int(sys.argv[5])
 os.environ["SPARK_GRAFT_CPUS"] = str(total)
 from logstash_spark.session import get_spark
 from pyspark.sql import functions as F
 extra = {{"spark.ui.showConsoleProgress": "false"}}
 if master.startswith("local-cluster"):
-    extra["spark.executor.memory"] = "4g"
-spark = get_spark(master=master, shuffle_partitions=total, extra_conf=extra)
+    extra["spark.executor.memory"] = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM", "4g")
+spark = get_spark(master=master, shuffle_partitions=shuffle, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 {payload}
 run_job()  # warm plan+codegen+JIT
@@ -107,7 +108,7 @@ def stat():
         v = list(map(int, f.readline().split()[1:]))
     return sum(v), v[7] if len(v) > 7 else 0
 best = None
-for _ in range(3):  # in-process reps: later reps run fully JIT-compiled
+for _ in range(reps):  # in-process reps: later reps run fully JIT-compiled
     t0 = time.perf_counter(); tot0, st0 = stat()
     run_job()
     wall = time.perf_counter() - t0; tot1, st1 = stat()
@@ -118,12 +119,25 @@ print(json.dumps({{"master": master, "sec": best[0], "rows_per_sec": n / best[0]
                    "steal_pct": round(best[1], 1)}}))
 """
 
+# In-process timed reps per level run (after the warm-up). 3 is the
+# best-of discipline for short runs; long-wall studies (multi-minute
+# e1 runs) can drop to 2 via env to keep total study time sane.
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+
 
 def run_once(master: str, total_cores: int) -> dict:
+    # The shuffle-heavy dedup job gets 4 partitions/core (SCALE.md's
+    # 2-3x-cores guidance, rounded up for spill granularity on the
+    # shingle shuffle); per-CORE data volume stays identical across
+    # levels, which is the fair reading of "same job, two sizes". The
+    # map-heavy flagship keeps 1/core (partition count there only adds
+    # scheduling overhead).
+    shuffle = total_cores * (4 if JOB == "dedup" else 1)
     child = CHILD.format(repo=REPO, payload=PAYLOADS[JOB])
     out = subprocess.run(
-        [sys.executable, "-c", child, master, str(total_cores), str(N)],
-        capture_output=True, text=True, timeout=1800,
+        [sys.executable, "-c", child, master, str(total_cores), str(N),
+         str(shuffle), str(REPS)],
+        capture_output=True, text=True, timeout=3600,
     )
     if not out.stdout.strip():
         raise RuntimeError(f"{master}: {out.stderr[-500:]}")
@@ -135,9 +149,12 @@ def run_once(master: str, total_cores: int) -> dict:
 # JVMs at once (14-24% steal measured on every local-cluster[4,8] run,
 # ~0% on [4,4]); on a real cluster each executor owns its hardware so
 # the constraint is an artifact. Thread mode stays at 8/32 for context.
+_EXEC_MEM = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM", "4g")
+_WORKER_MB = int(_EXEC_MEM.rstrip("gG")) * 1024  # worker must fit the executor
+
 LEVELS = {
-    "e1": ("local-cluster[1,4,4096]", 4),
-    "e4": ("local-cluster[4,4,4096]", 16),
+    "e1": (f"local-cluster[1,4,{_WORKER_MB}]", 4),
+    "e4": (f"local-cluster[4,4,{_WORKER_MB}]", 16),
     "t8": ("local[8]", 8),
     "t32": ("local[32]", 32),
 }
