@@ -756,6 +756,7 @@ from logstash_spark import queries_logstash5 as _ql5  # noqa: E402,F401
 from logstash_spark import queries_logstash6 as _ql6  # noqa: E402,F401
 from logstash_spark import queries_logstash7 as _ql7  # noqa: E402,F401
 from logstash_spark import queries_dataprep4 as _qdp4  # noqa: E402,F401
+from logstash_spark import queries_logstash8 as _ql8  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -836,6 +837,8 @@ _DRIVER_PRIORITY = [
     "extract_math_translit",
     "date_tz_per_event",
     "dedupe_minhash_cross",
+    # added after the window froze — PROMOTE in round 4 with the block above
+    "external_lookup_enrich",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",
