@@ -302,6 +302,30 @@ def bench_bpe_scale(spark) -> float:
     return _time_best(lambda: out, spark)
 
 
+def bench_dsir_scale(spark) -> float:
+    """DSIR importance scoring + Bernoulli resample over DEDUP_DOCS
+    synthetic docs: the map-only zero-shuffle path (literal ratio-table
+    fold, integer thinning). Model fit is untimed setup — in production
+    the fit runs once on a SAMPLE and is reused across the whole corpus;
+    the per-row scoring pass is what scales with data volume."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators import dsir as DS
+
+    docs = synthetic_docs(spark, DEDUP_DOCS)
+    target = docs.where(F.col("doc_id") % 10 == 0).limit(20_000)
+    model = DS.dsir_fit(target, docs.limit(50_000), buckets=1024)
+    scored = DS.dsir_resample(
+        DS.dsir_score(docs, model, buckets=1024), threshold=-8
+    )
+    out = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+        F.sum("logw2").alias("w"),
+    )
+    return _time_best(lambda: out, spark)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from logstash_spark.session import get_spark
@@ -324,6 +348,7 @@ def main() -> None:
     timings["ann_ivf_pq_scale"] = round(bench_ann_pq_scale(spark), 3)
     timings["semantic_dedup_scale"] = round(bench_semantic_dedup(spark), 3)
     timings["bpe_encode_scale"] = round(bench_bpe_scale(spark), 3)
+    timings["dsir_score_scale"] = round(bench_dsir_scale(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)

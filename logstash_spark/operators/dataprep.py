@@ -2588,3 +2588,41 @@ def shard_assign(
         )
         out = out.withColumn("shard_pos", F.row_number().over(w))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Keyword blocklist filter (C4-style "bad words" rule)
+# ---------------------------------------------------------------------------
+
+
+def keyword_blocklist(
+    df: DataFrame,
+    words: list[str],
+    *,
+    text_col: str = "text",
+    target: str = "n_blocked",
+    flag: str = "blocked",
+    lowercase: bool = True,
+) -> DataFrame:
+    """C4-style keyword blocklist (Raffel et al. 2020 §2.2 — pages
+    containing any word from a fixed blocklist are dropped): counts
+    DISTINCT blocklisted words present and flags the document.
+
+    Small lists (the common case, 10^2-10^4 words) compile to one
+    `array_intersect` against a literal array — pure column algebra,
+    zero shuffle, composable with scan pruning when used as a filter.
+    For very large lists prefer a broadcast join on exploded words
+    (same shape as `host_blocklist_filter`). Matching is whole-word
+    over whitespace tokens (C4's rule), case-folded by default."""
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    if lowercase:
+        w = F.transform(w, F.lower)
+        words = sorted({x.lower() for x in words})
+    else:
+        words = sorted(set(words))
+    hits = F.array_intersect(
+        F.array_distinct(w), F.array(*[F.lit(x) for x in words])
+    )
+    return df.withColumn(target, F.size(hits)).withColumn(
+        flag, F.size(hits) > 0
+    )

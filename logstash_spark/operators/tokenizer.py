@@ -169,3 +169,31 @@ def bpe_encode(
         return s.map(one)
 
     return df.withColumn(target, _encode(F.col(text_col)))
+
+
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str,
+    *,
+    target: str = "text_decoded",
+    word_sep: str | None = "_",
+) -> DataFrame:
+    """Invert `bpe_encode`: concatenate the token strings, mapping the
+    boundary token back to a single space. BPE merges only ever join
+    characters of one word, so decode needs no merge table — it is pure
+    column algebra (ONE transform + concat_ws, zero shuffle, zero UDF).
+    Roundtrip contract: decode(encode(text)) == whitespace-normalized
+    text (encode splits on arbitrary whitespace runs)."""
+    col = F.col(tokens_col)
+    if word_sep is None:
+        return df.withColumn(target, F.concat_ws("", col))
+    return df.withColumn(
+        target,
+        F.concat_ws(
+            "",
+            F.transform(
+                col,
+                lambda t: F.when(t == F.lit(word_sep), F.lit(" ")).otherwise(t),
+            ),
+        ),
+    )

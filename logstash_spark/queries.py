@@ -757,6 +757,7 @@ from logstash_spark import queries_logstash6 as _ql6  # noqa: E402,F401
 from logstash_spark import queries_logstash7 as _ql7  # noqa: E402,F401
 from logstash_spark import queries_dataprep4 as _qdp4  # noqa: E402,F401
 from logstash_spark import queries_logstash8 as _ql8  # noqa: E402,F401
+from logstash_spark import queries_dataprep5 as _qdp5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -839,6 +840,10 @@ _DRIVER_PRIORITY = [
     "dedupe_minhash_cross",
     # added after the window froze — PROMOTE in round 4 with the block above
     "external_lookup_enrich",
+    "dsir_importance_resample",
+    "corpus_curation_e2e",
+    "bpe_roundtrip",
+    "keyword_blocklist_flags",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

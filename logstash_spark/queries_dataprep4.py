@@ -142,3 +142,35 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_md5"),
         F.length("clean").alias("n_chars"),
     )
+
+
+@query(
+    "bpe_roundtrip",
+    """
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_filter(string_split(text, ' '), x -> x != ''), ' '), '') AS decoded,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode → decode inversion over the RAW documents text with the
+    general merge table: `bpe_decode` is pure column algebra (boundary
+    token → space, concat), so decode(encode(text)) must equal the
+    whitespace-normalized text for EVERY row — the oracle is the
+    normalized input itself, fully independent of the tokenizer. The
+    boolean recomputes the equality Spark-side as a second witness."""
+    from logstash_spark.operators.tokenizer import bpe_decode, bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc = bpe_encode(docs, "text", _MERGES, word_sep="_")
+    dec = bpe_decode(enc, "bpe_tokens", word_sep="_")
+    norm = F.concat_ws(
+        " ", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    return dec.select(
+        "doc_id",
+        F.col("text_decoded").alias("decoded"),
+        (F.col("text_decoded") == norm).alias("roundtrip_ok"),
+    )

@@ -78,3 +78,37 @@ class TestEncode:
         out = bpe_encode(df, "text", merges, word_sep=None).collect()
         for r in out:
             assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
+
+
+class TestBpeDecode:
+    def test_decode_inverts_encode(self, spark):
+        from logstash_spark.operators.tokenizer import bpe_decode
+
+        df = _corpus(spark, ["the quick brown fox", "thick   thin", "", None])
+        merges = bpe_train(df, "text", num_merges=4)
+        enc = bpe_encode(df, "text", merges, word_sep="_")
+        dec = {r["id"]: r["text_decoded"]
+               for r in bpe_decode(enc, "bpe_tokens").collect()}
+        # whitespace runs normalize to single spaces; null/empty → ''
+        assert dec[0] == "the quick brown fox"
+        assert dec[1] == "thick thin"
+        assert dec[2] == "" and dec[3] == ""
+
+    def test_decode_no_sep_concatenates(self, spark):
+        from logstash_spark.operators.tokenizer import bpe_decode
+
+        df = _corpus(spark, ["ab cd"])
+        enc = bpe_encode(df, "text", [("a", "b")], word_sep=None)
+        got = bpe_decode(enc, "bpe_tokens", word_sep=None).head()
+        assert got["text_decoded"] == "abcd"
+
+    def test_decode_zero_shuffle(self, spark):
+        from logstash_spark.operators.tokenizer import bpe_decode
+
+        df = spark.createDataFrame(
+            [(["ab", "_", "cd"],)], "bpe_tokens array<string>"
+        )
+        out = bpe_decode(df, "bpe_tokens")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+        assert out.head()["text_decoded"] == "ab cd"
