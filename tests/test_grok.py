@@ -321,3 +321,73 @@ def test_cisco_tagged_syslog(spark, method):
     assert out["timestamp"] == "Jun 21 2016 14:02:19"
     assert out["sysloghost"] == "ASA-FW"
     assert out["ciscotag"] == "ASA-4-106023"
+
+
+ELB = (
+    "2015-05-13T23:39:43.945958Z my-loadbalancer 192.168.131.39:2817 "
+    "10.0.0.1:80 0.000073 0.001048 0.000057 200 200 0 29 "
+    '"GET http://www.example.com:80/?a=1 HTTP/1.1"'
+)
+S3 = (
+    "79a59df900b949e55d96a1e698fb awsexamplebucket1 "
+    "[06/Feb/2019:00:00:38 +0000] 192.0.2.3 79a59df900b949e55d96a1e698fb "
+    "3E57427F3EXAMPLE REST.GET.VERSIONING - "
+    '"GET /awsexamplebucket1?versioning HTTP/1.1" 200 - 113 - 7 - "-" '
+    '"S3Console/0.4" -'
+)
+RUBY = "I, [2020-03-10T14:23:51.338083 #11116]  INFO -- app: hello world"
+PG = "01/02/2015 12:00:01 EST alice db=prod,client=10.0.0.1 9876"
+SQUID = (
+    "1426235101.405    85 192.168.1.100 TCP_MISS/200 1015 GET "
+    "http://example.com/page.html - DIRECT/93.184.216.34 text/html"
+)
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_elb_access_log(spark, method):
+    df = spark.createDataFrame([Row(message=ELB)])
+    out = grok(df, "message", "%{ELB_ACCESS_LOG}", method=method).collect()[0]
+    assert out["elb"] == "my-loadbalancer"
+    assert out["clientip"] == "192.168.131.39" and out["clientport"] == 2817
+    assert out["backendip"] == "10.0.0.1" and out["backendport"] == 80
+    assert out["response"] == 200 and out["bytes"] == 29
+    assert out["backend_processing_time"] == pytest.approx(0.001048)
+    assert out["verb"] == "GET" and out["urihost"] == "www.example.com:80"
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_s3_access_log(spark, method):
+    df = spark.createDataFrame([Row(message=S3)])
+    out = grok(df, "message", "%{S3_ACCESS_LOG}", method=method).collect()[0]
+    assert out["bucket"] == "awsexamplebucket1"
+    assert out["clientip"] == "192.0.2.3"
+    assert out["operation"] == "REST.GET.VERSIONING"
+    assert out["response"] == 200 and out["bytes"] == 113
+    assert out["request_time_ms"] == 7
+    assert out["agent"] == '"S3Console/0.4"'
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_ruby_logger_line(spark, method):
+    df = spark.createDataFrame([Row(message=RUBY)])
+    out = grok(df, "message", "%{RUBY_LOGGER}", method=method).collect()[0]
+    assert out["pid"] == 11116
+    assert out["loglevel"] == "INFO"
+    assert out["progname"] == "app"
+    assert out["log_message"] == "hello world"
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_postgresql_and_squid(spark, method):
+    df = spark.createDataFrame([Row(message=PG)])
+    out = grok(df, "message", "%{POSTGRESQL}", method=method).collect()[0]
+    assert out["tz"] == "EST" and out["pid"] == 9876
+    assert out["user_id"] == "alice"
+
+    df2 = spark.createDataFrame([Row(message=SQUID)])
+    out2 = grok(df2, "message", "%{SQUID3}", method=method).collect()[0]
+    assert out2["cache_result"] == "TCP_MISS" and out2["status_code"] == 200
+    assert out2["squid_bytes"] == 1015
+    assert out2["request_method"] == "GET"
+    assert out2["server"] == "93.184.216.34"
+    assert out2["content_type"] == "text/html"
