@@ -232,7 +232,9 @@ PATTERNS: dict[str, str] = {
         r" %{NUMBER:response_processing_time:float}"
         r" %{INT:response:int} %{INT:backend_response:int}"
         r" %{INT:received_bytes:int} %{INT:bytes:int}"
-        r" \"%{ELB_REQUEST_LINE}\""
+        # '- - - ' request line = client disconnected before sending —
+        # routine in production; fall back to rawrequest like upstream
+        r" \"(?:%{ELB_REQUEST_LINE}|%{DATA:rawrequest})\""
     ),
     "S3_REQUEST_LINE": r"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?)",
     "S3_ACCESS_LOG": (

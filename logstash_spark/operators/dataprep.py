@@ -2613,8 +2613,9 @@ def keyword_blocklist(
     zero shuffle, composable with scan pruning when used as a filter.
     For very large lists prefer a broadcast join on exploded words
     (same shape as `host_blocklist_filter`). Matching is whole-word
-    over whitespace tokens (C4's rule), case-folded by default."""
-    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    over whitespace-run tokens (C4's rule — tabs/newlines are word
+    boundaries too), case-folded by default."""
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
     if lowercase:
         w = F.transform(w, F.lower)
         words = sorted({x.lower() for x in words})
@@ -2625,4 +2626,88 @@ def keyword_blocklist(
     )
     return df.withColumn(target, F.size(hits)).withColumn(
         flag, F.size(hits) > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal (CCNet / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def _split_lines(text_col: str, line_sep: str):
+    """Trimmed non-empty lines of `text_col`, split on the LITERAL
+    `line_sep` (quoted with \\Q..\\E so regex metachars like '|' split
+    and rejoin identically)."""
+    return F.filter(
+        F.transform(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + line_sep + "\\E",
+            ),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+
+
+def line_doc_freq(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Document frequency per distinct line: (line_hash, line, df_count).
+
+    The CCNet/RefinedWeb boilerplate signal — lines repeated across many
+    documents (cookie banners, nav menus, SUBSCRIBE NOW) are template
+    text, not content. Lines are trimmed; per-document duplicates count
+    once (array_distinct BEFORE the explode, so a doc repeating its own
+    line doesn't inflate df). ONE explode + groupBy(line_hash) with
+    map-side partial aggregation.
+    """
+    ex = df.select(F.explode(F.array_distinct(_split_lines(text_col, line_sep))).alias("line"))
+    return (
+        ex.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .select(F.xxhash64("line").alias("line_hash"), "line", "df_count")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    freq: DataFrame,
+    *,
+    threshold: int,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    target: str = "text_clean",
+) -> DataFrame:
+    """Strip lines whose corpus document-frequency ≥ `threshold`
+    (`freq` = a `line_doc_freq` output, typically persisted). Adds
+    `target` (the re-joined text, original line order) and `n_removed`.
+
+    Scale topology: the boilerplate set (df_count ≥ threshold) is small
+    BY DEFINITION — template lines, not content — so it broadcasts and
+    the corpus never shuffles: membership is one broadcast LEFT SEMI
+    probe folded into an array_except-style filter per row. Line order
+    is preserved because the filter runs array-locally per document.
+    """
+    boiler = F.broadcast(
+        freq.where(F.col("df_count") >= threshold).select(
+            F.col("line").alias("_bl_line")
+        )
+    )
+    lines = _split_lines(text_col, line_sep)
+    # collect the broadcast side into an array once per plan via a
+    # scalar subquery-style crossJoin (1 row), then array-local filter —
+    # the corpus side stays map-only
+    boiler_arr = boiler.agg(
+        F.collect_list("_bl_line").alias("_bl_set")
+    )
+    out = df.crossJoin(F.broadcast(boiler_arr))
+    kept = F.filter(lines, lambda x: ~F.array_contains(F.col("_bl_set"), x))
+    return (
+        out.withColumn(target, F.concat_ws(line_sep, kept))
+        .withColumn("n_removed", F.size(lines) - F.size(kept))
+        .drop("_bl_set")
     )

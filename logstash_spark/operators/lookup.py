@@ -196,12 +196,16 @@ def lookup_enrich(
 
     import pandas as pd
 
+    # the pandas stage always emits a reserved output column; the final
+    # withColumn maps it onto `target`, so in-place enrichment
+    # (target == field) works instead of crashing in the worker
+    out_col = "_lk_out"
     in_fields = df.schema.fieldNames()
-    passthrough = [f for f in in_fields if f not in (target, "_lookup_failed")]
+    passthrough = [f for f in in_fields if f not in (out_col, "_lookup_failed")]
     proj = df.select(*passthrough)
     out_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in proj.schema.fields
-    ) + f", `{target}` {value_type}, `_lookup_failed` boolean"
+    ) + f", `{out_col}` {value_type}, `_lookup_failed` boolean"
 
     fac, ckey = client_factory, client_key
     hit_n, fail_n, chunk_n = hit_cache_size, failed_cache_size, max_batch_keys
@@ -215,11 +219,18 @@ def lookup_enrich(
         )
         for pdf in batches:
             keys = pdf[field]
-            need = [
-                k
-                for k in pd.unique(keys.dropna())
-                if k not in hits and k not in fails
-            ]
+            # batch-local result map: row values are filled from THIS
+            # map, never from the LRUs, so cache eviction within a large
+            # batch can't silently null out resolved values — the LRUs
+            # only pre-seed across batches
+            local: dict = {}
+            need = []
+            for k in pd.unique(keys.dropna()):
+                if k in hits:
+                    local[k] = hits[k]
+                    hits.move_to_end(k)
+                elif k not in fails:
+                    need.append(k)
             for chunk in _chunks(need, chunk_n):
                 try:
                     res = client.lookup(list(chunk))
@@ -227,14 +238,21 @@ def lookup_enrich(
                     res = {}
                 for k in chunk:
                     if k in res:
+                        local[k] = res[k]
                         _lru_put(hits, k, res[k], hit_n)
                     else:
                         _lru_put(fails, k, True, fail_n)
-            vals = [None if k is None else hits.get(k) for k in keys]
-            failed = [k is not None and k in fails for k in keys]
-            yield pdf.assign(**{target: vals, "_lookup_failed": failed})
+            # pd.isna, not `is None`: Arrow hands nullable numeric key
+            # columns to pandas as float64 with NaN nulls — those must
+            # stay untagged per the null-key contract
+            vals = [None if pd.isna(k) else local.get(k) for k in keys]
+            failed = [not pd.isna(k) and k not in local for k in keys]
+            yield pdf.assign(**{out_col: vals, "_lookup_failed": failed})
 
     out = proj.mapInPandas(run, out_ddl)
+    out = out.withColumn(target, F.col(out_col))
+    if target != out_col:
+        out = out.drop(out_col)
     return _apply_failure_tags(out, tag_on_failure, tags_col)
 
 
@@ -302,10 +320,12 @@ def _apply_failure_tags(
     post-lookup plan in whole-stage codegen)."""
     if not tag_on_failure:
         return df.drop("_lookup_failed")
+    # when the df had no tags column, untagged rows keep NULL (Logstash
+    # events have no `tags` field until something sets it), not []
     tags = (
         F.col(tags_col)
         if tags_col in df.columns
-        else F.array().cast("array<string>")
+        else F.lit(None).cast("array<string>")
     )
     tagged = F.when(
         F.col("_lookup_failed"),
@@ -347,7 +367,9 @@ def dns_filter(
     for fields, rev in ((resolve, False), (reverse, True)):
         for f_name in fields:
             fac = client_factory or (lambda rev=rev: SocketDnsClient(reverse=rev))
-            ckey = client_key or f"dns:{'rev' if rev else 'fwd'}"
+            # direction suffix is ALWAYS appended: resolve and reverse
+            # use different clients, so they must never share a memo slot
+            ckey = f"{client_key or 'dns'}:{'rev' if rev else 'fwd'}"
             tmp = f"_{f_name}_resolved"
             df = lookup_enrich(
                 df, f_name, tmp, fac,

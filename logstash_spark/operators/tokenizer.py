@@ -137,14 +137,17 @@ def bpe_encode(
     merges: Sequence[tuple[str, str]],
     *,
     target: str = "bpe_tokens",
-    word_sep: str | None = "_",
+    word_sep: str | None = "▁",
     lowercase: bool = False,
 ) -> DataFrame:
     """Apply a learned merges table: whitespace-split words, greedy
     rank-order BPE per word, flattened to one token array per row.
     `word_sep` (when set) is emitted as a standalone boundary token
-    between words — it must not appear inside any merge. Null text →
-    empty array."""
+    between words — it must not appear inside any merge NOR anywhere in
+    the text (or decode cannot distinguish it from a literal char; the
+    default is SentencePiece's U+2581 '▁', which never occurs in
+    log/crawl data — pass e.g. '_' only for corpora verified clean of
+    it). Null text → empty array."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     sep = word_sep
 
@@ -176,14 +179,16 @@ def bpe_decode(
     tokens_col: str,
     *,
     target: str = "text_decoded",
-    word_sep: str | None = "_",
+    word_sep: str | None = "▁",
 ) -> DataFrame:
     """Invert `bpe_encode`: concatenate the token strings, mapping the
     boundary token back to a single space. BPE merges only ever join
     characters of one word, so decode needs no merge table — it is pure
     column algebra (ONE transform + concat_ws, zero shuffle, zero UDF).
     Roundtrip contract: decode(encode(text)) == whitespace-normalized
-    text (encode splits on arbitrary whitespace runs)."""
+    text (encode splits on arbitrary whitespace runs), PROVIDED
+    `word_sep` does not occur in the text — every standalone token equal
+    to it becomes a space, which is why the default is U+2581 '▁'."""
     col = F.col(tokens_col)
     if word_sep is None:
         return df.withColumn(target, F.concat_ws("", col))

@@ -844,6 +844,7 @@ _DRIVER_PRIORITY = [
     "corpus_curation_e2e",
     "bpe_roundtrip",
     "keyword_blocklist_flags",
+    "boilerplate_line_removal",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",

@@ -149,7 +149,8 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            coalesce(array_to_string(
-             list_filter(string_split(text, ' '), x -> x != ''), ' '), '') AS decoded,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), ' '), '')
+             AS decoded,
            TRUE AS roundtrip_ok
     FROM documents
     """,
@@ -164,10 +165,11 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.operators.tokenizer import bpe_decode, bpe_encode
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    enc = bpe_encode(docs, "text", _MERGES, word_sep="_")
-    dec = bpe_decode(enc, "bpe_tokens", word_sep="_")
+    enc = bpe_encode(docs, "text", _MERGES)  # default '▁' boundary token
+    dec = bpe_decode(enc, "bpe_tokens")
+    # any-whitespace normalization, matching Python str.split() in encode
     norm = F.concat_ws(
-        " ", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        " ", F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
     )
     return dec.select(
         "doc_id",

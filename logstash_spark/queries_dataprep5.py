@@ -73,7 +73,7 @@ _SEED = 7
             OR (({_T} - logw2) < 32
                 AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_SEED}'), 1, 8) AS BIGINT)
                     < (CAST(1 AS BIGINT)
-                       << CAST(greatest(32 - ({_T} - logw2), 0) AS INT)))) AS keep
+                       << CAST(least(greatest(32 - ({_T} - logw2), 0), 32) AS INT)))) AS keep
     FROM scored
     """,
 )
@@ -236,7 +236,7 @@ _BLOCK_WORDS = ["merge", "drop", "error"]
     WITH base AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               string_split(coalesce(text, ''), ' '), x -> lower(x))) AS dw
+               regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> lower(x))) AS dw
       FROM documents
     )
     SELECT doc_id,
@@ -257,4 +257,71 @@ def keyword_blocklist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.keyword_blocklist(docs, _BLOCK_WORDS)
     return out.select(
         "doc_id", F.col("n_blocked").cast("int").alias("n_blocked"), "blocked"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal
+# ---------------------------------------------------------------------------
+
+_BL_THRESHOLD = 30
+
+
+@query(
+    "boilerplate_line_removal",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '|SUBSCRIBE NOW'
+                  WHEN doc_id % 3 = 1 THEN 'COOKIE NOTICE|' || text
+                  ELSE text END AS t
+      FROM documents
+    ),
+    lx AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(coalesce(t, ''), '|'),
+                                        x -> trim(x)), x -> x != '') AS ls
+      FROM corpus
+    ),
+    freq AS (
+      SELECT line, count(*) AS dfc
+      FROM (SELECT doc_id, unnest(list_distinct(ls)) AS line FROM lx)
+      GROUP BY line
+    ),
+    b AS (SELECT coalesce(list(line), []) AS bl FROM freq WHERE dfc >= {_BL_THRESHOLD}),
+    clean AS (
+      SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(bl, x)) AS kept
+      FROM lx, b
+    )
+    SELECT doc_id,
+           array_to_string(kept, '|') AS text_clean,
+           CAST(len(ls) - len(kept) AS INTEGER) AS n_removed
+    FROM clean
+    """,
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style template-line removal: inject two
+    boilerplate lines (SUBSCRIBE NOW / COOKIE NOTICE) into 2/3 of the
+    documents, compute per-line document frequency (dup lines within a
+    doc count once), and strip lines with df ≥ {threshold}. The
+    boilerplate set broadcasts (template lines are few by definition);
+    the corpus text never shuffles — membership is an array-local
+    filter, preserving original line order."""
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit("|SUBSCRIBE NOW")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("COOKIE NOTICE|"), "text"))
+        .otherwise(F.col("text"))
+    )
+    corpus = docs.select("doc_id", t.alias("text"))
+    freq = D.line_doc_freq(corpus, line_sep="|")
+    out = D.remove_boilerplate_lines(
+        corpus, freq, threshold=_BL_THRESHOLD, line_sep="|"
+    )
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_removed").cast("int").alias("n_removed"),
     )

@@ -24,8 +24,11 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER")
-    if master is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
-        # not under spark-submit (which owns --master) → local default
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # PYSPARK_GATEWAY_PORT is set by spark-submit's PythonRunner for
+        # the driver script (PYSPARK_SUBMIT_ARGS is only the pyspark
+        # shell) — when present, spark-submit owns --master and we must
+        # not override it; otherwise default to all local cores
         master = "local[*]"
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")

@@ -168,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
         "run_id": result.run_id,
         "sink_counts": result.sink_counts,
         "skipped_sinks": result.skipped_sinks,
+        # effective master, so spark-submit E2E tests can assert the
+        # submitted --master was honored (not clobbered by get_spark)
+        "master": spark.sparkContext.master,
     }))
     return 0
 

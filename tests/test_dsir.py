@@ -117,6 +117,7 @@ def test_keyword_blocklist(spark):
             Row(doc_id=2, text="nothing to see"),
             Row(doc_id=3, text="errors are not error-free"),  # no whole-word hit
             Row(doc_id=4, text=None),
+            Row(doc_id=5, text="line one\nerror after newline\tdrop"),
         ]
     )
     out = {
@@ -127,7 +128,46 @@ def test_keyword_blocklist(spark):
     assert out[2] == (0, False)
     assert out[3] == (0, False)  # substrings don't match (C4 whole-word rule)
     assert out[4] == (0, False)
+    assert out[5] == (2, True)  # newline/tab are word boundaries too
 
     plan_df = keyword_blocklist(df, ["merge"])
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_boilerplate_line_removal(spark):
+    from logstash_spark.operators.dataprep import (
+        line_doc_freq,
+        remove_boilerplate_lines,
+    )
+
+    rows = [Row(doc_id=i, text=f"unique {i}\nSUBSCRIBE NOW") for i in range(10)]
+    rows.append(Row(doc_id=99, text="SUBSCRIBE NOW\nSUBSCRIBE NOW\nkeep me"))
+    rows.append(Row(doc_id=100, text=None))
+    df = spark.createDataFrame(rows)
+    freq = line_doc_freq(df)
+    f = {r["line"]: r["df_count"] for r in freq.collect()}
+    assert f["SUBSCRIBE NOW"] == 11  # within-doc duplicate counts ONCE
+    assert f["keep me"] == 1
+
+    out = remove_boilerplate_lines(df, freq, threshold=5)
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in out.collect()}
+    assert got[0] == ("unique 0", 1)
+    assert got[99] == ("keep me", 2)  # both copies stripped, order kept
+    assert got[100] == ("", 0)  # null text → empty, no crash
+
+
+def test_boilerplate_pipe_separator_literal(spark):
+    # regression: line_sep must be treated as a LITERAL everywhere —
+    # '|' is a regex metachar, and split/rejoin must agree
+    from logstash_spark.operators.dataprep import (
+        line_doc_freq,
+        remove_boilerplate_lines,
+    )
+
+    rows = [Row(doc_id=i, text=f"a {i}|BOILER|b {i}") for i in range(6)]
+    df = spark.createDataFrame(rows)
+    freq = line_doc_freq(df, line_sep="|")
+    out = remove_boilerplate_lines(df, freq, threshold=5, line_sep="|")
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in out.collect()}
+    assert got[0] == ("a 0|b 0", 1)  # rejoined with literal '|', not '\\|'

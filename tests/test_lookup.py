@@ -177,3 +177,98 @@ def test_jdbc_streaming_sqlite_roundtrip(spark, tmp_path):
     assert got[3] is None
     tags = {r["id"]: r["tags"] for r in out.collect()}
     assert list(tags[3]) == ["_jdbcstreamingfailure"]
+
+
+def test_lookup_inline_plan_shape(spark):
+    # inline mode: exactly one Arrow mapInPandas node, NO Exchange —
+    # the corpus never shuffles (SCALE.md §3c)
+    df = _mk(spark)
+    out = lookup_enrich(
+        df, "host", "ip", lambda: DictClient(MAPPING), client_key="t-plan"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_lookup_distinct_plan_broadcasts_resolved_side(spark):
+    # distinct_keys mode: resolved side comes back via BroadcastHashJoin
+    # (corpus side stays unshuffled); the only Exchange is the distinct
+    # over the narrow key projection
+    df = _mk(spark)
+    out = lookup_enrich(
+        df, "host", "ip", lambda: DictClient(MAPPING),
+        client_key="t-plan2", distinct_keys=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lookup_small_cache_still_resolves_all(spark):
+    # regression: values must come from the batch-local result map, not
+    # the LRU — with hit_cache_size smaller than the batch's distinct
+    # keys, every resolved key still gets its value (no silent nulls)
+    n_keys = 20
+    mapping = {f"k{i}": f"v{i}" for i in range(n_keys)}
+    df = spark.createDataFrame(
+        [Row(id=i, host=f"k{i}") for i in range(n_keys)]
+    ).coalesce(1)
+    out = lookup_enrich(
+        df, "host", "ip", lambda: DictClient(mapping),
+        client_key="t-smallcache", hit_cache_size=3, failed_cache_size=3,
+    )
+    got = {r["id"]: r["ip"] for r in out.collect()}
+    assert got == {i: f"v{i}" for i in range(n_keys)}
+
+
+def test_lookup_in_place_target(spark):
+    # regression: target == field (in-place enrichment) must work, not
+    # KeyError in the worker
+    df = _mk(spark)
+    out = lookup_enrich(
+        df, "host", "host", lambda: DictClient(MAPPING), client_key="t-inplace"
+    )
+    got = {r["id"]: r["host"] for r in out.collect()}
+    assert got[1] == "10.0.0.1" and got[3] is None
+
+
+def test_dns_resolve_and_reverse_separate_clients(spark):
+    # regression: resolve and reverse with one client_key must not share
+    # a memoized client (direction suffix is always appended)
+    fwd = {"host-0": "10.0.0.1"}
+    rev = {"10.9.9.9": "back.example.com"}
+
+    class DirClient:
+        def __init__(self, mapping):
+            self.m = mapping
+
+        def lookup(self, keys):
+            return {k: self.m[k] for k in keys if k in self.m}
+
+    df = spark.createDataFrame([Row(id=1, host="host-0", addr="10.9.9.9")])
+    out = dns_filter(
+        dns_filter(
+            df, resolve=["host"],
+            client_factory=lambda: DirClient(fwd), client_key="t-dir",
+        ),
+        reverse=["addr"],
+        client_factory=lambda: DirClient(rev), client_key="t-dir",
+    ).head()
+    assert out["host"] == "10.0.0.1"
+    assert out["addr"] == "back.example.com"
+
+
+def test_lookup_null_numeric_key_untagged(spark):
+    # regression: nullable LONG keys arrive in pandas as NaN — they must
+    # stay untagged (null-key contract), not get _lookupfailure
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 999)], "id long, code long"
+    )
+    out = lookup_enrich(
+        df, "code", "name", lambda: DictClient({100: "hundred"}),
+        client_key="t-nan",
+    )
+    got = {r["id"]: (r["name"], r["tags"]) for r in out.collect()}
+    assert got[1] == ("hundred", None)
+    assert got[2][0] is None and not got[2][1]  # null key: no tag
+    assert got[3][0] is None and list(got[3][1]) == ["_lookupfailure"]

@@ -87,7 +87,9 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
 
     r1 = subprocess.run(
         [
-            submit, "--master", "local[4]", "--py-files", zip_path,
+            # local[3] is deliberately NOT get_spark's default: the
+            # assert below proves spark-submit's --master is honored
+            submit, "--master", "local[3]", "--py-files", zip_path,
             str(tmp_path / "main.py"),
             "--spec", spec_path,
             "--input", str(tmp_path / "in"),
@@ -98,4 +100,5 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     assert r1.returncode == 0, r1.stderr[-1500:]
     out = json.loads(r1.stdout.strip().splitlines()[-1])
     assert out["sink_counts"]["sink_errors"] > 0
+    assert out["master"] == "local[3]"
     assert (tmp_path / "sinks" / "_lineage").exists()

@@ -86,7 +86,7 @@ class TestBpeDecode:
 
         df = _corpus(spark, ["the quick brown fox", "thick   thin", "", None])
         merges = bpe_train(df, "text", num_merges=4)
-        enc = bpe_encode(df, "text", merges, word_sep="_")
+        enc = bpe_encode(df, "text", merges)  # default '▁' boundary
         dec = {r["id"]: r["text_decoded"]
                for r in bpe_decode(enc, "bpe_tokens").collect()}
         # whitespace runs normalize to single spaces; null/empty → ''
@@ -106,9 +106,19 @@ class TestBpeDecode:
         from logstash_spark.operators.tokenizer import bpe_decode
 
         df = spark.createDataFrame(
-            [(["ab", "_", "cd"],)], "bpe_tokens array<string>"
+            [(["ab", "▁", "cd"],)], "bpe_tokens array<string>"
         )
         out = bpe_decode(df, "bpe_tokens")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "ArrowEvalPython" not in plan
         assert out.head()["text_decoded"] == "ab cd"
+
+
+class TestSeparatorSafety:
+    def test_default_sep_survives_underscores(self, spark):
+        from logstash_spark.operators.tokenizer import bpe_decode
+
+        df = _corpus(spark, ["snake_case word"])
+        enc = bpe_encode(df, "text", [("a", "b")])  # default '▁'
+        got = bpe_decode(enc, "bpe_tokens").head()["text_decoded"]
+        assert got == "snake_case word"  # literal '_' preserved
