@@ -266,6 +266,133 @@ PATTERNS: dict[str, str] = {
         r" %{WORD:request_method} %{NOTSPACE:url} (?:%{NOTSPACE:user}|-)"
         r" %{WORD:hierarchy_code}/%{IPORHOST:server} %{NOTSPACE:content_type}"
     ),
+    # cisco ASA/PIX firewall message bodies (patterns/legacy/firewalls —
+    # behavioral rewrites of the most common message IDs; compose with
+    # CISCO_TAGGED_SYSLOG for the full line)
+    "CISCO_ACTION": (
+        r"Built|Teardown|Deny|Denied|denied|requested|permitted"
+        r"|denied by ACL|discarded|est-allowed|Dropping|created|deleted"
+    ),
+    "CISCO_XLATE_TYPE": r"static|dynamic",
+    # ASA-1-106001: inbound/outbound connection denied by policy
+    "CISCOFW106001": (
+        r"%{CISCO_DIRECTION:direction} %{WORD:protocol} connection"
+        r" %{CISCO_ACTION:action} from %{IP:src_ip}/%{INT:src_port:int}"
+        r" to %{IP:dst_ip}/%{INT:dst_port:int} flags %{DATA:tcp_flags}"
+        r" on interface %{GREEDYDATA:interface}"
+    ),
+    # ASA-4-106023: deny by access-group (the classic ACL drop line)
+    "CISCOFW106023": (
+        r"%{CISCO_ACTION:action}"
+        r"(?: %{WORD:protocol})?"
+        r" src %{DATA:src_interface}:%{IPORHOST:src_ip}(?:/%{INT:src_port:int})?"
+        r"(?:\(%{DATA:src_fwuser}\))?"
+        r" dst %{DATA:dst_interface}:%{IPORHOST:dst_ip}(?:/%{INT:dst_port:int})?"
+        r"(?:\(%{DATA:dst_fwuser}\))?"
+        r"(?: \(type %{INT:icmp_type:int}, code %{INT:icmp_code:int}\))?"
+        r" by access-group \"?%{DATA:policy_id}\"?"
+        r" \[%{DATA:hashcode1}, %{DATA:hashcode2}\]"
+    ),
+    # ASA-6-302013/14/15/16: TCP/UDP connection built/teardown
+    "CISCOFW302013_302014_302015_302016": (
+        r"%{CISCO_ACTION:action}(?: %{CISCO_DIRECTION:direction})?"
+        r" %{WORD:protocol} connection %{INT:connection_id:int}"
+        r" for %{DATA:src_interface}:%{IP:src_ip}/%{INT:src_port:int}"
+        r"(?: \(%{IP:src_mapped_ip}/%{INT:src_mapped_port:int}\))?"
+        r" to %{DATA:dst_interface}:%{IP:dst_ip}/%{INT:dst_port:int}"
+        r"(?: \(%{IP:dst_mapped_ip}/%{INT:dst_mapped_port:int}\))?"
+        r"(?: duration %{TIME:duration} bytes %{INT:bytes:int})?"
+        r"(?: %{CISCO_REASON:reason})?"
+        r"(?: \(%{DATA:user}\))?"
+    ),
+    # mongodb (patterns/legacy/mongodb): 2.x bracketed component lines +
+    # the profiler slow-query line; MONGO_QUERY relies on backtracking to
+    # balance nested braces up to the following ' ntoreturn:' anchor
+    # (upstream uses Oniguruma lookaround — same accepted language)
+    "MONGO_WORDDASH": r"\b[\w-]+\b",
+    "MONGO_QUERY": r"\{.*\}",
+    "MONGO_LOG": (
+        r"%{SYSLOGTIMESTAMP:timestamp} \[%{WORD:component}\]"
+        r" %{GREEDYDATA:message}"
+    ),
+    "MONGO_SLOWQUERY": (
+        r"%{WORD:profile_op} %{MONGO_WORDDASH:database}\.%{MONGO_WORDDASH:collection}"
+        r" %{WORD}: %{MONGO_QUERY:query} %{WORD}:%{NONNEGINT:ntoreturn:int}"
+        r" %{WORD}:%{NONNEGINT:ntoskip:int} %{WORD}:%{NONNEGINT:nscanned:int}"
+        r".*? %{NONNEGINT:duration:int}ms"
+    ),
+    # nagios core log (patterns/legacy/nagios — the common event types;
+    # NAGIOSLOGLINE is their first-match alternation like upstream)
+    "NAGIOSTIME": r"\[%{NUMBER:nagios_epoch}\]",
+    "NAGIOS_CURRENT_SERVICE_STATE": (
+        r"CURRENT SERVICE STATE: %{DATA:nagios_hostname};%{DATA:nagios_service};"
+        r"%{DATA:nagios_state};%{DATA:nagios_statetype};"
+        r"%{DATA:nagios_statecode};%{GREEDYDATA:nagios_message}"
+    ),
+    "NAGIOS_CURRENT_HOST_STATE": (
+        r"CURRENT HOST STATE: %{DATA:nagios_hostname};%{DATA:nagios_state};"
+        r"%{DATA:nagios_statetype};%{DATA:nagios_statecode};%{GREEDYDATA:nagios_message}"
+    ),
+    "NAGIOS_SERVICE_ALERT": (
+        r"SERVICE ALERT: %{DATA:nagios_hostname};%{DATA:nagios_service};"
+        r"%{DATA:nagios_state};%{DATA:nagios_statelevel};"
+        r"%{NUMBER:nagios_attempt:int};%{GREEDYDATA:nagios_message}"
+    ),
+    "NAGIOS_HOST_ALERT": (
+        r"HOST ALERT: %{DATA:nagios_hostname};%{DATA:nagios_state};"
+        r"%{DATA:nagios_statelevel};%{NUMBER:nagios_attempt:int};"
+        r"%{GREEDYDATA:nagios_message}"
+    ),
+    "NAGIOS_SERVICE_NOTIFICATION": (
+        r"SERVICE NOTIFICATION: %{DATA:nagios_notifyname};%{DATA:nagios_hostname};"
+        r"%{DATA:nagios_service};%{DATA:nagios_state};"
+        r"%{DATA:nagios_contact};%{GREEDYDATA:nagios_message}"
+    ),
+    "NAGIOS_HOST_NOTIFICATION": (
+        r"HOST NOTIFICATION: %{DATA:nagios_notifyname};%{DATA:nagios_hostname};"
+        r"%{DATA:nagios_state};%{DATA:nagios_contact};%{GREEDYDATA:nagios_message}"
+    ),
+    "NAGIOS_TIMEPERIOD_TRANSITION": (
+        r"TIMEPERIOD TRANSITION: %{DATA:nagios_service};"
+        r"%{NUMBER:nagios_unknown1};%{NUMBER:nagios_unknown2}"
+    ),
+    "NAGIOS_EC_LINE_PROCESS_SERVICE_CHECK_RESULT": (
+        r"EXTERNAL COMMAND: PROCESS_SERVICE_CHECK_RESULT;"
+        r"%{DATA:nagios_hostname};%{DATA:nagios_service};"
+        r"%{NUMBER:nagios_check_result:int};%{GREEDYDATA:nagios_message}"
+    ),
+    "NAGIOSLOGLINE": (
+        r"%{NAGIOSTIME} (?:%{NAGIOS_CURRENT_SERVICE_STATE}"
+        r"|%{NAGIOS_CURRENT_HOST_STATE}|%{NAGIOS_SERVICE_ALERT}"
+        r"|%{NAGIOS_HOST_ALERT}|%{NAGIOS_SERVICE_NOTIFICATION}"
+        r"|%{NAGIOS_HOST_NOTIFICATION}|%{NAGIOS_TIMEPERIOD_TRANSITION}"
+        r"|%{NAGIOS_EC_LINE_PROCESS_SERVICE_CHECK_RESULT})"
+    ),
+    # linux-syslog extras (patterns/legacy/linux-syslog)
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": (
+        r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action}"
+        r" \(%{DATA:command}\)"
+    ),
+    "SYSLOGPAMSESSION": (
+        r"%{SYSLOGBASE} %{WORD:pam_module}\(%{DATA:pam_caller}\):"
+        r" session %{WORD:pam_session_state} for user %{USERNAME:username}"
+        r"(?: by %{GREEDYDATA:pam_by})?"
+    ),
+    # juniper netscreen traffic session log (patterns/legacy/firewalls)
+    "NETSCREENSESSIONLOG": (
+        r"%{SYSLOGTIMESTAMP:date} %{IPORHOST:device} %{IPORHOST}:"
+        r" NetScreen device_id=%{WORD:device_id} .*?"
+        r"system-%{WORD:severity}-%{NONNEGINT:event_type:int}\(%{WORD}\):"
+        r" start_time=%{QS:start_time} duration=%{INT:duration:int}"
+        r" policy_id=%{INT:policy_id:int} service=%{DATA:service}"
+        r" proto=%{INT:proto:int} src zone=%{WORD:src_zone}"
+        r" dst zone=%{WORD:dst_zone} action=%{WORD:action}"
+        r" sent=%{INT:sent:int} rcvd=%{INT:rcvd:int}"
+        r" src=%{IPORHOST:src_ip} dst=%{IPORHOST:dst_ip}"
+        r"(?: src_port=%{INT:src_port:int} dst_port=%{INT:dst_port:int})?"
+        r"(?: session_id=%{INT:session_id:int} reason=%{GREEDYDATA:reason})?"
+    ),
 }
 
 _REF = re.compile(r"%\{(\w+)(?::([\w\.\[\]@-]+))?(?::(\w+))?\}")

@@ -391,3 +391,129 @@ def test_postgresql_and_squid(spark, method):
     assert out2["request_method"] == "GET"
     assert out2["server"] == "93.184.216.34"
     assert out2["content_type"] == "text/html"
+
+
+CISCO_BUILT = (
+    "Built inbound TCP connection 9 for outside:192.168.1.7/1025 "
+    "(192.168.1.7/1025) to inside:10.0.0.1/443 (10.0.0.1/443)"
+)
+CISCO_TEARDOWN = (
+    "Teardown TCP connection 9 for outside:192.168.1.7/1025 "
+    "to inside:10.0.0.1/443 duration 0:00:30 bytes 12345 TCP FINs"
+)
+CISCO_DENY = (
+    "Deny tcp src outside:192.168.1.50/53638 dst inside:10.0.0.187/8080 "
+    'by access-group "OUTSIDE" [0x5063b82f, 0x0]'
+)
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_ciscofw_built_teardown(spark, method):
+    df = spark.createDataFrame(
+        [Row(message=CISCO_BUILT), Row(message=CISCO_TEARDOWN)]
+    )
+    rows = grok(
+        df, "message", "%{CISCOFW302013_302014_302015_302016}", method=method
+    ).orderBy("action").collect()
+    built, down = rows
+    assert built["action"] == "Built" and built["direction"] == "inbound"
+    assert built["connection_id"] == 9
+    assert built["src_ip"] == "192.168.1.7" and built["src_port"] == 1025
+    assert built["dst_ip"] == "10.0.0.1" and built["dst_port"] == 443
+    assert built["src_mapped_ip"] == "192.168.1.7"
+    assert down["action"] == "Teardown" and down["direction"] is None
+    assert down["duration"] == "0:00:30" and down["bytes"] == 12345
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_ciscofw_deny_acl(spark, method):
+    df = spark.createDataFrame([Row(message=CISCO_DENY)])
+    out = grok(df, "message", "%{CISCOFW106023}", method=method).collect()[0]
+    assert out["action"] == "Deny" and out["protocol"] == "tcp"
+    assert out["src_interface"] == "outside" and out["src_port"] == 53638
+    assert out["dst_ip"] == "10.0.0.187" and out["dst_port"] == 8080
+    assert out["policy_id"] == "OUTSIDE"
+    assert out["hashcode1"] == "0x5063b82f"
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_mongo_lines(spark, method):
+    df = spark.createDataFrame(
+        [Row(message="Aug 17 10:00:01 [initandlisten] connection accepted "
+                     "from 127.0.0.1:52049")]
+    )
+    out = grok(df, "message", "%{MONGO_LOG}", method=method).collect()[0]
+    assert out["component"] == "initandlisten"
+
+    slow = (
+        "query testdb.users query: { a: { b: 1 } } ntoreturn:5 ntoskip:0 "
+        "nscanned:100 keyUpdates:0 locks(micros) r:111 nreturned:1 "
+        "reslen:127 120ms"
+    )
+    df2 = spark.createDataFrame([Row(message=slow)])
+    out2 = grok(df2, "message", "%{MONGO_SLOWQUERY}", method=method).collect()[0]
+    # backtracking balances the nested braces up to the ' ntoreturn:' anchor
+    assert out2["query"] == "{ a: { b: 1 } }"
+    assert out2["database"] == "testdb" and out2["collection"] == "users"
+    assert out2["ntoreturn"] == 5 and out2["nscanned"] == 100
+    assert out2["duration"] == 120
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_nagios_alternation(spark, method):
+    lines = [
+        "[1472121300] SERVICE ALERT: myhost;http;CRITICAL;HARD;3;refused",
+        "[1472121301] CURRENT HOST STATE: myhost;UP;HARD;1;PING OK",
+        "[1472121302] SERVICE NOTIFICATION: admin;h2;disk;WARNING;by-email;85%",
+    ]
+    df = spark.createDataFrame([Row(message=m) for m in lines])
+    rows = grok(df, "message", "%{NAGIOSLOGLINE}", method=method) \
+        .orderBy("nagios_epoch").collect()
+    alert, state, notif = rows
+    assert alert["nagios_state"] == "CRITICAL" and alert["nagios_attempt"] == 3
+    assert alert["nagios_service"] == "http"
+    assert state["nagios_state"] == "UP" and state["nagios_message"] == "PING OK"
+    assert notif["nagios_notifyname"] == "admin"
+    assert notif["nagios_contact"] == "by-email"
+    assert "_grokparsefailure" not in (alert["tags"] or [])
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_cron_and_pam_session(spark, method):
+    df = spark.createDataFrame(
+        [Row(message="Aug 17 10:00:01 web-1 CRON[1234]: (root) CMD "
+                     "(/usr/bin/backup --daily)")]
+    )
+    out = grok(df, "message", "%{CRONLOG}", method=method).collect()[0]
+    assert out["user"] == "root" and out["action"] == "CMD"
+    assert out["command"] == "/usr/bin/backup --daily"
+
+    df2 = spark.createDataFrame(
+        [Row(message="Aug 17 10:00:01 web-1 sshd[999]: pam_unix(sshd:session): "
+                     "session opened for user alice by (uid=0)"),
+         Row(message="Aug 17 10:00:02 web-1 sshd[999]: pam_unix(sshd:session): "
+                     "session closed for user alice")]
+    )
+    rows = grok(df2, "message", "%{SYSLOGPAMSESSION}", method=method) \
+        .orderBy("timestamp").collect()
+    assert rows[0]["pam_session_state"] == "opened"
+    assert rows[0]["username"] == "alice" and rows[0]["pam_by"] == "(uid=0)"
+    assert rows[1]["pam_session_state"] == "closed" and rows[1]["pam_by"] is None
+
+
+@pytest.mark.parametrize("method", ["native", "pandas"])
+def test_netscreen_session(spark, method):
+    line = (
+        "Jun  2 14:53:31 fire00 aka1: NetScreen device_id=aka1  "
+        "[Root]system-notification-00257(traffic): "
+        'start_time="2006-06-02 14:53:30" duration=0 policy_id=120 '
+        "service=udp/port:17210 proto=17 src zone=Trust dst zone=DMZ "
+        "action=Deny sent=0 rcvd=0 src=192.168.2.2 dst=10.0.0.1 "
+        "src_port=53 dst_port=17210"
+    )
+    df = spark.createDataFrame([Row(message=line)])
+    out = grok(df, "message", "%{NETSCREENSESSIONLOG}", method=method).collect()[0]
+    assert out["device_id"] == "aka1" and out["policy_id"] == 120
+    assert out["severity"] == "notification" and out["event_type"] == 257
+    assert out["src_zone"] == "Trust" and out["action"] == "Deny"
+    assert out["src_port"] == 53 and out["dst_port"] == 17210
