@@ -457,3 +457,37 @@ def jdbc_streaming_filter(
         client_key=client_key, value_type=value_type,
         tag_on_failure=tag_on_failure, **kw,
     )
+
+
+@op("elasticsearch")
+def elasticsearch_filter(
+    df: DataFrame,
+    query_field: str,
+    *,
+    fields: Mapping[str, str],
+    client_factory: Callable[[], Any],
+    client_key: str,
+    tag_on_failure: Sequence[str] = ("_elasticsearch_lookup_failure",),
+    **kw: Any,
+) -> DataFrame:
+    """logstash-filter-elasticsearch analog: search a previous-events
+    store by a key derived from the current event, copy `fields`
+    (hit-source path → event field) out of the FIRST hit — the
+    reference's default `result_size => 1` behavior.
+
+    The client seam returns {key: {source_field: value}} for resolved
+    keys (an elasticsearch-py wrapper on a real deployment; any dict
+    client in tests). One lookup populates ALL requested fields, so the
+    wire cost matches the reference's single search per event — the
+    struct lands once and `getField` fans it out column-side.
+    """
+    value_type = "map<string,string>"
+    hit = "_es_hit"
+    out = lookup_enrich(
+        df, query_field, hit, client_factory,
+        client_key=client_key, value_type=value_type,
+        tag_on_failure=tag_on_failure, **kw,
+    )
+    for src_path, dst in fields.items():
+        out = out.withColumn(dst, F.col(hit).getItem(src_path))
+    return out.drop(hit)

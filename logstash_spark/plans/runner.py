@@ -31,7 +31,7 @@ from pyspark.storagelevel import StorageLevel
 from logstash_spark.operators import OPS
 from logstash_spark.operators.route import ROUTES, add_routes, route_filter
 from logstash_spark.plans.spec import PipelineSpec
-from logstash_spark.sources.tableio import SnapshotTable
+from logstash_spark.sources.tableio import open_table
 
 # operator modules register themselves in OPS on import
 import logstash_spark.operators.parse  # noqa: F401, E402
@@ -219,6 +219,7 @@ def run_pipeline(
     fail_after_sink: str | None = None,  # test hook (FIXTURES.md F6)
     drop_before_write: tuple[str, ...] = (),
     persist_tracker: list[DataFrame] | None = None,
+    table_format: str = "auto",
 ) -> RunResult:
     """Execute one pipeline: build the plan, persist once, fan out to
     sinks + side tables. Virtual `pipeline:` sinks are NOT written —
@@ -228,6 +229,10 @@ def run_pipeline(
     frame stays alive until every downstream pipeline consuming this
     pipeline's address frames has run."""
     run_id = _input_fingerprint(input_df, spec)
+
+    def _mk(name: str):
+        # Iceberg on equipped clusters, parquet snapshot layout here
+        return open_table(os.path.join(sinks_root, name), spark, table_format)
 
     # per-partition lineage must be stamped BEFORE any repartitioning
     input_df = input_df.withColumn("_in_part", F.spark_partition_id())
@@ -249,7 +254,7 @@ def run_pipeline(
         .withColumnRenamed("_in_part", "partition_id")
         .withColumn("run_id", F.lit(run_id))
     )
-    sl_table = SnapshotTable(os.path.join(sinks_root, "_sink_lineage"))
+    sl_table = _mk("_sink_lineage")
     latest_sl = sl_table.latest()
     if not (resume and latest_sl and latest_sl.lineage.get("run_id") == run_id):
         sl_table.append(sink_lineage_df, lineage={"run_id": run_id})
@@ -274,7 +279,7 @@ def run_pipeline(
             ).drop(ROUTES, "_in_part")
             result.sink_counts[sink] = totals.get(sink, (0, 0))[0]
             continue
-        table = SnapshotTable(os.path.join(sinks_root, sink))
+        table = _mk(sink)
         latest = table.latest()
         if resume and latest and latest.lineage.get("run_id") == run_id:
             result.skipped_sinks.append(sink)
@@ -319,7 +324,7 @@ def run_pipeline(
     if "doc_id" in routed.columns:
         aggs.append(F.approx_count_distinct("doc_id").alias("approx_docs"))
     agg_df = exploded.rollup("sink", *dims).agg(*aggs)
-    SnapshotTable(os.path.join(sinks_root, "_aggregates")).append(
+    _mk("_aggregates").append(
         agg_df, lineage={"run_id": run_id}
     )
     result.aggregates = agg_df
@@ -331,7 +336,7 @@ def run_pipeline(
         m = metrics_op(
             routed, spec.metrics_ts, dims, window_duration=spec.metrics_window
         )
-        SnapshotTable(os.path.join(sinks_root, "_metrics")).append(
+        _mk("_metrics").append(
             m, lineage={"run_id": run_id}
         )
         result.metrics = m
@@ -346,7 +351,7 @@ def run_pipeline(
         .withColumnRenamed("_in_part", "partition_id")
         .withColumn("run_id", F.lit(run_id))
     )
-    SnapshotTable(os.path.join(sinks_root, "_lineage")).append(
+    _mk("_lineage").append(
         lineage_df, lineage={"run_id": run_id}
     )
     result.lineage = lineage_df

@@ -15,11 +15,14 @@ properties the pipeline depends on, behind one seam:
     which input partitions were processed) that a restarted job reads to
     skip completed work idempotently.
 
-On a real cluster, `IcebergTable` (same interface) delegates both to
-Iceberg's snapshot/commit machinery via `df.writeTo(...)`.
-Logstash analog: the persisted queue's checkpoint files
-(org/logstash/ackedqueue/Checkpoint.java) — ours checkpoints plans, not
-events.
+On a real cluster, `IcebergTable` (below — same interface) delegates
+both to Iceberg's snapshot/commit machinery: path-based HadoopTables
+identifiers so every sink directory IS an Iceberg table, app metadata
+carried as snapshot summary properties (`snapshot-property.*` write
+options), time travel via `snapshot-id`. `open_table()` picks the
+implementation per runtime. Logstash analog: the persisted queue's
+checkpoint files (org/logstash/ackedqueue/Checkpoint.java) — ours
+checkpoints plans, not events.
 """
 
 from __future__ import annotations
@@ -176,3 +179,167 @@ class SnapshotTable:
             .collect()
         )
         return {int(r["partition_id"]) for r in rows}
+
+
+class IcebergTable:
+    """`SnapshotTable` interface over a real Iceberg runtime.
+
+    Path-based identifiers (Iceberg HadoopTables): every sink directory
+    is itself an Iceberg table, so the sinks_root layout is identical to
+    the parquet fallback's. App-level `lineage`/`meta` payloads travel as
+    snapshot SUMMARY PROPERTIES (the public `snapshot-property.<key>`
+    write option), so resume reads them back from the `#snapshots`
+    metadata table instead of a side JSON. Not exercisable in this
+    sandbox (no iceberg-spark-runtime jar — `iceberg_available()` is the
+    guard); the fallback reproduces the two properties the pipeline
+    needs. Reference intent: north-rule "resumable from Iceberg snapshot
+    checkpoints".
+    """
+
+    def __init__(self, root: str, spark: SparkSession):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath — use SnapshotTable "
+                "(open_table(fmt='auto') does this automatically)"
+            )
+        self.root = root
+        self.spark = spark
+
+    # -- snapshot bookkeeping ----------------------------------------------
+
+    def _snapshots_df(self) -> DataFrame:
+        return self.spark.read.format("iceberg").load(f"{self.root}#snapshots")
+
+    def snapshots(self) -> list[int]:
+        try:
+            rows = self._snapshots_df().select("snapshot_id").collect()
+        except Exception:
+            return []
+        return sorted(int(r["snapshot_id"]) for r in rows)
+
+    def latest(self) -> Snapshot | None:
+        try:
+            row = (
+                self._snapshots_df()
+                .orderBy("committed_at", ascending=False)
+                .head()
+            )
+        except Exception:
+            return None
+        return self._to_snapshot(row) if row else None
+
+    def load_snapshot(self, snapshot_id: int) -> Snapshot:
+        from pyspark.sql import functions as F
+
+        row = (
+            self._snapshots_df()
+            .where(F.col("snapshot_id") == snapshot_id)
+            .head()
+        )
+        if row is None:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not in iceberg table {self.root}"
+            )
+        return self._to_snapshot(row)
+
+    @staticmethod
+    def _to_snapshot(row: Any) -> Snapshot:
+        summary = dict(row["summary"] or {})
+        lineage = json.loads(summary.get("lineage", "{}"))
+        meta = json.loads(summary.get("app-meta", "{}"))
+        # data files are Iceberg's concern; the interface's `files` field
+        # is only informational here
+        return Snapshot(int(row["snapshot_id"]), [], lineage, meta)
+
+    # -- write path ----------------------------------------------------------
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        lineage: dict[str, Any] | None = None,
+        meta: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        prev = self.latest()
+        merged_lineage = dict(prev.lineage) if prev else {}
+        merged_lineage.update(lineage or {})
+        w = (
+            df.write.format("iceberg")
+            .mode("append")
+            .option("snapshot-property.lineage", json.dumps(merged_lineage))
+            .option("snapshot-property.app-meta", json.dumps(meta or {}))
+        )
+        if partition_by:
+            # first write creates the table; Iceberg partition spec is
+            # fixed at creation (evolution via ALTER on real clusters)
+            w = w.partitionBy(*partition_by)
+        w.save(self.root)
+        snap = self.latest()
+        assert snap is not None  # the append just committed one
+        return snap
+
+    # -- read path -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        r = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", str(snapshot_id))
+        try:
+            return r.load(self.root)
+        except Exception as e:  # normalize with SnapshotTable's contract
+            raise FileNotFoundError(
+                f"no committed snapshots in {self.root}"
+            ) from e
+
+    def processed_partitions(
+        self, spark: SparkSession, *, run_id: str | None = None
+    ) -> set[int]:
+        snap = self.latest()
+        if not snap:
+            return set()
+        if run_id is None:
+            run_id = snap.lineage.get("run_id")
+        detail = snap.lineage.get("detail_table")
+        if run_id is None or detail is None:
+            return set()
+        sink = snap.meta.get("sink", os.path.basename(self.root.rstrip("/")))
+        ltable = IcebergTable(
+            os.path.join(os.path.dirname(self.root.rstrip("/")), detail),
+            self.spark,
+        )
+        try:
+            ldf = ltable.read(spark)
+        except FileNotFoundError:
+            return set()
+        from pyspark.sql import functions as F
+
+        rows = (
+            ldf.where((F.col("run_id") == run_id) & (F.col("sink") == sink))
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {int(r["partition_id"]) for r in rows}
+
+
+def open_table(
+    root: str,
+    spark: SparkSession | None = None,
+    fmt: str = "auto",
+) -> SnapshotTable | IcebergTable:
+    """Table-layer factory: `fmt` ∈ {'auto', 'iceberg', 'snapshot'}.
+
+    'auto' (the default everywhere) uses Iceberg when the runtime jar is
+    on the classpath and falls back to the parquet snapshot layout
+    otherwise — so the same pipeline code runs unchanged in this sandbox
+    and on an Iceberg-equipped cluster."""
+    if fmt == "iceberg":
+        if spark is None:
+            raise ValueError("fmt='iceberg' requires a SparkSession")
+        return IcebergTable(root, spark)
+    if fmt == "auto" and spark is not None and iceberg_available(spark):
+        return IcebergTable(root, spark)
+    if fmt not in ("auto", "snapshot"):
+        raise ValueError(f"unknown table format {fmt!r}")
+    return SnapshotTable(root)

@@ -34,14 +34,45 @@ def file_stream_source(
     *,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    completed_action: str | None = None,
+    archive_dir: str | None = None,
+    max_file_age: str | None = None,
+    path_field: str | None = None,
 ) -> DataFrame:
-    """logstash-input-file analog: tail a landing directory. Offsets /
-    sincedb = the streaming checkpoint; late files are picked up by
-    directory listing, exactly-once per file."""
+    """logstash-input-file analog: tail a landing directory.
+
+    Option mapping (reference: logstash-input-file §mode/read options):
+
+    * offsets / sincedb           → the streaming checkpoint (per-file,
+      exactly-once; late files picked up by directory listing)
+    * `mode => read` +
+      `file_completed_action`    → `completed_action` ∈ {'delete',
+      'archive'} — Spark's `cleanSource` (archive needs `archive_dir`,
+      the `file_completed_log_path` analog of keeping the originals)
+    * `ignore_older`              → `max_file_age` (e.g. '7d'): files
+      older than this are never picked up
+    * the `path` event field      → `path_field`: populated from
+      `input_file_name()` per row
+    * raw log files               → fmt='text', schema='value string';
+      line/multiline/json codecs then apply downstream unchanged.
+    """
     rdr = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         rdr = rdr.option("maxFilesPerTrigger", max_files_per_trigger)
-    return rdr.load(path)
+    if completed_action:
+        if completed_action not in ("delete", "archive"):
+            raise ValueError("completed_action must be 'delete' or 'archive'")
+        if completed_action == "archive" and not archive_dir:
+            raise ValueError("completed_action='archive' needs archive_dir")
+        rdr = rdr.option("cleanSource", completed_action)
+        if archive_dir:
+            rdr = rdr.option("sourceArchiveDir", archive_dir)
+    if max_file_age:
+        rdr = rdr.option("maxFileAge", max_file_age)
+    df = rdr.load(path)
+    if path_field:
+        df = df.withColumn(path_field, F.input_file_name())
+    return df
 
 
 def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:

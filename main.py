@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sinks-root", help="root directory for sink tables")
     ap.add_argument("--master", default=None, help="spark master override")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--table-format", default="auto",
+        choices=["auto", "iceberg", "snapshot"],
+        help="sink table layer: Iceberg when the runtime jar is present "
+             "(auto), or pin either implementation",
+    )
     ap.add_argument("--streaming", action="store_true",
                     help="treat --input as a landing dir (file stream)")
     ap.add_argument("--write-example-spec", metavar="PATH")
@@ -163,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
     result = run_pipeline(
         spark, input_df, spec, args.sinks_root,
         resume=not args.no_resume, drop_before_write=drop,
+        table_format=args.table_format,
     )
     print(json.dumps({
         "run_id": result.run_id,

@@ -272,3 +272,31 @@ def test_lookup_null_numeric_key_untagged(spark):
     assert got[1] == ("hundred", None)
     assert got[2][0] is None and not got[2][1]  # null key: no tag
     assert got[3][0] is None and list(got[3][1]) == ["_lookupfailure"]
+
+
+def test_elasticsearch_filter_fields_copy(spark):
+    from logstash_spark.operators.lookup import elasticsearch_filter
+
+    class EsClient:
+        # {query key: hit _source}
+        M = {
+            "q-1": {"status": "active", "plan": "pro"},
+            "q-2": {"status": "trial", "plan": "free"},
+        }
+
+        def lookup(self, keys):
+            return {k: self.M[k] for k in keys if k in self.M}
+
+    df = spark.createDataFrame(
+        [Row(id=1, qk="q-1"), Row(id=2, qk="q-2"), Row(id=3, qk="q-404")]
+    )
+    out = elasticsearch_filter(
+        df, "qk",
+        fields={"status": "acct_status", "plan": "acct_plan"},
+        client_factory=EsClient, client_key="t-es",
+    )
+    got = {r["id"]: (r["acct_status"], r["acct_plan"], r["tags"]) for r in out.collect()}
+    assert got[1] == ("active", "pro", None)
+    assert got[2] == ("trial", "free", None)
+    assert got[3][0] is None and list(got[3][2]) == ["_elasticsearch_lookup_failure"]
+    assert "_es_hit" not in out.columns

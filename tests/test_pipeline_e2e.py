@@ -222,3 +222,49 @@ def test_dlq_reason_filter_is_exact_member(spark, tmp_path):
     )
     out = dlq_replay_frame(df, reason_filter="_grokparsefailure", strip_metadata=False)
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+class TestTableFactory:
+    def test_auto_falls_back_to_snapshot_without_iceberg(self, spark, tmp_path):
+        from logstash_spark.sources.tableio import (
+            SnapshotTable,
+            iceberg_available,
+            open_table,
+        )
+
+        # this sandbox has no iceberg-spark-runtime jar
+        assert not iceberg_available(spark)
+        t = open_table(str(tmp_path / "t"), spark, "auto")
+        assert isinstance(t, SnapshotTable)
+        assert isinstance(open_table(str(tmp_path / "t2")), SnapshotTable)
+
+    def test_explicit_iceberg_raises_without_runtime(self, spark, tmp_path):
+        from logstash_spark.sources.tableio import open_table
+
+        with pytest.raises(RuntimeError, match="Iceberg runtime"):
+            open_table(str(tmp_path / "t"), spark, "iceberg")
+        with pytest.raises(ValueError, match="requires a SparkSession"):
+            open_table(str(tmp_path / "t"), None, "iceberg")
+        with pytest.raises(ValueError, match="unknown table format"):
+            open_table(str(tmp_path / "t"), spark, "delta")
+
+    def test_run_pipeline_explicit_snapshot_format(self, spark, tmp_path):
+        # table_format="snapshot" pins the fallback explicitly — same
+        # results as the default auto path in this sandbox
+        from logstash_spark.plans.runner import run_pipeline
+        from logstash_spark.plans.spec import PipelineSpec
+
+        df = spark.createDataFrame(
+            [(i, f"m{i}", "app" if i % 2 else "web") for i in range(20)],
+            ["id", "message", "source"],
+        )
+        spec = PipelineSpec(
+            name="t",
+            filters=[],
+            routes={"sink_app": '[source] == "app"',
+                    "sink_web": '[source] == "web"'},
+        )
+        res = run_pipeline(
+            spark, df, spec, str(tmp_path / "sinks"), table_format="snapshot"
+        )
+        assert res.sink_counts == {"sink_app": 10, "sink_web": 10}

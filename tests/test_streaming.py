@@ -206,3 +206,76 @@ def test_streaming_dict_refresh_between_batches(spark, tmp_path):
         for r in spark.read.parquet(f"{sinks_root}/all").collect()
     }
     assert rows == {1: "v1", 2: "v2"}
+
+
+def test_file_source_text_tail_with_path_field(spark, tmp_path):
+    """logstash-input-file over raw log text: fmt='text' reads
+    line-per-row, `path_field` carries the source file (the reference's
+    `path` event field), and the line content lands in `value` ready for
+    the codec/grok chain."""
+    landing = tmp_path / "logs"
+    landing.mkdir()
+    (landing / "a.log").write_text("alpha 1\nalpha 2\n")
+    (landing / "b.log").write_text("beta 1\n")
+    out = tmp_path / "out"
+    stream = file_stream_source(
+        spark, str(landing), "value string", fmt="text", path_field="path"
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    got = {(r["value"], r["path"].rsplit("/", 1)[-1]) for r in rows}
+    assert got == {
+        ("alpha 1", "a.log"), ("alpha 2", "a.log"), ("beta 1", "b.log")
+    }
+
+
+def test_file_source_completed_action_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="delete.*archive|archive.*delete"):
+        file_stream_source(
+            spark, str(tmp_path), "value string", fmt="text",
+            completed_action="rename",
+        )
+    with pytest.raises(ValueError, match="archive_dir"):
+        file_stream_source(
+            spark, str(tmp_path), "value string", fmt="text",
+            completed_action="archive",
+        )
+
+
+def test_file_source_read_mode_deletes_completed(spark, tmp_path):
+    """`mode => read` + `file_completed_action => delete`: Spark's
+    cleanSource removes each file once a LATER batch commits (cleanup of
+    batch N happens at batch N+1), so with one file per trigger the
+    first file must be gone after the run."""
+    import glob as _glob
+    import time as _time
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    for i in range(3):
+        (landing / f"f{i}.log").write_text(f"line {i}\n")
+    stream = file_stream_source(
+        spark, str(landing), "value string", fmt="text",
+        max_files_per_trigger=1, completed_action="delete",
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # cleanup is asynchronous best-effort; poll briefly
+    for _ in range(20):
+        left = _glob.glob(str(landing / "*.log"))
+        if len(left) < 3:
+            break
+        _time.sleep(0.5)
+    assert len(left) < 3, "cleanSource=delete removed no completed file"
