@@ -571,3 +571,74 @@ def cef_encode(
         ext,
     )
     return df.withColumn(target, line)
+
+
+@op("gzip_lines")
+def gzip_lines(
+    df: DataFrame,
+    field: str,
+    *,
+    target: str = "message",
+    line_no: str = "line_no",
+    keep_empty: bool = False,
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """logstash-codec-gzip_lines: each input blob is one gzip stream whose
+    decompressed payload is newline-separated events (reference:
+    logstash-codec-gzip_lines lib/logstash/codecs/gzip_lines.rb §decode —
+    Zlib::GzipReader over the IO, then the line codec). The inflate is one
+    Arrow-batched pandas UDF over the binary column — CPU-bound,
+    embarrassingly parallel, zero shuffle — followed by line_codec's
+    posexplode. A null/corrupt blob yields a null text → zero events for
+    that row (the reference raises per-stream; here the row simply
+    produces nothing, and callers wanting a failure channel can test
+    isnull before the explode)."""
+    # annotation-free body: pandas_udf's hint inference can't resolve
+    # function-local 'pd.Series' strings (PEP 563) — see script_field.
+    def _gunzip(s):
+        import gzip  # noqa: PLC0415
+
+        def one(b):  # noqa: ANN001
+            if b is None:
+                return None
+            try:
+                return gzip.decompress(bytes(b)).decode(encoding)
+            except (OSError, EOFError, UnicodeDecodeError):
+                return None
+
+        return s.map(one)
+
+    udf = F.pandas_udf(_gunzip, "string")
+    tmp = "_gz_inflated"
+    out = df.withColumn(tmp, udf(F.col(field)))
+    return line_codec(
+        out, tmp, target=target, line_no=line_no, keep_empty=keep_empty
+    )
+
+
+def gzip_encode(
+    df: DataFrame,
+    field: str,
+    *,
+    target: str = "gz_blob",
+    compresslevel: int = 6,
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Deterministic gzip of a string column (the file output's
+    `gzip => true` option; reference: logstash-output-file §flush with
+    Zlib::GzipWriter). mtime is pinned to 0 so the emitted bytes are
+    REPRODUCIBLE across workers, retries, and runs — without it every
+    task attempt would embed its own wall-clock in the 10-byte header
+    and break exactly-once re-write comparisons. One Arrow-batched
+    pandas UDF, zero shuffle."""
+    def _gz(s):
+        import gzip  # noqa: PLC0415
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else gzip.compress(t.encode(encoding), compresslevel, mtime=0)
+        )
+
+    udf = F.pandas_udf(_gz, "binary")
+    return df.withColumn(target, udf(F.col(field)))

@@ -759,6 +759,7 @@ from logstash_spark import queries_dataprep4 as _qdp4  # noqa: E402,F401
 from logstash_spark import queries_logstash8 as _ql8  # noqa: E402,F401
 from logstash_spark import queries_dataprep5 as _qdp5  # noqa: E402,F401
 from logstash_spark import queries_logstash9 as _ql9  # noqa: E402,F401
+from logstash_spark import queries_logstash10 as _ql10  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -847,6 +848,7 @@ _DRIVER_PRIORITY = [
     "keyword_blocklist_flags",
     "boilerplate_line_removal",
     "grok_firewall_families",
+    "gzip_lines_codec",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",
