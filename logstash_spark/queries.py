@@ -764,10 +764,12 @@ from logstash_spark import queries_logstash10 as _ql10  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
 # registry per round, so queries that have never received a driver row (or
-# failed last round, or are new this round) are ordered FIRST; queries with a
-# green driver row in the most recent round go last. Names not listed keep
-# their registration order after the priority block. Unknown names are
-# ignored (the list may reference queries gated behind optional modules).
+# failed last round, or are new this round) must come FIRST and queries
+# green in the most recent round last. _reorder_registry derives that
+# ordering AUTOMATICALLY from the CORRECTNESS_r{N}.json records the driver
+# leaves in the repo root — no per-round manual promotion. The static list
+# below seeds the ordering for fresh checkouts (no records yet) and breaks
+# ties within a priority class; unknown names are ignored.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # red in CORRECTNESS_r02 — gates re-canonicalized this round
@@ -849,6 +851,7 @@ _DRIVER_PRIORITY = [
     "boilerplate_line_removal",
     "grok_firewall_families",
     "gzip_lines_codec",
+    "punct_template_mining",
     # green in r01 only — re-confirm
     "fingerprint_sha256",
     "range_tagged",
@@ -861,11 +864,78 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _driver_history(root: str | None = None) -> dict[str, tuple[int, bool]]:
+    """Scan the repo root's CORRECTNESS_r{N}.json driver records and return
+    {query: (latest_round_sampled, passed_all_checks_that_round)}. Missing
+    or unreadable files are simply skipped — ordering degrades to the
+    static _DRIVER_PRIORITY list."""
+    import glob  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (
+                rec.get("err") in (None, "")
+                and rec.get("rows_match") is not False
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, ok)
+    return hist
+
+
 def _reorder_registry() -> None:
-    ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in set(ordered)]
+    """Order the registry so the driver's bounded per-round sample always
+    covers the verification frontier. Priority classes (stable within
+    each): (0) sampled before and FAILED its latest sample, (1) never
+    driver-sampled (new queries land here automatically), (2) green only
+    in an older round (re-confirm, oldest first), (3) green in the most
+    recent round. The static _DRIVER_PRIORITY list breaks ties within a
+    class and is the full ordering when no CORRECTNESS files exist (e.g.
+    a fresh checkout)."""
+    static_rank = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    base = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    base += [n for n in QUERIES if n not in set(base)]
+    hist = _driver_history()
+    if hist:
+        latest = max(rnd for rnd, _ in hist.values())
+        base_rank = {n: i for i, n in enumerate(base)}
+
+        def key(name: str) -> tuple:
+            rec = hist.get(name)
+            tie = (static_rank.get(name, len(static_rank)), base_rank[name])
+            if rec is None:
+                return (1, 0, *tie)
+            rnd, ok = rec
+            if not ok:
+                return (0, -rnd, *tie)  # most recent failure first
+            if rnd < latest:
+                return (2, rnd, *tie)  # oldest green re-confirms first
+            return (3, 0, *tie)
+
+        base.sort(key=key)
     for d in (QUERIES, ORACLES):
-        snap = {n: d[n] for n in ordered if n in d}
+        snap = {n: d[n] for n in base if n in d}
         d.clear()
         d.update(snap)
 
