@@ -162,6 +162,21 @@ def urldecode(df: DataFrame, field: str) -> DataFrame:
     return df.withColumn(field, F.url_decode(F.col(field)))
 
 
+@op("punct")
+def punct(
+    df: DataFrame, source: str = "message", *, target: str = "punct"
+) -> DataFrame:
+    """logstash-filter-punct (lib/logstash/filters/punct.rb §filter):
+    strip everything alphanumeric-or-space from `source`, leaving the
+    punctuation skeleton — the classic cheap log-template signature
+    (events from the same printf site share a skeleton regardless of the
+    variable values). One regexp_replace, zero shuffle; pair with a
+    groupBy over the skeleton for template mining at any scale."""
+    return df.withColumn(
+        target, F.regexp_replace(F.col(source), "[a-zA-Z0-9 ]", "")
+    )
+
+
 @op("de_dot")
 def de_dot(df: DataFrame, separator: str = "_") -> DataFrame:
     """logstash-filter-de_dot: driver-side schema rename (no data movement)."""

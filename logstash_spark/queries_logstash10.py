@@ -54,3 +54,90 @@ def gzip_lines_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "line_no", "message").orderBy(
         "doc_id", "line_no"
     )
+
+
+@query(
+    "punct_template_mining",
+    """
+    WITH msgs AS (
+      SELECT event_id,
+             CASE CAST(event_id % 3 AS INT)
+                  WHEN 0 THEN 'GET /api/v' || CAST(user_id % 3 AS VARCHAR)
+                       || '/users?id=' || CAST(event_id AS VARCHAR) || ' 200'
+                  WHEN 1 THEN 'ERROR [pool-' || CAST(user_id % 10 AS VARCHAR)
+                       || '-thread-' || CAST(event_id % 8 AS VARCHAR)
+                       || '] timeout after ' || CAST(event_id % 500 AS VARCHAR)
+                       || 'ms'
+                  ELSE 'user=' || CAST(user_id AS VARCHAR) || ' action=login ok'
+             END AS msg
+      FROM events
+    ),
+    sig AS (
+      SELECT event_id,
+             regexp_replace(msg, '[a-zA-Z0-9 ]', '', 'g') AS punct_sig,
+             CAST(length(msg) - length(replace(msg, ' ', '')) + 1 AS INT)
+                 AS n_tokens
+      FROM msgs
+    )
+    SELECT punct_sig, n_tokens,
+           COUNT(*) AS template_count,
+           MIN(event_id) AS canon_event_id
+    FROM sig
+    GROUP BY punct_sig, n_tokens
+    ORDER BY punct_sig, n_tokens
+    """,
+)
+def punct_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """punct filter + template mining (reference: logstash-filter-punct
+    §filter — the gsub skeleton — used exactly as its README suggests:
+    group identical skeletons to discover the printf sites emitting the
+    logs; same idea as Drain/LogMine's coarse first pass). Three
+    synthetic printf sites over the events table collapse to three
+    (skeleton, token-count) templates; the gate checks the skeleton
+    strings, per-template counts, and the canonical (min event_id)
+    exemplar. Plan: pure column exprs + ONE groupBy shuffle with
+    map-side partial aggregation — template count is bounded by distinct
+    printf sites, not rows, so the reduce side is tiny at any corpus
+    size."""
+    from logstash_spark.functions import punct as _punct  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    msg = (
+        F.when(
+            eid % 3 == 0,
+            F.concat(
+                F.lit("GET /api/v"), s(uid % 3),
+                F.lit("/users?id="), s(eid), F.lit(" 200"),
+            ),
+        )
+        .when(
+            eid % 3 == 1,
+            F.concat(
+                F.lit("ERROR [pool-"), s(uid % 10),
+                F.lit("-thread-"), s(eid % 8),
+                F.lit("] timeout after "), s(eid % 500), F.lit("ms"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("user="), s(uid), F.lit(" action=login ok"))
+        )
+    )
+    df = _punct(ev.withColumn("message", msg), "message", target="punct_sig")
+    n_tokens = (
+        F.length("message")
+        - F.length(F.replace(F.col("message"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("int")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .groupBy("punct_sig", "n_tokens")
+        .agg(
+            F.count("*").alias("template_count"),
+            F.min("event_id").alias("canon_event_id"),
+        )
+        .orderBy("punct_sig", "n_tokens")
+    )

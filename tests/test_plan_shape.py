@@ -332,3 +332,32 @@ def test_minhash_cross_band_join_carries_ids_only(spark):
         if "_band" in header or "_key" in header:
             # the banded exchanges: their output schema should not have _sh
             assert "_sh#" not in header
+
+
+def test_gzip_lines_single_arrow_node_no_shuffle(spark):
+    from logstash_spark.queries import QUERIES
+
+    import re
+
+    plan = plan_of(QUERIES["gzip_lines_codec"](spark, SF))
+    # the only Exchange allowed is the final orderBy's range partitioning
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert len(exchanges) <= 1
+    assert all(e.startswith("rangepartitioning") for e in exchanges)
+    # posexplode (Generate) sits BELOW that exchange in the printed tree,
+    # i.e. it executes pre-shuffle, straight off the Arrow inflate
+    assert "Generate" in plan.split("Exchange")[-1]
+
+
+def test_punct_template_single_shuffle_partial_agg(spark):
+    from logstash_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["punct_template_mining"](spark, SF))
+    # map-side partial aggregation before the one groupBy exchange
+    assert plan.count("HashAggregate") >= 2
+    hash_exchanges = [
+        seg for seg in plan.split("Exchange")[1:] if seg.lstrip().startswith("hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 1  # one keyed shuffle; orderBy adds a range one
+    # skeleton is pure Catalyst — no Python anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
