@@ -2711,3 +2711,179 @@ def remove_boilerplate_lines(
         .withColumn("n_removed", F.size(lines) - F.size(kept))
         .drop("_bl_set")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 / FineWeb line-level quality rules
+# ---------------------------------------------------------------------------
+
+_TERMINAL_PUNCT = (".", "!", "?", '"')
+_BULLET_PREFIXES = ("- ", "* ", "• ")
+
+
+def line_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """FineWeb/C4-style per-LINE quality ratios, computed array-locally
+    per document (zero shuffle — the corpus never moves):
+
+    * `frac_term_punct` — fraction of lines ending in terminal
+      punctuation (. ! ? ") — C4 keeps only such lines (Raffel et al.
+      2020 §2.2); FineWeb thresholds the ratio.
+    * `frac_bullet` — fraction of bullet-ish lines (-, *, bullet dot):
+      Gopher drops docs with >90% bullet lines.
+    * `frac_short` — fraction of lines with < 3 words.
+    * `n_lines` / `n_words` — exact integers for downstream rationals.
+    * `has_lorem` / `has_curly` — C4 document kill-rules (placeholder
+      text, code braces).
+
+    Ratios are round(x, 4) of an exact-int division — bit-reproducible
+    in any engine.
+    """
+    lines = _split_lines(text_col, line_sep)
+    n_lines = F.size(lines)
+    term = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(x, -1, 1).isin(*_TERMINAL_PUNCT),
+        )
+    )
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(x, 1, 2).isin(*_BULLET_PREFIXES),
+        )
+    )
+    short = F.size(
+        F.filter(lines, lambda x: F.size(F.split(x, " ")) < 3)
+    )
+    n_words = F.aggregate(
+        F.transform(lines, lambda x: F.size(F.split(x, " "))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    low = F.lower(F.col(text_col))
+    safe = F.greatest(n_lines, F.lit(1)).cast("double")
+    return (
+        df.withColumn("n_lines", n_lines.cast("int"))
+        .withColumn("n_words", n_words.cast("int"))
+        .withColumn("frac_term_punct", F.round(term.cast("double") / safe, 4))
+        .withColumn("frac_bullet", F.round(bullet.cast("double") / safe, 4))
+        .withColumn("frac_short", F.round(short.cast("double") / safe, 4))
+        .withColumn("has_lorem", low.contains("lorem ipsum"))
+        .withColumn("has_curly", F.col(text_col).contains("{"))
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    target: str = "text_clean",
+    line_sep: str = "\n",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rule proper (Raffel et al. 2020 §2.2), re-expressed
+    as pure array-local column algebra: KEEP a line only if it ends in
+    terminal punctuation AND has >= `min_words` words; then KEEP the
+    document only if >= `min_lines` lines survive and it contains
+    neither 'lorem ipsum' nor '{'. Adds `target` (kept lines re-joined,
+    original order), `n_kept`, and `doc_keep` — zero shuffle, and the
+    keep-filter composes with parquet pushdown when `doc_keep` gates a
+    downstream scan."""
+    lines = _split_lines(text_col, line_sep)
+    kept = F.filter(
+        lines,
+        lambda x: F.substring(x, -1, 1).isin(*_TERMINAL_PUNCT)
+        & (F.size(F.split(x, " ")) >= min_words),
+    )
+    low = F.lower(F.col(text_col))
+    doc_keep = (
+        (F.size(kept) >= min_lines)
+        & ~low.contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return (
+        df.withColumn(target, F.concat_ws(line_sep, kept))
+        .withColumn("n_kept", F.size(kept).cast("int"))
+        .withColumn("doc_keep", doc_keep)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def embed_decontam(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval: int = 10_000,
+) -> DataFrame:
+    """Benchmark decontamination by embedding similarity: flag corpus
+    rows whose cosine to ANY eval-set vector reaches `threshold`
+    (the embedding-space complement of the n-gram `decontaminate` op).
+
+    Scale topology: an eval set is SMALL BY DEFINITION (benchmark
+    suites are 10^3-10^5 items), so — like `quality_classifier`'s
+    weights and DSIR's bucket table — it collapses into a plan-time
+    literal of unit-normalized directions. The corpus NEVER shuffles
+    and no join is scheduled: each row folds `K` dot products in one
+    map-only projection. At 10^5+ eval items, swap the literal for a
+    broadcast crossJoin + groupBy(id) max (one narrow shuffle).
+
+    IEEE parity: directions are normalized driver-side with the same
+    left-fold + correctly-rounded sqrt/div the SQL oracle uses, so both
+    engines see bit-identical literals and produce bit-identical
+    cosines (rounded to 6 dp on output as usual).
+    """
+    import math  # noqa: PLC0415
+
+    rows = (
+        eval_df.select(F.col(id_col).alias("_eid"), F.col(vec_col).alias("_v"))
+        .orderBy("_eid")
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"eval set exceeds max_eval={max_eval}; use the broadcast-join form"
+        )
+    units = []
+    for r in rows:
+        vec = [float(x) for x in r["_v"]]
+        acc = 0.0  # same left fold as list_reduce(list_prepend(0.0, ...))
+        for x in vec:
+            acc = acc + x * x
+        norm = math.sqrt(acc)
+        units.append([x / norm for x in vec])
+    lit_units = F.array(
+        *[
+            F.array(*[F.lit(x) for x in u]).cast("array<double>")
+            for u in units
+        ]
+    )
+    cnorm = l2norm(F.col(vec_col))
+    cos_list = F.transform(
+        lit_units,
+        lambda u: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), u, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / cnorm,
+    )
+    max_cos = F.array_max(cos_list)
+    n_hits = F.size(F.filter(cos_list, lambda c: c >= F.lit(threshold)))
+    return (
+        corpus.withColumn("max_eval_cos", F.round(max_cos, 6))
+        .withColumn("n_contam_hits", n_hits.cast("int"))
+        .withColumn("contaminated", max_cos >= F.lit(threshold))
+    )

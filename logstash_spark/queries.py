@@ -760,6 +760,7 @@ from logstash_spark import queries_logstash8 as _ql8  # noqa: E402,F401
 from logstash_spark import queries_dataprep5 as _qdp5  # noqa: E402,F401
 from logstash_spark import queries_logstash9 as _ql9  # noqa: E402,F401
 from logstash_spark import queries_logstash10 as _ql10  # noqa: E402,F401
+from logstash_spark import queries_dataprep6 as _qdp6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -861,6 +862,10 @@ _DRIVER_PRIORITY = [
     "cardinality_metrics",
     "translate_regex_mode",
     "elapsed_conditional",
+    # dataprep batch 6 (post-window this round; r04 frontier)
+    "hll_cardinality",
+    "c4_fineweb_line_rules",
+    "embed_decontam_flags",
 ]
 
 
