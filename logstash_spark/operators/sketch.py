@@ -169,3 +169,128 @@ def hll_oracle_sql(
            CAST({num} // (s_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {scale})) AS BIGINT) AS est_x1e6
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+# Fixed universal-hash parameters (a*h + b mod P mod w), small enough that
+# a * h never leaves 2^52 for a 32-bit h — exact in int64 AND in IEEE
+# doubles, so any engine agrees.
+CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne)
+CMS_AB = [
+    (999_331, 101_273),
+    (824_633, 390_041),
+    (604_171, 752_809),
+    (492_113, 217_645),
+    (377_011, 564_377),
+    (263_167, 908_111),
+    (151_121, 433_459),
+    (77_023, 660_887),
+]
+
+
+def _cms_cells(key_col: Column, d: int, w: int) -> Column:
+    """array<struct<row,col>> of the d Count-Min cells for a key."""
+    h = portable_hash32(key_col)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (((h * F.lit(a) + F.lit(b)) % CMS_P) % w)
+                .cast("int")
+                .alias("col"),
+            )
+            for i, (a, b) in enumerate(CMS_AB[:d])
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: Column | str,
+    groups: Sequence[str] = (),
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a relational
+    op: each key increments d cells (row=i, col=h_i(key)); the sketch
+    table is at most d*w rows per group REGARDLESS of input size — the
+    bounded-memory frequency structure for hot-key detection at 100 TB.
+    ONE keyed shuffle with map-side partial counts; merge = union + sum
+    (`cms_merge`). Point estimate = min over the d cells, an upper
+    bound that over-counts only by collisions (never under-counts)."""
+    if d > len(CMS_AB):
+        raise ValueError(f"d={d} exceeds the fixed hash family ({len(CMS_AB)})")
+    key_col = F.col(key) if isinstance(key, str) else key
+    e = df.select(*groups, F.explode(_cms_cells(key_col, d, w)).alias("rc"))
+    return e.groupBy(*groups, "rc.row", "rc.col").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches over the same key/groups/(d,w):
+    union + per-cell sum. Counters are additive, so shard-local
+    sketches combine exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key: str = "key",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Frequency upper bounds for `probes[key]`: min over the d cells,
+    absent cells counting 0. The SKETCH side broadcasts — it is ≤ d*w
+    rows by construction — so probing any stream of keys is a map-side
+    hash join, never a shuffle of the probe side."""
+    pc = probes.select(
+        key, F.explode(_cms_cells(F.col(key), d, w)).alias("rc")
+    ).select(key, "rc.row", "rc.col")
+    j = pc.join(F.broadcast(sketch), ["row", "col"], "left")
+    return j.groupBy(key).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def cms_oracle_sql(
+    key_sql: str,
+    from_sql: str,
+    probes_sql: str,
+    d: int = 4,
+    w: int = 256,
+) -> str:
+    """DuckDB rendering of sketch+lookup: same hash family, same integer
+    algebra. `probes_sql` must yield a relation with a `key` column."""
+    h32 = f"CAST('0x' || substr(md5(CAST({{x}} AS VARCHAR)), 1, 8) AS BIGINT)"
+    cell = "((hh * {a} + {b}) % " + str(CMS_P) + ") % " + str(w)
+    rows = " UNION ALL ".join(
+        f"SELECT k, hh, {i} AS row, CAST({cell.format(a=a, b=b)} AS INTEGER) AS col FROM hx"
+        for i, (a, b) in enumerate(CMS_AB[:d])
+    )
+    return f"""
+    WITH hx AS (
+      SELECT {key_sql} AS k, {h32.format(x=key_sql)} AS hh FROM {from_sql}
+    ),
+    cells AS (
+      SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({rows}) GROUP BY row, col
+    ),
+    px AS (
+      SELECT key AS k, {h32.format(x='key')} AS hh FROM ({probes_sql})
+    ),
+    pc AS (
+      {rows.replace('FROM hx', 'FROM px')}
+    )
+    SELECT pc.k AS key, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN cells USING (row, col)
+    GROUP BY pc.k
+    """

@@ -866,6 +866,7 @@ _DRIVER_PRIORITY = [
     "hll_cardinality",
     "c4_fineweb_line_rules",
     "embed_decontam_flags",
+    "cms_frequency",
 ]
 
 

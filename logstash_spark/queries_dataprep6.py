@@ -248,3 +248,56 @@ def embed_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embed_decontam(corpus, eval_df, threshold=_DECON_THR).select(
         "vec_id", "max_eval_cos", "n_contam_hits", "contaminated"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 32  # small width → visible collisions at sf0.01
+
+_CMS_EST = SK.cms_oracle_sql(
+    "CAST(user_id AS VARCHAR)",
+    "events",
+    "SELECT CAST(range AS VARCHAR) AS key FROM range(10)",
+    d=_CMS_D,
+    w=_CMS_W,
+)
+
+
+@query(
+    "cms_frequency",
+    f"""
+    WITH est AS ({_CMS_EST}),
+    ex AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+    )
+    SELECT est.key, est.est, coalesce(ex.exact_n, 0) AS exact_n
+    FROM est LEFT JOIN ex USING (key)
+    """,
+)
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency upper bounds for probe keys user_id 0..9,
+    deliberately narrow (w=32) so collisions over-count and the gate
+    exercises the min-over-rows estimate, not just exact counts. The
+    Spark side sketches TWO shards and merges them (counters are
+    additive → merged ≡ single-pass, which is what the oracle runs);
+    the probe lookup broadcasts the ≤ d*w-row sketch."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("user_id").cast("string")
+    s0 = SK.cms_sketch(
+        ev.filter(F.col("event_id") % 2 == 0), key, d=_CMS_D, w=_CMS_W
+    )
+    s1 = SK.cms_sketch(
+        ev.filter(F.col("event_id") % 2 == 1), key, d=_CMS_D, w=_CMS_W
+    )
+    sketch = SK.cms_merge(s0, s1)
+    probes = spark.range(10).select(F.col("id").cast("string").alias("key"))
+    est = SK.cms_lookup(sketch, probes, "key", d=_CMS_D, w=_CMS_W)
+    exact = ev.groupBy(key.alias("key")).agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    return est.join(exact, "key", "left").select(
+        "key", "est", F.coalesce("exact_n", F.lit(0).cast("long")).alias("exact_n")
+    )

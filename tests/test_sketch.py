@@ -75,3 +75,52 @@ def test_overflow_guard():
     # the sketch is touched.
     with pytest.raises(ValueError, match="overflows"):
         SK.hll_estimate(None, p=20)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts(spark):
+    rows = [Row(k=str(i % 7)) for i in range(700)]
+    df = spark.createDataFrame(rows)
+    sk = SK.cms_sketch(df, "k", d=4, w=16)  # narrow → collisions certain
+    probes = spark.createDataFrame([Row(key=str(i)) for i in range(7)])
+    est = {r["key"]: r["est"] for r in SK.cms_lookup(sk, probes, d=4, w=16).collect()}
+    for i in range(7):
+        assert est[str(i)] >= 100  # true count per key
+
+
+def test_cms_exact_when_wide(spark):
+    rows = [Row(k="a")] * 5 + [Row(k="b")] * 3
+    df = spark.createDataFrame(rows)
+    sk = SK.cms_sketch(df, "k", d=4, w=256)
+    probes = spark.createDataFrame([Row(key="a"), Row(key="b"), Row(key="zz")])
+    est = {r["key"]: r["est"] for r in SK.cms_lookup(sk, probes, d=4, w=256).collect()}
+    assert est["a"] == 5 and est["b"] == 3
+    assert est["zz"] <= 5  # absent key: bounded by collisions, often 0
+
+
+def test_cms_merge_is_additive(spark):
+    df = spark.range(400).select(F.col("id").cast("string").alias("k"))
+    single = SK.cms_sketch(df, "k", d=4, w=64)
+    m = SK.cms_merge(
+        SK.cms_sketch(df.filter(F.col("k").cast("long") < 200), "k", d=4, w=64),
+        SK.cms_sketch(df.filter(F.col("k").cast("long") >= 200), "k", d=4, w=64),
+    )
+    a = {(r["row"], r["col"]): r["cnt"] for r in single.collect()}
+    b = {(r["row"], r["col"]): r["cnt"] for r in m.collect()}
+    assert a == b
+
+
+def test_cms_sketch_bounded_size(spark):
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    sk = SK.cms_sketch(df, "k", d=4, w=32)
+    assert sk.count() <= 4 * 32
+
+
+def test_cms_d_guard(spark):
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="hash family"):
+        SK.cms_sketch(df, "k", d=99)
