@@ -1,0 +1,204 @@
+"""Full-text retrieval: inverted index + BM25 top-k scoring.
+
+Reference parity: Logstash's whole raison d'etre is feeding an
+elasticsearch cluster whose query side ranks documents with BM25
+(Robertson & Zaragoza 2009, the Lucene default since 5.0). A Spark
+re-expression of the pipeline needs the *search* half too — build the
+inverted index as a table and answer ranked queries relationally:
+
+    postings:  ONE explode + groupBy(term, doc) — the only corpus-wide
+               shuffle, done once at index-build time. Doc length is
+               denormalized onto each posting row so scoring never
+               joins back to the corpus.
+    df table:  groupBy(term) over postings (vocabulary-sized).
+    scoring:   query terms (tiny, broadcast) join postings on term —
+               the corpus side stays put and only MATCHING postings
+               move; one groupBy(query, doc) bounded by those matches;
+               top-k per query over the scored handful.
+
+At 100 TB the index build is a single keyed shuffle and the per-query
+cost is proportional to the postings of the query's terms — the same
+asymptotics as Lucene, expressed as joins.
+
+Scoring arithmetic: classic BM25 needs ln(), which is NOT
+bit-reproducible across engines (libm last-ulp differences). Following
+this repo's LM-scoring convention, `exact=True` (default, used by the
+correctness gate) quantizes the idf to an integer log2 —
+idf_q = floor(log2((N - df + 0.5)/(df + 0.5))) computed as
+bitlen((2N-2df+1) div (2df+1)) - 1 — and folds k1=6/5, b=3/4 into one
+exact integer-scaled rational per term:
+
+    contrib = idf_q * 22 * tf * L * SCALE  div  (10*tf*L + 3*L + 9*dl*N)
+
+(L = total corpus tokens, N = doc count; derive it by clearing
+denominators in tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with
+avgdl = L/N). Integer sums are order-independent, so scores and
+rankings are bit-identical in any engine. `exact=False` computes the
+standard double-precision BM25 with true ln() for production use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: integer scale for exact-mode contributions; keeps idf_q(<=63) * 22 *
+#: tf * L * SCALE inside int64 for corpora up to ~10^9 tokens per index
+#: shard (larger corpora: lower SCALE or score per-shard and merge).
+BM25_SCALE = 10_000
+
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercased alphanumeric terms, empty strings dropped — the
+    analyzer both engines can replay (`string_split_regex` in DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), _TOKEN_RE), lambda x: x != "")
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Inverted index: (term, doc, tf, dl) — ONE explode + groupBy.
+    Doc length rides on every posting row (map-side window, no second
+    join at scoring time)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(text)).alias("term")
+    )
+    counted = toks.groupBy("doc", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    # dl = sum(tf) per doc: same-key window over the grouped result —
+    # reuses the (doc, term) exchange, no extra shuffle.
+    return counted.select(
+        "term",
+        "doc",
+        "tf",
+        F.sum("tf").over(Window.partitionBy("doc")).cast("long").alias("dl"),
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    exact: bool = True,
+    scale: int = BM25_SCALE,
+) -> DataFrame:
+    """Rank the top-k docs per query by BM25 (k1=1.2, b=0.75) over a
+    `build_postings` index. `queries` = (query_id, terms array<string>)
+    or (query_id, term) already exploded; it is assumed SMALL (a query
+    workload, not a corpus) and broadcasts. Ties break on ascending
+    doc id, so results are total-ordered and reproducible."""
+    qcols = queries.columns
+    if "terms" in qcols:
+        qterms = queries.select(
+            "query_id", F.explode("terms").alias("term")
+        ).distinct()
+    else:
+        qterms = queries.select("query_id", "term").distinct()
+
+    nl = postings.agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("l_tokens"),
+    )
+    dft = postings.groupBy("term").agg(
+        F.countDistinct("doc").cast("long").alias("df")
+    )
+    # (query, term, idf) — vocabulary-bounded, broadcast into scoring.
+    qidf = qterms.join(dft, "term").crossJoin(F.broadcast(nl))
+    if exact:
+        idf = F.expr(
+            "CAST(length(bin(greatest((2*n_docs - 2*df + 1) div (2*df + 1), 1)))"
+            " - 1 AS BIGINT)"
+        )
+    else:
+        idf = F.log((2 * F.col("n_docs") - 2 * F.col("df") + 1) / (2 * F.col("df") + 1))
+    qidf = qidf.select("query_id", "term", idf.alias("idf"), "n_docs", "l_tokens")
+
+    m = postings.join(F.broadcast(qidf), "term")
+    if exact:
+        contrib = F.expr(
+            f"(idf * 22 * tf * l_tokens * {scale}) div "
+            "(10 * tf * l_tokens + 3 * l_tokens + 9 * dl * n_docs)"
+        )
+        score = F.sum(contrib).cast("long").alias("score_scaled")
+    else:
+        contrib = (
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") * F.col("n_docs") / F.col("l_tokens")))
+        )
+        score = F.sum(contrib).alias("score_scaled")
+    scored = m.groupBy("query_id", "doc").agg(score)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "doc", "score_scaled", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_oracle_sql(
+    docs_sql: str,
+    queries_sql: str,
+    k: int = 10,
+    scale: int = BM25_SCALE,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    """DuckDB rendering of build_postings + bm25_topk(exact=True):
+    identical analyzer, identical integer algebra. `queries_sql` must
+    yield (query_id, term) rows."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc,
+             unnest(list_filter(string_split_regex(lower({text}), '{_TOKEN_RE}'),
+                                x -> x != '')) AS term
+      FROM ({docs_sql})
+    ),
+    post0 AS (
+      SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ),
+    post AS (
+      SELECT term, doc, tf,
+             CAST(sum(tf) OVER (PARTITION BY doc) AS BIGINT) AS dl
+      FROM post0
+    ),
+    nl AS (
+      SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+             CAST(sum(tf) AS BIGINT) AS l_tokens
+      FROM post
+    ),
+    dft AS (
+      SELECT term, CAST(count(DISTINCT doc) AS BIGINT) AS df FROM post GROUP BY 1
+    ),
+    qidf AS (
+      SELECT q.query_id, q.term,
+             CAST(length(bin(greatest((2*n_docs - 2*df + 1) // (2*df + 1), 1)))
+                  - 1 AS BIGINT) AS idf,
+             n_docs, l_tokens
+      FROM (SELECT DISTINCT query_id, term FROM ({queries_sql})) q
+      JOIN dft USING (term) CROSS JOIN nl
+    ),
+    sc AS (
+      SELECT query_id, doc,
+             CAST(sum((idf * 22 * tf * l_tokens * {scale}) //
+                      (10 * tf * l_tokens + 3 * l_tokens + 9 * dl * n_docs))
+                  AS BIGINT) AS score_scaled
+      FROM post JOIN qidf USING (term)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc, score_scaled, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT query_id, doc, score_scaled,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_scaled DESC, doc ASC) AS rank
+      FROM sc
+    ) WHERE rank <= {k}
+    """

@@ -261,6 +261,196 @@ def cms_lookup(
     )
 
 
+# HDR-histogram bucketing: unit-exact below 2^(sub_bits+1), then
+# 2^sub_bits log-spaced sub-buckets per octave (relative error
+# <= 2^-sub_bits). Pure integer algebra — bitlen via length(bin(x)),
+# truncation via shiftright — so any SQL engine agrees bit-for-bit.
+# (Spark's python shiftleft/shiftright helpers take literal bit counts
+# only, so column-width shifts go through F.expr.)
+
+
+def _q_bucket_expr(sub_bits: int) -> Column:
+    """Bucket index over a column named `_qv` (non-negative bigint)."""
+    sb = sub_bits
+    shift = f"greatest(length(bin(_qv)) - {sb + 1}, 0)"
+    return F.expr(
+        f"CAST(CASE WHEN _qv <= 0 THEN 0 ELSE "
+        f"{shift} * {1 << sb} + shiftright(_qv, CAST({shift} AS INT)) "
+        f"END AS BIGINT)"
+    ).alias("bucket")
+
+
+def _q_bounds_expr(sub_bits: int) -> tuple[Column, Column]:
+    """[lb, ub] value range covered by a column named `bucket`."""
+    sb = sub_bits
+    s = f"CAST(greatest((bucket div {1 << sb}) - 1, 0) AS INT)"
+    lb = f"shiftleft(bucket - {s} * {1 << sb}, {s})"
+    ub = f"{lb} + shiftleft(CAST(1 AS BIGINT), {s}) - 1"
+    return (
+        F.expr(f"CAST({lb} AS BIGINT)"),
+        F.expr(f"CAST({ub} AS BIGINT)"),
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value: Column | str,
+    groups: Sequence[str] = (),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Mergeable quantile sketch (HDR-histogram / DDSketch-family:
+    log-spaced buckets with bounded RELATIVE error, here 2^-sub_bits).
+    Values must be non-negative bigints (quantize floats first, e.g.
+    floor(ms*100)). ONE keyed shuffle with map-side partial counts; the
+    sketch is at most ~(64-sub_bits)*2^sub_bits rows per group
+    REGARDLESS of input size, and `quantile_merge` = union + sum — so
+    p99 latency across a 100 TB corpus is a union of shard sketches,
+    never a global sort. Contrast Spark's built-in percentile_approx
+    (Greenwald-Khanna): accurate but with an opaque binary state that
+    no external oracle can replay; this sketch is pure relational
+    algebra, bit-identical in DuckDB."""
+    v = (F.col(value) if isinstance(value, str) else value).cast("long")
+    return (
+        df.select(*groups, v.alias("_qv"))
+        .select(*groups, _q_bucket_expr(sub_bits))
+        .groupBy(*groups, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def quantile_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge quantile sketches over the same groups/sub_bits:
+    union + per-bucket sum (counters are additive)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    groups: Sequence[str] = (),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Collapse a sketch to nearest-rank quantile BOUNDS per group: for
+    each (label, num, den) the bucket holding rank r = ceil(num*n/den)
+    yields [est_lb, est_ub], guaranteed to bracket the exact
+    nearest-rank value with est_ub/est_lb <= 1 + 2^-sub_bits. Integer
+    ranks and integer bounds — no floats anywhere. The cumsum window
+    runs over the TINY sketch table (<=~1k rows/group), not the data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.select(
+        *groups,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*groups)).alias("n"),
+    )
+    qlit = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("q_label"),
+                    F.lit(num).cast("long").alias("q_num"),
+                    F.lit(den).cast("long").alias("q_den"),
+                )
+                for label, num, den in quantiles
+            ]
+        )
+    ).alias("q")
+    expanded = cum.select(*cum.columns, qlit).select(
+        *cum.columns, "q.q_label", "q.q_num", "q.q_den"
+    )
+    r = F.expr("(q_num * n + q_den - 1) div q_den")
+    hit = expanded.filter((F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r))
+    lb, ub = _q_bounds_expr(sub_bits)
+    return hit.select(
+        *groups,
+        "q_label",
+        lb.alias("est_lb"),
+        ub.alias("est_ub"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def quantile_oracle_sql(
+    value_sql: str,
+    from_sql: str,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ),
+    groups: Sequence[str] = (),
+    sub_bits: int = 4,
+) -> str:
+    """DuckDB rendering of sketch -> estimate: the same integer bucket
+    algebra, for correctness gates."""
+    sb = sub_bits
+    gcols = ", ".join(groups)
+    gpre = f"{gcols}, " if groups else ""
+    qrows = " UNION ALL ".join(
+        f"SELECT '{label}' AS q_label, CAST({num} AS BIGINT) AS q_num, "
+        f"CAST({den} AS BIGINT) AS q_den"
+        for label, num, den in quantiles
+    )
+    return f"""
+    WITH vals AS (
+      SELECT {gpre}CAST({value_sql} AS BIGINT) AS v FROM {from_sql}
+    ),
+    bx AS (
+      SELECT {gpre}
+             CASE WHEN v <= 0 THEN 0
+                  ELSE greatest(length(bin(v)) - {sb + 1}, 0) END AS s,
+             v
+      FROM vals
+    ),
+    sk AS (
+      SELECT {gpre}CAST(s * {1 << sb} + (v >> s) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM bx GROUP BY {gpre}s * {1 << sb} + (v >> s)
+    ),
+    cum AS (
+      SELECT {gpre}bucket, cnt,
+             sum(cnt) OVER (PARTITION BY {gcols or '1'} ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY {gcols or '1'}) AS n
+      FROM sk
+    ),
+    q AS ({qrows}),
+    hit AS (
+      SELECT {gpre}q_label, bucket, n,
+             (q_num * n + q_den - 1) // q_den AS r
+      FROM cum, q
+      WHERE cum >= (q_num * n + q_den - 1) // q_den
+        AND cum - cnt < (q_num * n + q_den - 1) // q_den
+    ),
+    inv AS (
+      SELECT {gpre}q_label, n, bucket,
+             greatest((bucket >> {sb}) - 1, 0) AS s2
+      FROM hit
+    )
+    SELECT {gpre}q_label,
+           CAST((bucket - s2 * {1 << sb}) << s2 AS BIGINT) AS est_lb,
+           CAST(((bucket - s2 * {1 << sb}) << s2) + (CAST(1 AS BIGINT) << s2) - 1
+                AS BIGINT) AS est_ub,
+           CAST(n AS BIGINT) AS n
+    FROM inv
+    """
+
+
 def cms_oracle_sql(
     key_sql: str,
     from_sql: str,

@@ -124,3 +124,75 @@ def test_cms_d_guard(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError, match="hash family"):
         SK.cms_sketch(df, "k", d=99)
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, values):
+    return spark.createDataFrame([(int(v),) for v in values], "v long")
+
+
+def test_quantile_bucket_unit_exact_small(spark):
+    # below 2^(sub_bits+1) every value is its own bucket: estimates exact
+    df = _vals(spark, range(32))
+    sk = SK.quantile_sketch(df, "v", sub_bits=4)
+    est = SK.quantile_estimate(sk, [("p50", 1, 2)], sub_bits=4).collect()[0]
+    # rank ceil(0.5*32)=16 → value 15 (0-based values 0..31)
+    assert est["est_lb"] == est["est_ub"] == 15
+
+
+def test_quantile_relative_error_bound(spark):
+    import random
+
+    rng = random.Random(7)
+    values = [rng.randrange(1, 1_000_000) for _ in range(5000)]
+    df = _vals(spark, values)
+    sk = SK.quantile_sketch(df, "v", sub_bits=4)
+    out = {
+        r["q_label"]: r
+        for r in SK.quantile_estimate(sk, sub_bits=4).collect()
+    }
+    sv = sorted(values)
+    for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        r = (num * len(sv) + den - 1) // den
+        exact = sv[r - 1]
+        row = out[label]
+        assert row["est_lb"] <= exact <= row["est_ub"]
+        assert row["est_ub"] <= row["est_lb"] * (1 + 2**-4) + 1
+
+
+def test_quantile_merge_equals_single(spark):
+    df = spark.range(3000).select((F.col("id") * 37 % 9973).alias("v"))
+    single = SK.quantile_sketch(df, "v", sub_bits=4)
+    m = SK.quantile_merge(
+        SK.quantile_sketch(df.filter(F.col("v") % 2 == 0), "v", sub_bits=4),
+        SK.quantile_sketch(df.filter(F.col("v") % 2 == 1), "v", sub_bits=4),
+    )
+    a = {r["bucket"]: r["cnt"] for r in single.collect()}
+    b = {r["bucket"]: r["cnt"] for r in m.collect()}
+    assert a == b
+
+
+def test_quantile_sketch_bounded_size(spark):
+    df = spark.range(100_000).select((F.col("id") % 50_000 + 1).alias("v"))
+    sk = SK.quantile_sketch(df, "v", sub_bits=4)
+    # ~16 buckets per octave, values < 2^16 → well under 16*17 rows
+    assert sk.count() <= 16 * 17
+
+
+def test_quantile_zero_and_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 100), ("b", 7)], "g string, v long"
+    )
+    est = SK.quantile_estimate(
+        SK.quantile_sketch(df, "v", ["g"], sub_bits=4),
+        [("p50", 1, 2)],
+        groups=["g"],
+        sub_bits=4,
+    )
+    rows = {r["g"]: r for r in est.collect()}
+    assert rows["a"]["est_lb"] == 0 and rows["a"]["n"] == 3
+    assert rows["b"]["est_lb"] == rows["b"]["est_ub"] == 7
