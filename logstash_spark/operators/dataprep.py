@@ -2887,3 +2887,48 @@ def embed_decontam(
         .withColumn("n_contam_hits", n_hits.cast("int"))
         .withColumn("contaminated", max_cos >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact-k per-group reservoir sample
+# ---------------------------------------------------------------------------
+
+
+def reservoir_sample_k(
+    df: DataFrame,
+    k: int,
+    *,
+    groups: Sequence[str] = ("lang",),
+    key_col: str = "doc_id",
+    seed: str = "res",
+) -> DataFrame:
+    """Exact-k uniform without-replacement sample per group, fully
+    deterministic and engine-portable: rank rows within each group by
+    `portable_hash32(key ':' seed)` (ties on the key itself) and keep
+    the first k. Equivalent to reservoir sampling / A-Res with uniform
+    weights — every k-subset of a group is equally likely over the hash
+    family — but stateless, so re-runs and other engines reproduce the
+    identical sample (unlike Spark's `sampleBy`, which is seed- and
+    partitioning-dependent and only approximates the rate).
+
+    Complements `stratified_sample` (rate-based, zero-shuffle): use this
+    when the contract is an exact COUNT per stratum (eval splits, human
+    review batches, per-language probes). Cost: ONE shuffle on `groups`.
+    At 100 TB with huge groups, pre-thin first — compose
+    `stratified_sample` at a rate that leaves ~10k·k candidates, then
+    rank those; membership stays deterministic because both stages are
+    pure hash predicates. Reference intent: logstash-filter-drop
+    §percentage / logstash-filter-sample, made exact-count per stratum.
+    """
+    from pyspark.sql.window import Window
+
+    h = portable_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + seed))
+    )
+    w = Window.partitionBy(*groups).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

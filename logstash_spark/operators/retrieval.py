@@ -202,3 +202,84 @@ def bm25_oracle_sql(
       FROM sc
     ) WHERE rank <= {k}
     """
+
+
+def tfidf_topk_terms(
+    postings: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k most characteristic terms per document by integer-exact
+    TF-IDF over a `build_postings` index — the keyword-extraction /
+    doc-signature step of a curation pipeline (cluster labeling, topic
+    balancing, index-time `_boost` fields in the elasticsearch analog).
+
+    score = tf * idf_q with the same quantized idf as `bm25_topk`
+    exact mode: idf_q = floor(log2((N - df + 0.5)/(df + 0.5))) via pure
+    bigint bit-length — order-independent integer sums, identical in any
+    engine. Ties break lexicographically on term, so the top-k set is
+    total-ordered and reproducible.
+
+    Shuffle budget: df table = ONE groupBy(term) over postings
+    (vocabulary-sized output); scoring joins postings to it on term
+    (keyed shuffle bounded by the postings size — at web scale the df
+    table is still ~vocabulary rows, so AQE turns this into a broadcast
+    whenever the vocabulary fits); top-k = ONE window on doc. No
+    corpus-text rescan — everything derives from the index."""
+    nl = postings.agg(F.countDistinct("doc").cast("long").alias("n_docs"))
+    dft = postings.groupBy("term").agg(
+        F.countDistinct("doc").cast("long").alias("df")
+    )
+    idf = F.expr(
+        "CAST(length(bin(greatest((2*n_docs - 2*df + 1) div (2*df + 1), 1)))"
+        " - 1 AS BIGINT)"
+    )
+    scored = (
+        postings.join(dft, "term")
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            (F.col("tf") * idf).cast("long").alias("tfidf_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf_scaled").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .where(F.col("tfidf_scaled") > 0)
+    )
+
+
+def tfidf_oracle_sql(
+    docs_sql: str, k: int = 5, id_col: str = "doc_id", text: str = "text"
+) -> str:
+    """DuckDB rendering of build_postings + tfidf_topk_terms."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc,
+             unnest(list_filter(string_split_regex(lower({text}), '{_TOKEN_RE}'),
+                                x -> x != '')) AS term
+      FROM ({docs_sql})
+    ),
+    post AS (
+      SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ),
+    nl AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM post),
+    dft AS (
+      SELECT term, CAST(count(DISTINCT doc) AS BIGINT) AS df FROM post GROUP BY 1
+    ),
+    sc AS (
+      SELECT doc, term, tf,
+             CAST(tf * (length(bin(greatest((2*n_docs - 2*df + 1) // (2*df + 1), 1)))
+                        - 1) AS BIGINT) AS tfidf_scaled
+      FROM post JOIN dft USING (term) CROSS JOIN nl
+    )
+    SELECT doc, term, tf, tfidf_scaled, CAST(term_rank AS INTEGER) AS term_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc
+                                   ORDER BY tfidf_scaled DESC, term ASC) AS term_rank
+      FROM sc
+    ) WHERE term_rank <= {k} AND tfidf_scaled > 0
+    """

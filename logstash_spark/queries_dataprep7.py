@@ -161,3 +161,65 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("est_lb") <= F.col("exact_v"))
          & (F.col("exact_v") <= F.col("est_ub"))).alias("in_bounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top-k per doc over the inverted index)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_topk_terms",
+    R.tfidf_oracle_sql(_BM25_DOCS_SQL, k=3),
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by integer-exact TF-IDF over
+    the same decorated corpus/index as `bm25_topk` — keyword extraction
+    derived entirely from the postings table (no corpus rescan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" kw"), (F.col("doc_id") % 41).cast("string"),
+            F.lit(" xkw"), (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return R.tfidf_topk_terms(R.build_postings(docs), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact-k reservoir sample per stratum
+# ---------------------------------------------------------------------------
+
+_RES_K = 7
+_RES_SEED = "res"
+
+
+@query(
+    "reservoir_sample_k",
+    f"""
+    SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || ':{_RES_SEED}'), 1, 8) AS BIGINT) ASC,
+                        doc_id ASC) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {_RES_K}
+    """,
+)
+def reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-{_RES_K}-per-language uniform sample (`dataprep.
+    reservoir_sample_k`): hash-ranked without-replacement selection,
+    bit-identical across engines and re-runs — the eval-split /
+    review-batch primitive that `stratified_sample` (rate-based)
+    cannot guarantee an exact count for."""
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = D.reservoir_sample_k(
+        docs, _RES_K, groups=("lang",), key_col="doc_id", seed=_RES_SEED
+    )
+    return out.select("doc_id", "lang", "sample_rank")

@@ -107,3 +107,79 @@ def test_tokenizer_analyzer(spark):
     df = spark.createDataFrame([("A,b!!C-3 ",)], "t string")
     got = df.select(R.tokenize("t").alias("x")).collect()[0]["x"]
     assert got == ["a", "b", "c", "3"]
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_rare_terms_win(spark):
+    got = R.tfidf_topk_terms(R.build_postings(_corpus(spark)), k=2).collect()
+    by_doc = {}
+    for r in sorted(got, key=lambda r: (r["doc"], r["term_rank"])):
+        by_doc.setdefault(r["doc"], []).append(r["term"])
+    # doc 4's words are all df=1 — top-2 are the lexicographically first
+    assert by_doc[4] == ["appears", "here"]
+    # doc 1: 'shuffle' (tf=3, df=1) beats 'join' (tf=1, df=2)
+    assert by_doc[1][0] == "shuffle"
+
+
+def test_tfidf_zero_scores_dropped(spark):
+    # two identical docs: every term df=2/2 → idf_q=0 → no rows at all
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text")], "doc_id long, text string"
+    )
+    assert R.tfidf_topk_terms(R.build_postings(docs), k=3).count() == 0
+
+
+def test_tfidf_rank_bounded_and_total_ordered(spark):
+    got = R.tfidf_topk_terms(R.build_postings(_corpus(spark)), k=2).collect()
+    for r in got:
+        assert 1 <= r["term_rank"] <= 2 and r["tfidf_scaled"] > 0
+    # deterministic: second run identical
+    again = R.tfidf_topk_terms(R.build_postings(_corpus(spark)), k=2).collect()
+    key = lambda r: (r["doc"], r["term_rank"], r["term"], r["tfidf_scaled"])
+    assert sorted(map(key, got)) == sorted(map(key, again))
+
+
+# ---------------------------------------------------------------------------
+# reservoir_sample_k
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_exact_k_per_group(spark):
+    from logstash_spark.operators.dataprep import reservoir_sample_k
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = reservoir_sample_k(df, 5, groups=("lang",)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang["en"]) == 5 and len(by_lang["de"]) == 5
+    # ranks are 1..k and membership is deterministic across runs
+    out2 = reservoir_sample_k(df, 5, groups=("lang",)).collect()
+    assert sorted((r["lang"], r["doc_id"], r["sample_rank"]) for r in out) == sorted(
+        (r["lang"], r["doc_id"], r["sample_rank"]) for r in out2
+    )
+
+
+def test_reservoir_small_group_returns_all(spark):
+    from logstash_spark.operators.dataprep import reservoir_sample_k
+
+    df = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id long, lang string")
+    out = reservoir_sample_k(df, 10, groups=("lang",)).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_reservoir_seed_independence(spark):
+    from logstash_spark.operators.dataprep import reservoir_sample_k
+
+    rows = [(i, "en") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r["doc_id"] for r in reservoir_sample_k(df, 50, seed="a").collect()}
+    b = {r["doc_id"] for r in reservoir_sample_k(df, 50, seed="b").collect()}
+    assert len(a) == len(b) == 50
+    # independent hash families: overlap should be tiny (expected ~1.25)
+    assert len(a & b) < 15
