@@ -302,6 +302,31 @@ def bench_bpe_scale(spark) -> float:
     return _time_best(lambda: out, spark)
 
 
+def bench_bm25_scale(spark) -> float:
+    """Inverted-index build + BM25 top-10 for 32 queries over DEDUP_DOCS
+    synthetic docs: the retrieval witness. Index = the one corpus-wide
+    explode+groupBy (dl computed map-side, plan-asserted single
+    Exchange); scoring touches only the 32 queries' postings via a
+    broadcast term join. Timed end-to-end including the index build —
+    the expensive half at scale."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.retrieval import bm25_topk, build_postings
+
+    docs = synthetic_docs(spark, DEDUP_DOCS)
+    queries = spark.createDataFrame(
+        [(q, [f"w{(q * 37 + j) % 512:03d}" for j in range(3)]) for q in range(32)],
+        "query_id int, terms array<string>",
+    )
+
+    def run():
+        return bm25_topk(build_postings(docs), queries, k=10).agg(
+            F.sum("score_scaled").alias("s"), F.count("*").alias("c")
+        )
+
+    return _time_best(run, spark)
+
+
 def bench_simhash_degenerate(spark) -> float:
     """Adversarial corpus for the SimHash band join (VERDICT r2 §wrong-4
     closure witness): 30% identical clones collapse whole bands into a
@@ -392,6 +417,7 @@ def main() -> None:
     timings["semantic_dedup_scale"] = round(bench_semantic_dedup(spark), 3)
     timings["bpe_encode_scale"] = round(bench_bpe_scale(spark), 3)
     timings["dsir_score_scale"] = round(bench_dsir_scale(spark), 3)
+    timings["bm25_scale"] = round(bench_bm25_scale(spark), 3)
     timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
 
     for name in BENCH_QUERIES:

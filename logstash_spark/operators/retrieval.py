@@ -61,22 +61,28 @@ def tokenize(col: Column | str) -> Column:
 def build_postings(
     docs: DataFrame, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
-    """Inverted index: (term, doc, tf, dl) — ONE explode + groupBy.
-    Doc length rides on every posting row (map-side window, no second
-    join at scoring time)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc"), F.explode(tokenize(text)).alias("term")
+    """Inverted index: (term, doc, tf, dl) — ONE explode + ONE groupBy,
+    the only corpus-wide shuffle. Doc length is `size(tokens)` computed
+    MAP-SIDE before the explode (it equals sum(tf) by construction), so
+    it rides into the (term, doc, dl) grouping key for free — no window
+    over a different partitioning (which would be a second Exchange) and
+    no join back to the corpus at scoring time (plan-shape pinned in
+    tests/test_plan_shape.py)."""
+    terms = docs.select(
+        F.col(id_col).alias("doc"), tokenize(text).alias("_terms")
     )
-    counted = toks.groupBy("doc", "term").agg(
-        F.count("*").cast("long").alias("tf")
-    )
-    # dl = sum(tf) per doc: same-key window over the grouped result —
-    # reuses the (doc, term) exchange, no extra shuffle.
-    return counted.select(
-        "term",
+    toks = terms.select(
         "doc",
-        "tf",
-        F.sum("tf").over(Window.partitionBy("doc")).cast("long").alias("dl"),
+        F.size("_terms").cast("long").alias("dl"),
+        F.explode("_terms").alias("term"),
+    )
+    # dl is functionally dependent on doc, so adding it to the grouping
+    # key changes nothing about the groups — it just avoids re-deriving
+    # doc length after the shuffle.
+    return (
+        toks.groupBy("term", "doc", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("term", "doc", "tf", "dl")
     )
 
 
@@ -156,19 +162,18 @@ def bm25_oracle_sql(
     identical analyzer, identical integer algebra. `queries_sql` must
     yield (query_id, term) rows."""
     return f"""
-    WITH toks AS (
+    WITH tl AS (
       SELECT {id_col} AS doc,
-             unnest(list_filter(string_split_regex(lower({text}), '{_TOKEN_RE}'),
-                                x -> x != '')) AS term
+             list_filter(string_split_regex(lower({text}), '{_TOKEN_RE}'),
+                         x -> x != '') AS ts
       FROM ({docs_sql})
     ),
-    post0 AS (
-      SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    toks AS (
+      SELECT doc, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM tl
     ),
     post AS (
-      SELECT term, doc, tf,
-             CAST(sum(tf) OVER (PARTITION BY doc) AS BIGINT) AS dl
-      FROM post0
+      SELECT term, doc, CAST(count(*) AS BIGINT) AS tf, dl
+      FROM toks GROUP BY term, doc, dl
     ),
     nl AS (
       SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,

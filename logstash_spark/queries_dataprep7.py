@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from logstash_spark.operators import cluster as C
 from logstash_spark.operators import retrieval as R
 from logstash_spark.operators import sketch as SK
 from logstash_spark.queries import query
@@ -223,3 +224,32 @@ def reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _RES_K, groups=("lang",), key_col="doc_id", seed=_RES_SEED
     )
     return out.select("doc_id", "lang", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact Lloyd k-means over the embeddings table
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_DIM = 64
+_KM_ITERS = 2
+
+
+@query(
+    "kmeans_lloyd",
+    C.kmeans_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        _KM_K, _KM_DIM, iters=_KM_ITERS,
+    ),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k=4 k-means over the embeddings table
+    (operators/cluster.py): centroids literal at assign time (zero
+    shuffle), ONE groupBy per update round, integer-exact quantized
+    arithmetic so the final (vec_id, cluster, dist) assignment is
+    bit-identical to the oracle's unrolled SQL replay. The trainer the
+    IVF/SemDeDup family documents as out-of-band."""
+    from logstash_spark.operators.cluster import kmeans_lloyd as _km
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _km(emb, _KM_K, _KM_DIM, iters=_KM_ITERS)

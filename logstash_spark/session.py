@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces shuffle reads by BYTE size, but several of our
+        # stages are CPU-dense per byte: candidate verification joins
+        # carry bare ids (a few MB) yet do set-intersection Jaccard per
+        # row. At the default minPartitionSize (1 MB) a 4 MB candidate
+        # table collapses to ~4 partitions and the verify stage runs on
+        # 4 of N cores (measured: 65 s of CPU on 2 tasks / 2.2 MB in the
+        # 6M-doc dedup study). 64k lets parallelismFirst actually reach
+        # cluster width for these stages; truly tiny stages still
+        # coalesce to one partition.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH)
         .config("spark.sql.session.timeZone", "UTC")

@@ -361,3 +361,30 @@ def test_punct_template_single_shuffle_partial_agg(spark):
     assert len(hash_exchanges) == 1  # one keyed shuffle; orderBy adds a range one
     # skeleton is pure Catalyst — no Python anywhere
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_build_postings_single_exchange(spark):
+    # The inverted-index build is the only corpus-wide shuffle of the
+    # retrieval path: doc length is computed map-side BEFORE the explode
+    # (a window over partitionBy(doc) after the (doc,term) groupBy would
+    # cost a second Exchange).
+    from logstash_spark.operators.retrieval import build_postings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(build_postings(docs))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_scoring_broadcasts_queries_not_corpus(spark):
+    from logstash_spark.operators.retrieval import bm25_topk, build_postings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings = build_postings(docs)
+    q = spark.createDataFrame(
+        [(1, ["alpha", "beta"])], "query_id int, terms array<string>"
+    )
+    plan = plan_of(bm25_topk(postings, q, k=5))
+    # the qidf side (query terms × df × corpus stats) broadcasts into the
+    # postings join — the corpus never broadcasts and never re-sorts
+    assert "BroadcastHashJoin" in plan
