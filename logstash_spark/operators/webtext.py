@@ -1,0 +1,330 @@
+"""Web-corpus text extraction: HTML → visible text, and mojibake repair.
+
+The step every web-scale training pipeline runs before any quality /
+dedup operator: raw crawl payloads are markup, not text (trafilatura /
+resiliparse / jusText fill this slot in CommonCrawl pipelines; the
+reference stack's analog is the logstash `xml` filter + mutate gsub
+chains users hand-roll for HTML, reference logstash-filter-xml §filter +
+grok/gsub recipes).
+
+Scale design — both operators are PURE column algebra:
+
+* zero shuffle, zero UDF, whole-stage codegen end to end. The extract
+  chain is a fixed sequence of `regexp_replace`/`replace` calls, so at
+  100 TB it fuses into the scan stage like any map-only filter; filters
+  and projections still push down past it.
+* every step is expressible in both Java regex and RE2 (no lookaround,
+  no backreferences), which is what makes the DuckDB oracle gate — and
+  any cross-engine replay — bit-exact. `markup_ratio_bp` is integer
+  basis points (floor div), not a float, for the same reason.
+
+What the extractor is NOT: a browser. It is the deterministic 95% —
+script/style/comment removal, block-tag line breaks, tag strip, the
+high-frequency entity set, whitespace normalization. A DOM-accurate
+extraction (tables, rendered CSS visibility) is documented as a
+mapInPandas escape hatch, same seam as `binary_meta_decode`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+#: invisible containers removed wholesale (content AND tags). RE2 has no
+#: backreferences, so each close tag is spelled out instead of \1.
+_INVISIBLE_RX = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>"
+    r"|<style\b[^>]*>.*?</style\s*>"
+    r"|<noscript\b[^>]*>.*?</noscript\s*>"
+    r"|<template\b[^>]*>.*?</template\s*>"
+)
+_COMMENT_RX = r"(?s)<!--.*?-->"
+_DECL_RX = r"(?is)<!doctype\b[^>]*>|<\?[^>]*>"
+
+#: open or close of a block-level element becomes a line break, so the
+#: extracted text keeps line structure for `line_quality_rules` /
+#: `c4_line_filter` downstream.
+_BLOCK_RX = (
+    r"(?i)</?(p|div|br|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|tr|table"
+    r"|thead|tbody|blockquote|pre|section|article|header|footer|nav"
+    r"|form|figure|figcaption|hr|title)\b[^>]*>"
+)
+_TAG_RX = r"(?s)</?[a-zA-Z][^>]*>"
+
+#: the high-frequency entity set, decoded as literal replaces IN ORDER —
+#: `&amp;` last, so `&amp;lt;` correctly becomes the text `&lt;` and
+#: stops (standard single-pass decode).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&#8217;", "’"),
+    ("&#8216;", "‘"),
+    ("&#8220;", "“"),
+    ("&#8221;", "”"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&amp;", "&"),
+)
+
+#: whitespace normalization: horizontal runs → one space, trim around
+#: line breaks, ≥3 breaks → paragraph break, strip edge breaks (plain
+#: trim() only eats spaces in both engines). Applied in this order.
+_WS_STEPS: tuple[tuple[str, str], ...] = (
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^\n+|\n+$", ""),
+)
+
+
+def _chain_replace(col: Column, pairs) -> Column:
+    for search, rep in pairs:
+        col = F.replace(col, F.lit(search), F.lit(rep))
+    return col
+
+
+def strip_invisible(col: Column | str) -> Column:
+    """Remove script/style/noscript/template blocks, comments, decls."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _INVISIBLE_RX, "")
+    c = F.regexp_replace(c, _COMMENT_RX, "")
+    return F.regexp_replace(c, _DECL_RX, "")
+
+
+def decode_entities(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return _chain_replace(c, HTML_ENTITIES)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML payload (see module docstring for scope).
+
+    Chain: strip invisible blocks → block tags to line breaks → strip
+    remaining tags → decode entities → normalize whitespace → trim.
+    """
+    c = strip_invisible(col)
+    c = F.regexp_replace(c, _BLOCK_RX, "\n")
+    c = F.regexp_replace(c, _TAG_RX, "")
+    c = decode_entities(c)
+    for pat, rep in _WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+_TITLE_RX = r"(?is)<title[^>]*>(.*?)</title\s*>"
+
+
+def extract_title(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(decode_entities(F.regexp_extract(c, _TITLE_RX, 1)))
+
+
+def extract_links(col: Column | str) -> Column:
+    """href values of double-quoted anchors, document order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r'(?i)<a\b[^>]*\bhref="([^"]*)"'), 1)
+
+
+def markup_ratio_bp(html: Column | str, text: Column | str) -> Column:
+    """Markup overhead in integer basis points: (|html|−|text|)·10000 div
+    |html|. All terms non-negative int64, so Spark `div` ≡ DuckDB `//`
+    (same discipline as operators/cluster.py) — no float rounding to
+    disagree across engines."""
+    h = F.length(F.col(html) if isinstance(html, str) else html).cast("long")
+    t = F.length(F.col(text) if isinstance(text, str) else text).cast("long")
+    num = (h - t) * F.lit(10000).cast("long")
+    den = F.greatest(h, F.lit(1).cast("long"))
+    # exact int division: subtract the (int64-exact) remainder first, so
+    # the one double division is of a multiple of den — its result is an
+    # integer below 2^53, represented exactly.
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def html_extract(
+    df: DataFrame,
+    field: str = "html",
+    target: str = "text",
+    title: str | None = "title",
+    links: str | None = "links",
+    ratio: str | None = "markup_bp",
+) -> DataFrame:
+    """Operator form: adds visible-text / title / links / markup-ratio
+    columns. Map-only; Catalyst prunes any output column downstream
+    plans don't use, so asking for all four costs nothing extra when a
+    query keeps only `target`."""
+    out = df.withColumn(target, html_to_text(field))
+    if title:
+        out = out.withColumn(title, extract_title(field))
+    if links:
+        out = out.withColumn(links, extract_links(field))
+    if ratio:
+        out = out.withColumn(ratio, markup_ratio_bp(field, target))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mojibake (UTF-8 read as cp1252) detection + repair
+# ---------------------------------------------------------------------------
+
+#: code points whose UTF-8 encodings are repaired. Two families:
+#:   3-byte E2 80 XX punctuation → "â€?" sequences,
+#:   2-byte C3 XX Latin letters → "Ã?" sequences,
+#:   2-byte C2 XX punctuation   → "Â?" sequences (handled generically).
+#: The table is GENERATED (char → char.encode('utf-8').decode('cp1252'))
+#: so the mapping cannot drift from the real byte algebra. Longest
+#: sequences first: every 3-byte form starts with 'â' (U+00E2), every
+#: 2-byte form with 'Ã'/'Â', so the families never overlap.
+_MOJIBAKE_CHARS = (
+    "’‘“”–—…•™€"  # ’‘“”–—…•™€
+    "éèêëáàâäãå"  # éèêëáàâäãå
+    "íìîïóòôöõú"  # íìîïóòôöõú
+    "ùûüñçßæø"              # ùûüñçßæø
+    "ÉÄÖÜÇ"                                # ÉÄÖÜÇ
+)
+
+
+def _mojibake_table() -> tuple[tuple[str, str], ...]:
+    pairs = []
+    for ch in _MOJIBAKE_CHARS:
+        try:
+            bad = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            # UTF-8 bytes 0x81/0x8D/0x8F/0x90/0x9D have no cp1252
+            # mapping; lenient decoders pass them through as C1
+            # controls — mirror that so e.g. ” (E2 80 9D) repairs.
+            bad = "".join(
+                bytes([b]).decode("cp1252", "ignore") or chr(b)
+                for b in ch.encode("utf-8")
+            )
+        pairs.append((bad, ch))
+    # longest first so 3-byte sequences never lose to a 2-byte prefix
+    pairs.sort(key=lambda p: -len(p[0]))
+    return tuple(pairs)
+
+
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = _mojibake_table()
+
+#: detector: any repairable sequence, plus the generic Â+punct artifact
+#: (C2 A0..BF read as cp1252 = 'Â' followed by the intended char itself,
+#: so the repair is just dropping the 'Â'; C2 80..9F are C1 controls,
+#: too rare to special-case).
+_MOJIBAKE_A_RX = "Â([\u00a0-\u00bf])"
+_SUSPECT_RX = (
+    "(" + "|".join(bad for bad, _ in MOJIBAKE_PAIRS)
+    + "|Â[\u00a0-\u00bf])"
+)
+
+
+def mojibake_count(col: Column | str) -> Column:
+    """Number of suspicious byte-salad sequences in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_SUSPECT_RX)).cast("long")
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair UTF-8-read-as-cp1252 text: literal replaces for the
+    punctuation + Western-letter families (generated table), then the
+    generic `Â + A0..BF` artifact (C2-prefix family) via one capture
+    regex. Clean text is untouched — the mojibake sequences do not occur
+    in well-formed prose (unit-pinned); for surgical use gate on
+    `mojibake_count(col) > 0`."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = _chain_replace(c, MOJIBAKE_PAIRS)
+    return F.regexp_replace(c, _MOJIBAKE_A_RX, r"$1")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB renderings — generated from the SAME constants as the Spark
+# side, so the oracle chain cannot drift from the operator chain.
+# ---------------------------------------------------------------------------
+
+
+def _sq(s: str) -> str:
+    """Single-quote-escape for a DuckDB string literal. Standard-quoted
+    literals keep backslashes verbatim, so regexes cross unmodified."""
+    return s.replace("'", "''")
+
+
+def _sql_regexp_chain(expr: str, steps) -> str:
+    for pat, rep in steps:
+        rp = "chr(10)" if rep == "\n" else f"'{_sq(rep)}'"
+        expr = f"regexp_replace({expr}, '{_sq(pat)}', {rp}, 'g')"
+    return expr
+
+
+def _sql_replace_chain(expr: str, pairs) -> str:
+    for search, rep in pairs:
+        expr = f"replace({expr}, '{_sq(search)}', '{_sq(rep)}')"
+    return expr
+
+
+def entities_sql(expr: str) -> str:
+    return _sql_replace_chain(expr, HTML_ENTITIES)
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB expression replaying `html_to_text(expr)` exactly."""
+    e = _sql_regexp_chain(
+        expr,
+        [
+            (_INVISIBLE_RX, ""),
+            (_COMMENT_RX, ""),
+            (_DECL_RX, ""),
+            (_BLOCK_RX, "\n"),
+            (_TAG_RX, ""),
+        ],
+    )
+    e = entities_sql(e)
+    e = _sql_regexp_chain(e, _WS_STEPS)
+    return f"trim({e})"
+
+
+def extract_title_sql(expr: str) -> str:
+    inner = f"regexp_extract({expr}, '{_sq(_TITLE_RX)}', 1)"
+    return f"trim({entities_sql(inner)})"
+
+
+def fix_mojibake_sql(expr: str) -> str:
+    """DuckDB expression replaying `fix_mojibake(expr)` exactly (RE2
+    rewrite syntax uses \\1 where Java uses $1)."""
+    e = _sql_replace_chain(expr, MOJIBAKE_PAIRS)
+    return f"regexp_replace({e}, '{_sq(_MOJIBAKE_A_RX)}', '\\1', 'g')"
+
+
+def mojibake_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{_sq(_SUSPECT_RX)}')) AS BIGINT)"
+    )
+
+
+__all__ = [
+    "HTML_ENTITIES",
+    "MOJIBAKE_PAIRS",
+    "decode_entities",
+    "entities_sql",
+    "extract_links",
+    "extract_title",
+    "extract_title_sql",
+    "fix_mojibake",
+    "fix_mojibake_sql",
+    "html_extract",
+    "html_to_text",
+    "html_to_text_sql",
+    "markup_ratio_bp",
+    "mojibake_count",
+    "mojibake_count_sql",
+    "strip_invisible",
+]

@@ -762,6 +762,7 @@ from logstash_spark import queries_logstash9 as _ql9  # noqa: E402,F401
 from logstash_spark import queries_logstash10 as _ql10  # noqa: E402,F401
 from logstash_spark import queries_dataprep6 as _qdp6  # noqa: E402,F401
 from logstash_spark import queries_dataprep7 as _qdp7  # noqa: E402,F401
+from logstash_spark import queries_dataprep8 as _qdp8  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the

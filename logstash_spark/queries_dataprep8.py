@@ -1,0 +1,199 @@
+"""Registry gates for `operators/webtext.py` — HTML→text extraction and
+mojibake repair, the raw-crawl cleanup stage of a web-scale pipeline.
+
+Both gates synthesize their dirty input deterministically from the
+`documents` table ON BOTH ENGINES (same concatenation of the same
+literals), then the Spark side runs the operator while the oracle
+replays the module's own SQL rendering (`html_to_text_sql` /
+`fix_mojibake_sql` — generated from the same constant tables, so the
+chains cannot drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.operators import webtext as W
+from logstash_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+# Deterministic page build: title (with an entity), invisible
+# style/script (script body contains tag-lookalikes), a comment, block
+# structure, entities in text, single- and double-quoted anchors (only
+# double-quoted ones count as links), and a third link on every 3rd doc.
+_H1 = (
+    '<!DOCTYPE html><html><head><title>Doc '
+)
+_H2 = (
+    " &amp; co</title><style>p{color:red}</style>"
+    '<script type="text/javascript">var a = "<p>not text</p>";</script>'
+    "</head><body><!-- hidden --><h1>"
+)
+_H3 = "</h1><p>"
+_H4 = (
+    ' &lt;tag&gt;&nbsp;tail</p><div><a href="https://ex.com/'
+)
+_H5 = '">one</a> <a href=\'skip.html\'>s</a> <a href="/p/'
+_H6 = '.html">two</a></div><ul><li>item '
+_H7 = "</li><li>other</li></ul><table><tr><td>cell</td></tr></table>"
+_H8 = '<a href="extra.htm">three</a>'
+_H9 = "<br><br><br>fin</body></html>"
+
+
+def _html_spark(doc_id, lang, text) -> F.Column:
+    return F.concat(
+        F.lit(_H1), doc_id.cast("string"), F.lit(_H2), F.upper(lang),
+        F.lit(_H3), F.substring(text, 1, 120), F.lit(_H4),
+        doc_id.cast("string"), F.lit(_H5), (doc_id % 7).cast("string"),
+        F.lit(_H6), (doc_id % 5).cast("string"), F.lit(_H7),
+        F.when(doc_id % 3 == 0, F.lit(_H8)).otherwise(F.lit("")),
+        F.lit(_H9),
+    )
+
+
+_HTML_SQL = (
+    "SELECT doc_id, "
+    f"'{W._sq(_H1)}' || CAST(doc_id AS VARCHAR) || '{W._sq(_H2)}' || upper(lang) || "
+    f"'{W._sq(_H3)}' || substr(text, 1, 120) || '{W._sq(_H4)}' || "
+    f"CAST(doc_id AS VARCHAR) || '{W._sq(_H5)}' || CAST(doc_id % 7 AS VARCHAR) || "
+    f"'{W._sq(_H6)}' || CAST(doc_id % 5 AS VARCHAR) || '{W._sq(_H7)}' || "
+    f"CASE WHEN doc_id % 3 = 0 THEN '{W._sq(_H8)}' ELSE '' END || "
+    f"'{W._sq(_H9)}' AS html "
+    "FROM documents"
+)
+
+_LINKS_RX_SQL = W._sq(r'(?i)<a\b[^>]*\bhref="([^"]*)"')
+
+
+@query(
+    "html_text_extract",
+    f"""
+    WITH pages AS ({_HTML_SQL})
+    SELECT doc_id,
+           {W.extract_title_sql('html')} AS title,
+           CAST(len(regexp_extract_all(html, '{_LINKS_RX_SQL}', 1)) AS INT)
+             AS n_links,
+           (length(html) - length({W.html_to_text_sql('html')})) * 10000
+             // greatest(length(html), 1) AS markup_bp,
+           CAST(len(string_split({W.html_to_text_sql('html')}, chr(10)))
+             AS INT) AS n_lines,
+           md5({W.html_to_text_sql('html')}) AS text_md5
+    FROM pages
+    """,
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-crawl HTML → visible text (`webtext.html_extract`): pages are
+    synthesized per document (markup, entities, invisible script/style,
+    quoted-tag traps, varying link counts), then extracted. Title, link
+    count, integer markup ratio, line count and the md5 of the full
+    extracted text must replay bit-for-bit in DuckDB. Zero shuffle —
+    the whole chain is codegen'd column algebra over the scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        _html_spark(F.col("doc_id"), F.col("lang"), F.col("text")).alias("html"),
+    )
+    out = W.html_extract(pages, "html")
+    return out.select(
+        "doc_id",
+        "title",
+        F.size("links").cast("int").alias("n_links"),
+        F.col("markup_bp"),
+        F.size(F.split("text", "\n", -1)).cast("int").alias("n_lines"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair
+# ---------------------------------------------------------------------------
+
+# Clean fragments and their UTF-8-read-as-cp1252 corruptions. The
+# corrupt form is computed ONCE here with a single-pass regex (sequential
+# replacement would cascade: corrupting ’ yields â€™ whose € would then
+# corrupt again), and both engines splice the corrupt LITERAL into the
+# row text — no replacement happens at query time.
+_CLEAN_FRAGS = (
+    "It’s fine",
+    "a “café” story",
+    "naïve — reading…",
+    "«über» façade",
+    "€50 bid ™ mark",
+    "señora’s piñata",
+)
+
+
+def _corrupt(s: str) -> str:
+    import re
+
+    table = dict(W.MOJIBAKE_PAIRS)
+    inv = {ch: bad for bad, ch in W.MOJIBAKE_PAIRS}
+    for ch in "«»":  # Â-family examples (C2 A0..BF)
+        inv[ch] = "Â" + ch
+    rx = re.compile("|".join(re.escape(c) for c in sorted(inv, key=len, reverse=True)))
+    out = rx.sub(lambda m: inv[m.group(0)], s)
+    assert all(bad not in s for bad in table), "clean frag already dirty"
+    return out
+
+
+_DIRTY_FRAGS = tuple(_corrupt(s) for s in _CLEAN_FRAGS)
+_NF = len(_CLEAN_FRAGS)
+
+
+def _frag_array_sql(frags) -> str:
+    return "[" + ", ".join(f"'{W._sq(s)}'" for s in frags) + "]"
+
+
+@query(
+    "mojibake_fix",
+    f"""
+    WITH corrupted AS (
+      SELECT doc_id,
+             substr(text, 1, 60) || ' '
+               || ({_frag_array_sql(_DIRTY_FRAGS)})[CAST(doc_id % {_NF} AS INT) + 1]
+               || ' end' AS t,
+             substr(text, 1, 60) || ' '
+               || ({_frag_array_sql(_CLEAN_FRAGS)})[CAST(doc_id % {_NF} AS INT) + 1]
+               || ' end' AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           {W.mojibake_count_sql('t')} AS n_suspects,
+           md5({W.fix_mojibake_sql('t')}) AS fixed_md5,
+           CASE WHEN md5({W.fix_mojibake_sql('t')}) = md5(clean)
+                THEN 1 ELSE 0 END AS repaired_ok
+    FROM corrupted
+    """,
+)
+def mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair gate (`webtext.fix_mojibake`): every document gets
+    a deterministically chosen corrupted fragment spliced in (UTF-8 read
+    as cp1252 — the single most common crawl encoding defect); the op
+    must detect (`mojibake_count`) and repair it such that the fixed
+    text md5-matches the never-corrupted ground truth the oracle builds
+    independently. `repaired_ok` is asserted to be 1 for every row by
+    construction on BOTH engines. Zero shuffle, pure column algebra."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = (F.col("doc_id") % _NF).cast("int") + 1
+    dirty = F.element_at(F.array(*[F.lit(s) for s in _DIRTY_FRAGS]), idx)
+    clean = F.element_at(F.array(*[F.lit(s) for s in _CLEAN_FRAGS]), idx)
+    base = F.concat(F.substring("text", 1, 60), F.lit(" "))
+    rows = docs.select(
+        "doc_id",
+        F.concat(base, dirty, F.lit(" end")).alias("t"),
+        F.concat(base, clean, F.lit(" end")).alias("clean"),
+    )
+    fixed = W.fix_mojibake("t")
+    return rows.select(
+        "doc_id",
+        W.mojibake_count("t").alias("n_suspects"),
+        F.md5(fixed).alias("fixed_md5"),
+        F.when(F.md5(fixed) == F.md5("clean"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("repaired_ok"),
+    )
