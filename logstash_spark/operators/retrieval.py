@@ -86,18 +86,45 @@ def build_postings(
     )
 
 
+def postings_stats(postings: DataFrame) -> DataFrame:
+    """Corpus stats (n_docs, l_tokens) — one global agg with map-side
+    partials. At production scale compute this ONCE at index time and
+    store it beside the postings (Lucene keeps the same numbers in
+    segment metadata); `bm25_topk(stats=...)` then skips the scan."""
+    return postings.agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("l_tokens"),
+    )
+
+
+def postings_df_table(postings: DataFrame) -> DataFrame:
+    """Per-term document frequency. `build_postings` output is UNIQUE on
+    (term, doc) by construction, so df is a plain count — no two-phase
+    distinct aggregate. Store with the index for the same reason as
+    `postings_stats`; vocabulary-sized output."""
+    return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
 def bm25_topk(
     postings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     exact: bool = True,
     scale: int = BM25_SCALE,
+    stats: DataFrame | None = None,
+    df_table: DataFrame | None = None,
 ) -> DataFrame:
     """Rank the top-k docs per query by BM25 (k1=1.2, b=0.75) over a
     `build_postings` index. `queries` = (query_id, terms array<string>)
     or (query_id, term) already exploded; it is assumed SMALL (a query
     workload, not a corpus) and broadcasts. Ties break on ascending
-    doc id, so results are total-ordered and reproducible."""
+    doc id, so results are total-ordered and reproducible.
+
+    `stats` / `df_table` accept the stored index artifacts
+    (`postings_stats` / `postings_df_table`); when absent they are
+    derived on the fly, with df restricted to the matched terms FIRST
+    (broadcast semi-join before the groupBy) so the ad-hoc path never
+    shuffles the full vocabulary."""
     qcols = queries.columns
     if "terms" in qcols:
         qterms = queries.select(
@@ -106,13 +133,15 @@ def bm25_topk(
     else:
         qterms = queries.select("query_id", "term").distinct()
 
-    nl = postings.agg(
-        F.countDistinct("doc").cast("long").alias("n_docs"),
-        F.sum("tf").cast("long").alias("l_tokens"),
-    )
-    dft = postings.groupBy("term").agg(
-        F.countDistinct("doc").cast("long").alias("df")
-    )
+    nl = postings_stats(postings) if stats is None else stats
+    if df_table is None:
+        dft = postings_df_table(
+            postings.join(
+                F.broadcast(qterms.select("term").distinct()), "term", "semi"
+            )
+        )
+    else:
+        dft = df_table
     # (query, term, idf) — vocabulary-bounded, broadcast into scoring.
     qidf = qterms.join(dft, "term").crossJoin(F.broadcast(nl))
     if exact:
@@ -230,9 +259,9 @@ def tfidf_topk_terms(
     whenever the vocabulary fits); top-k = ONE window on doc. No
     corpus-text rescan — everything derives from the index."""
     nl = postings.agg(F.countDistinct("doc").cast("long").alias("n_docs"))
-    dft = postings.groupBy("term").agg(
-        F.countDistinct("doc").cast("long").alias("df")
-    )
+    # postings are unique on (term, doc): df is a plain count, no
+    # two-phase distinct aggregate
+    dft = postings_df_table(postings)
     idf = F.expr(
         "CAST(length(bin(greatest((2*n_docs - 2*df + 1) div (2*df + 1), 1)))"
         " - 1 AS BIGINT)"
