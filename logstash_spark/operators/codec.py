@@ -642,3 +642,97 @@ def gzip_encode(
 
     udf = F.pandas_udf(_gz, "binary")
     return df.withColumn(target, udf(F.col(field)))
+
+
+# ---------------------------------------------------------------------------
+# WARC (CommonCrawl / ISO 28500) — the canonical web-archive ingest format
+# ---------------------------------------------------------------------------
+
+#: record boundary: the version line at start-of-line. Boundary-based
+#: parsing (vs the spec's Content-Length-delimited framing) is exact for
+#: text records (WET extracts, headers, metadata) where the payload
+#: cannot contain a bare version line; byte-accurate framing for binary
+#: payloads goes through the mapInPandas seam like binary_meta_decode.
+_WARC_BOUNDARY_RX = r"(?m)^WARC/1\.[01]\r?\n"
+#: WARC header block = everything before the first blank line
+_WARC_HEADER_RX = r"(?s)^(.*?)\r?\n\r?\n"
+_HTTP_STATUS_RX = r"^HTTP/1\.[01] (\d{3})"
+
+
+def _warc_header(block: Column, name: str) -> Column:
+    """One named header value out of the raw header block. Case matters
+    in practice exactly as CommonCrawl emits them; (?im) relaxes it."""
+    return F.regexp_extract(block, rf"(?im)^{name}:[ \t]*([^\r\n]*)", 1)
+
+
+@op("warc")
+def warc_decode(
+    df: DataFrame,
+    field: str,
+    *,
+    record_no: str = "record_no",
+    keep_field: bool = False,
+) -> DataFrame:
+    """logstash has no WARC codec — web users front it with scripts; a
+    100 TB training pipeline starts here (CommonCrawl WARC/WET). Decode
+    a column holding WARC file TEXT into one row per record:
+
+      record_no     1-based position in the file
+      warc_type     warcinfo | request | response | conversion | ...
+      target_uri    WARC-Target-URI
+      warc_date     raw header string
+      warc_ts       parsed timestamp (ISO-8601)
+      record_id     WARC-Record-ID
+      content_type  record Content-Type header
+      content_length declared Content-Length (bigint)
+      http_status   status code when the payload is an HTTP message
+      payload       record body; for HTTP messages the entity body
+                    (status line + headers stripped)
+      tags          _warcparsefailure when a piece has no WARC-Type
+
+    All-Catalyst: ONE narrow posexplode per file blob, regexp header
+    extraction — zero shuffle, zero UDF. At scale each input row is one
+    (or one chunk of a) .warc file read via text/binaryFile, so
+    parallelism is file-granular exactly like CommonCrawl's own layout.
+    """
+    pieces = F.split(F.col(field), _WARC_BOUNDARY_RX)
+    out = df.select(
+        *[c for c in df.columns if keep_field or c != field],
+        F.posexplode(pieces).alias(record_no, "_rec"),
+    ).filter(F.col(record_no) >= 1)  # pos 0 = prefix before first record
+
+    hdr = F.regexp_extract(F.col("_rec"), _WARC_HEADER_RX, 1)
+    content = F.regexp_replace(F.col("_rec"), _WARC_HEADER_RX, "")
+    # trailing record separator (\r\n\r\n) belongs to the framing
+    content = F.regexp_replace(content, r"(\r?\n)+$", "")
+    http_status = F.regexp_extract(content, _HTTP_STATUS_RX, 1)
+    is_http = http_status != ""
+    body = F.when(
+        is_http, F.regexp_replace(content, _WARC_HEADER_RX, "")
+    ).otherwise(content)
+    wtype = _warc_header(hdr, "WARC-Type")
+
+    return (
+        out.withColumn("_hdr", hdr)
+        .select(
+            *[c for c in out.columns if c != "_rec"],
+            wtype.alias("warc_type"),
+            _warc_header(F.col("_hdr"), "WARC-Target-URI").alias("target_uri"),
+            _warc_header(F.col("_hdr"), "WARC-Date").alias("warc_date"),
+            F.to_timestamp(
+                _warc_header(F.col("_hdr"), "WARC-Date"),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("warc_ts"),
+            _warc_header(F.col("_hdr"), "WARC-Record-ID").alias("record_id"),
+            _warc_header(F.col("_hdr"), "Content-Type").alias("content_type"),
+            _warc_header(F.col("_hdr"), "Content-Length")
+            .try_cast("long")
+            .alias("content_length"),
+            F.when(is_http, http_status.try_cast("int")).alias("http_status"),
+            body.alias("payload"),
+            F.when(wtype == "", F.array(F.lit("_warcparsefailure")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("tags"),
+        )
+        .drop("_hdr")
+    )

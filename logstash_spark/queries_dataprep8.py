@@ -197,3 +197,151 @@ def mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("repaired_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (operators/codec.py warc_decode)
+# ---------------------------------------------------------------------------
+
+# One synthetic WARC file per document: warcinfo + request + response
+# (HTTP payload whose body is a text slice; every 5th doc is a 404).
+# The blob is a shared segment template rendered into BOTH engines, so
+# the input bytes are identical by construction.
+_WARC_DATE = "2026-01-17T12:34:56Z"
+_WARC_SEGS = (
+    ("lit",
+     "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: " + _WARC_DATE
+     + "\r\nContent-Type: application/warc-fields\r\nContent-Length: 18"
+     + "\r\n\r\nsoftware: graft/1\n\r\n\r\n"
+     + "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://ex.com/doc/"),
+    ("id",),
+    ("lit",
+     "\r\nWARC-Date: " + _WARC_DATE
+     + "\r\nContent-Type: application/http;msgtype=request"
+     + "\r\n\r\nGET /doc HTTP/1.1\r\nHost: ex.com\r\n\r\n\r\n\r\n"
+     + "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/doc/"),
+    ("id",),
+    ("lit", "\r\nWARC-Date: " + _WARC_DATE + "\r\nWARC-Record-ID: <urn:uuid:"),
+    ("id",),
+    ("lit",
+     ">\r\nContent-Type: application/http;msgtype=response"
+     + "\r\nContent-Length: "),
+    ("len",),
+    ("lit", "\r\n\r\nHTTP/1.1 "),
+    ("status",),
+    ("lit", "\r\nContent-Type: text/plain\r\n\r\n"),
+    ("body",),
+    ("lit", "\r\n\r\n"),
+)
+
+
+def _warc_blob_spark(doc_id, body) -> F.Column:
+    parts = []
+    status = F.when(doc_id % 5 == 0, F.lit("404 Not Found")).otherwise(
+        F.lit("200 OK")
+    )
+    for seg in _WARC_SEGS:
+        if seg[0] == "lit":
+            parts.append(F.lit(seg[1]))
+        elif seg[0] == "id":
+            parts.append(doc_id.cast("string"))
+        elif seg[0] == "len":
+            parts.append(F.length(body).cast("string"))
+        elif seg[0] == "status":
+            parts.append(status)
+        elif seg[0] == "body":
+            parts.append(body)
+    return F.concat(*parts)
+
+
+def _warc_blob_sql() -> str:
+    status = "CASE WHEN doc_id % 5 = 0 THEN '404 Not Found' ELSE '200 OK' END"
+    body = "substr(text, 1, 50)"
+    parts = []
+    for seg in _WARC_SEGS:
+        if seg[0] == "lit":
+            parts.append(f"'{W._sq(seg[1])}'")
+        elif seg[0] == "id":
+            parts.append("CAST(doc_id AS VARCHAR)")
+        elif seg[0] == "len":
+            parts.append(f"CAST(length({body}) AS VARCHAR)")
+        elif seg[0] == "status":
+            parts.append(status)
+        elif seg[0] == "body":
+            parts.append(body)
+    return " || ".join(parts)
+
+
+_WARC_BOUNDARY_SQL = W._sq(r"(?m)^WARC/1\.[01]\r?\n")
+_WARC_HDR_STRIP_SQL = W._sq(r"(?s)^(.*?)\r?\n\r?\n")
+_WARC_TAIL_SQL = W._sq(r"(\r?\n)+$")
+
+
+def _warc_hdr_sql(name: str) -> str:
+    return f"regexp_extract(piece, '(?im)^{name}:[ \\t]*([^\\r\\n]*)', 1)"
+
+
+@query(
+    "warc_ingest",
+    f"""
+    WITH files AS (
+      SELECT doc_id, {_warc_blob_sql()} AS blob FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, string_split_regex(blob, '{_WARC_BOUNDARY_SQL}') AS ps
+      FROM files
+    ),
+    recs AS (
+      -- every synthesized file holds exactly 3 records (pieces 2..4;
+      -- piece 1 is the empty prefix before the first boundary)
+      SELECT doc_id, CAST(gs.i - 1 AS INT) AS record_no, ps[gs.i] AS piece
+      FROM parts, generate_series(2, 4) gs(i)
+    ),
+    parsed AS (
+      SELECT doc_id, record_no,
+             {_warc_hdr_sql("WARC-Type")} AS warc_type,
+             {_warc_hdr_sql("WARC-Target-URI")} AS target_uri,
+             {_warc_hdr_sql("WARC-Date")} AS warc_date,
+             CAST(NULLIF({_warc_hdr_sql("Content-Length")}, '') AS BIGINT)
+               AS content_length,
+             regexp_replace(regexp_replace(piece, '{_WARC_HDR_STRIP_SQL}', ''),
+                            '{_WARC_TAIL_SQL}', '') AS content
+      FROM recs
+    )
+    SELECT doc_id, record_no, warc_type, target_uri, warc_date,
+           content_length,
+           CAST(NULLIF(regexp_extract(content, '^HTTP/1\\.[01] (\\d{{3}})', 1),
+                       '') AS INT) AS http_status,
+           md5(CASE WHEN regexp_matches(content, '^HTTP/1\\.[01] \\d{{3}}')
+                    THEN regexp_replace(content, '{_WARC_HDR_STRIP_SQL}', '')
+                    ELSE content END) AS payload_md5
+    FROM parsed
+    """,
+)
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl-style WARC ingestion gate (`codec.warc_decode`): each
+    document becomes a 3-record WARC file (warcinfo, request, response
+    with an HTTP payload; every 5th response is a 404). Record
+    boundaries, header extraction, declared Content-Length, HTTP status
+    and the md5 of each record payload must replay bit-for-bit in
+    DuckDB. ONE posexplode per file, zero shuffle."""
+    from logstash_spark.operators.codec import warc_decode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = docs.select(
+        "doc_id",
+        _warc_blob_spark(F.col("doc_id"), F.substring("text", 1, 50)).alias(
+            "blob"
+        ),
+    )
+    out = warc_decode(files, "blob")
+    return out.select(
+        "doc_id",
+        F.col("record_no").cast("int"),
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        "http_status",
+        F.md5("payload").alias("payload_md5"),
+    )
