@@ -328,3 +328,81 @@ __all__ = [
     "mojibake_count_sql",
     "strip_invisible",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Page-level metadata: robots directives, canonical URL, declared lang
+# ---------------------------------------------------------------------------
+
+#: attribute order in real pages varies; each extractor tries both
+#: (name-then-content and content-then-name) since RE2 has no lookahead.
+_META_ROBOTS_RX_1 = (
+    r'(?is)<meta\b[^>]*\bname\s*=\s*"robots"[^>]*\bcontent\s*=\s*"([^"]*)"'
+)
+_META_ROBOTS_RX_2 = (
+    r'(?is)<meta\b[^>]*\bcontent\s*=\s*"([^"]*)"[^>]*\bname\s*=\s*"robots"'
+)
+_CANONICAL_RX_1 = (
+    r'(?is)<link\b[^>]*\brel\s*=\s*"canonical"[^>]*\bhref\s*=\s*"([^"]*)"'
+)
+_CANONICAL_RX_2 = (
+    r'(?is)<link\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*\brel\s*=\s*"canonical"'
+)
+_HTML_LANG_RX = r'(?is)<html\b[^>]*\blang\s*=\s*"([^"]*)"'
+
+
+def _first_of(c: Column, rx1: str, rx2: str) -> Column:
+    a = F.regexp_extract(c, rx1, 1)
+    return F.when(a != "", a).otherwise(F.regexp_extract(c, rx2, 1))
+
+
+def meta_robots(col: Column | str) -> Column:
+    """content of <meta name="robots"> (lowercased), '' when absent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(_first_of(c, _META_ROBOTS_RX_1, _META_ROBOTS_RX_2))
+
+
+def canonical_url(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return _first_of(c, _CANONICAL_RX_1, _CANONICAL_RX_2)
+
+
+def declared_lang(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, _HTML_LANG_RX, 1))
+
+
+def html_meta(df: DataFrame, field: str = "html") -> DataFrame:
+    """Page-policy metadata a crawl pipeline filters on BEFORE spending
+    any further compute: `noindex` / `nofollow` flags (a corpus that
+    honors opt-outs drops noindex pages here), the canonical URL (the
+    cheap pre-dedup key: pages sharing rel=canonical are declared dups
+    by the site itself), and the declared document language (cheap prior
+    for `lang_id` disagreement scoring). Pure column algebra — zero
+    shuffle, zero UDF."""
+    robots = meta_robots(field)
+    return df.withColumns(
+        {
+            "meta_robots": robots,
+            "noindex": robots.contains("noindex").cast("boolean"),
+            "nofollow": robots.contains("nofollow").cast("boolean"),
+            "canonical_url": canonical_url(field),
+            "declared_lang": declared_lang(field),
+        }
+    )
+
+
+def meta_robots_sql(expr: str) -> str:
+    a = f"regexp_extract({expr}, '{_sq(_META_ROBOTS_RX_1)}', 1)"
+    b = f"regexp_extract({expr}, '{_sq(_META_ROBOTS_RX_2)}', 1)"
+    return f"lower(CASE WHEN {a} != '' THEN {a} ELSE {b} END)"
+
+
+def canonical_url_sql(expr: str) -> str:
+    a = f"regexp_extract({expr}, '{_sq(_CANONICAL_RX_1)}', 1)"
+    b = f"regexp_extract({expr}, '{_sq(_CANONICAL_RX_2)}', 1)"
+    return f"CASE WHEN {a} != '' THEN {a} ELSE {b} END"
+
+
+def declared_lang_sql(expr: str) -> str:
+    return f"lower(regexp_extract({expr}, '{_sq(_HTML_LANG_RX)}', 1))"

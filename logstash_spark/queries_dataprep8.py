@@ -345,3 +345,280 @@ def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-policy metadata (webtext.html_meta)
+# ---------------------------------------------------------------------------
+
+# head synthesis: robots meta present on every 2nd doc (noindex on every
+# 4th), with ATTRIBUTE ORDER flipped on odd docs; canonical link on docs
+# not ≡1 (mod 3), order also flipped; lang attr from the lang column.
+_M1 = '<html lang="'
+_M2 = '"><head><title>t</title>'
+_M_ROBOTS_A = '<meta name="robots" content="'
+_M_ROBOTS_B = '<meta content="'
+_M_ROBOTS_B2 = '" name="robots">'
+_M_CANON_A = '<link rel="canonical" href="https://ex.com/c/'
+_M_CANON_B = '<link href="https://ex.com/c/'
+_M_CANON_B2 = '" rel="canonical">'
+_M_TAIL = '</head><body><p>x</p></body></html>'
+
+
+def _meta_page_spark(doc_id, lang) -> F.Column:
+    robots_val = F.when(doc_id % 4 == 0, F.lit("noindex, nofollow")).otherwise(
+        F.lit("index, follow")
+    )
+    robots = F.when(
+        doc_id % 2 == 0, F.concat(F.lit(_M_ROBOTS_A), robots_val, F.lit('">'))
+    ).otherwise(F.concat(F.lit(_M_ROBOTS_B), robots_val, F.lit(_M_ROBOTS_B2)))
+    canon = (
+        F.when(doc_id % 3 == 1, F.lit(""))
+        .when(
+            doc_id % 2 == 0,
+            F.concat(F.lit(_M_CANON_A), doc_id.cast("string"), F.lit('">')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(_M_CANON_B), doc_id.cast("string"), F.lit(_M_CANON_B2)
+            )
+        )
+    )
+    return F.concat(
+        F.lit(_M1), F.upper(lang), F.lit(_M2), robots, canon, F.lit(_M_TAIL)
+    )
+
+
+_META_PAGE_SQL = f"""
+      SELECT doc_id,
+             '{W._sq(_M1)}' || upper(lang) || '{W._sq(_M2)}'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '{W._sq(_M_ROBOTS_A)}' ||
+                          CASE WHEN doc_id % 4 = 0 THEN 'noindex, nofollow'
+                               ELSE 'index, follow' END || '">'
+                     ELSE '{W._sq(_M_ROBOTS_B)}' ||
+                          CASE WHEN doc_id % 4 = 0 THEN 'noindex, nofollow'
+                               ELSE 'index, follow' END || '{W._sq(_M_ROBOTS_B2)}'
+                END
+             || CASE WHEN doc_id % 3 = 1 THEN ''
+                     WHEN doc_id % 2 = 0
+                     THEN '{W._sq(_M_CANON_A)}' || CAST(doc_id AS VARCHAR) || '">'
+                     ELSE '{W._sq(_M_CANON_B)}' || CAST(doc_id AS VARCHAR)
+                          || '{W._sq(_M_CANON_B2)}'
+                END
+             || '{W._sq(_M_TAIL)}' AS html
+      FROM documents
+"""
+
+
+@query(
+    "html_meta_policy",
+    f"""
+    WITH pages AS ({_META_PAGE_SQL})
+    SELECT doc_id,
+           {W.meta_robots_sql('html')} AS meta_robots,
+           CASE WHEN {W.meta_robots_sql('html')} LIKE '%noindex%'
+                THEN 1 ELSE 0 END AS noindex,
+           {W.canonical_url_sql('html')} AS canonical_url,
+           {W.declared_lang_sql('html')} AS declared_lang
+    FROM pages
+    """,
+)
+def html_meta_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-policy gate (`webtext.html_meta`): robots directives (both
+    attribute orders), canonical URL (the site-declared dedup key) and
+    the declared lang attr must extract identically in DuckDB. The
+    noindex flag is the opt-out filter a compliant corpus applies before
+    spending any further compute. Zero shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        _meta_page_spark(F.col("doc_id"), F.col("lang")).alias("html"),
+    )
+    out = W.html_meta(pages, "html")
+    return out.select(
+        "doc_id",
+        "meta_robots",
+        F.col("noindex").cast("int").alias("noindex"),
+        "canonical_url",
+        "declared_lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance (operators/robots.py)
+# ---------------------------------------------------------------------------
+
+# 20 synthetic hosts; every 2nd gets a wildcard rule, every 3rd a
+# dedicated graftbot group (which must then WIN outright over *), all
+# get a $-anchored rule and a stacked two-agent group that must never
+# apply to graftbot.
+_RB1 = (
+    "# policy\nUser-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+    "Disallow: /exact$\n"
+)
+_RB2 = "Disallow: /tmp*\n"
+_RB3 = "\n"
+_RB4 = "User-agent: graftbot\nDisallow: /bot-only/\nAllow: /\n\n"
+_RB5 = "User-agent: legacybot\nUser-agent: oldbot\nDisallow: /\n"
+
+_RPATHS = ("/private/p", "/private/ok/p", "/tmp", "/bot-only/p", "/public/p",
+           "/exact")
+
+
+def _robots_blob_spark(hid) -> F.Column:
+    return F.concat(
+        F.lit(_RB1),
+        F.when(hid % 2 == 0, F.lit(_RB2)).otherwise(F.lit("")),
+        F.lit(_RB3),
+        F.when(hid % 3 == 0, F.lit(_RB4)).otherwise(F.lit("")),
+        F.lit(_RB5),
+    )
+
+
+_ROBOTS_BLOB_SQL = (
+    f"'{W._sq(_RB1)}'"
+    f" || CASE WHEN hid % 2 = 0 THEN '{W._sq(_RB2)}' ELSE '' END"
+    f" || '{W._sq(_RB3)}'"
+    f" || CASE WHEN hid % 3 = 0 THEN '{W._sq(_RB4)}' ELSE '' END"
+    f" || '{W._sq(_RB5)}'"
+)
+
+_RPATH_ARR_SQL = "[" + ", ".join(f"'{p}'" for p in _RPATHS) + "]"
+
+_ROBOTS_ORACLE = f"""
+    WITH hosts AS (SELECT DISTINCT doc_id % 20 AS hid FROM documents),
+    blobs AS (
+      SELECT 'h' || CAST(hid AS VARCHAR) AS host,
+             string_split({_ROBOTS_BLOB_SQL}, chr(10)) AS ls
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host, CAST(gs.i AS INT) AS line_no, ls[gs.i] AS l
+      FROM blobs, generate_series(1, 16) gs(i)
+      WHERE ls[gs.i] IS NOT NULL
+    ),
+    keyed AS (
+      SELECT host, line_no,
+             lower(regexp_extract(trim(regexp_replace(l, '#.*$', '')),
+                                  '^([A-Za-z][A-Za-z-]*)\\s*:', 1)) AS k,
+             trim(regexp_extract(trim(regexp_replace(l, '#.*$', '')),
+                                 '^[A-Za-z][A-Za-z-]*\\s*:\\s*(.*)$', 1)) AS v
+      FROM lines
+    ),
+    keyed2 AS (SELECT * FROM keyed WHERE k != ''),
+    flagged AS (
+      SELECT *, CASE WHEN k = 'user-agent' AND NOT
+                  coalesce(lag(k = 'user-agent') OVER
+                           (PARTITION BY host ORDER BY line_no), FALSE)
+                THEN 1 ELSE 0 END AS ng
+      FROM keyed2
+    ),
+    grouped AS (
+      SELECT *, sum(ng) OVER (PARTITION BY host ORDER BY line_no) AS group_id
+      FROM flagged
+    ),
+    agents AS (
+      SELECT host, group_id, lower(v) AS agent FROM grouped
+      WHERE k = 'user-agent'
+    ),
+    rules AS (
+      SELECT host, group_id, k AS rule, v AS rpath, line_no FROM grouped
+      WHERE k IN ('allow', 'disallow') AND v != ''
+    ),
+    joined AS (
+      SELECT r.host, r.rule, r.rpath, r.line_no, a.agent
+      FROM rules r JOIN agents a USING (host, group_id)
+    ),
+    scoped AS (
+      SELECT host, rule, rpath, line_no,
+             CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END AS spec
+      FROM joined WHERE agent IN ('graftbot', '*')
+    ),
+    scoped2 AS (
+      SELECT * FROM (
+        SELECT *, max(spec) OVER (PARTITION BY host) AS best FROM scoped
+      ) WHERE spec = best
+    ),
+    pats AS (
+      SELECT host, rule, rpath, line_no,
+             CAST(length(rpath) AS BIGINT) AS plen,
+             CASE WHEN right(rpath, 1) = '$'
+                  THEN substr(e, 1, length(e) - 1) ELSE e || '%' END AS pat
+      FROM (
+        SELECT *, replace(replace(replace(replace(rpath,
+                 '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') AS e
+        FROM scoped2
+      )
+    ),
+    urls AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+             ({_RPATH_ARR_SQL})[CAST(doc_id % 6 AS INT) + 1]
+               || CASE WHEN doc_id % 6 = 5 THEN ''
+                       ELSE CAST(doc_id AS VARCHAR) END AS path
+      FROM documents
+    ),
+    matched AS (
+      SELECT u.doc_id, u.host, u.path, p.rule, p.rpath, p.plen, p.line_no
+      FROM urls u LEFT JOIN pats p
+        ON u.host = p.host AND u.path LIKE p.pat ESCAPE '\\'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY plen DESC,
+                 CASE WHEN rule = 'allow' THEN 0 ELSE 1 END ASC,
+                 line_no ASC) AS rn
+      FROM matched
+    )
+    SELECT doc_id, host, path,
+           CASE WHEN rule IS NULL OR rule = 'allow' THEN 1 ELSE 0 END
+             AS allowed,
+           rule AS matched_rule, rpath AS matched_path
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("robots_compliance", _ROBOTS_ORACLE)
+def robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance gate (`operators/robots.py`): 20 synthetic
+    hosts with layered policies (wildcard rules, $-anchored rules, a
+    dedicated graftbot group on every 3rd host that must win outright
+    over *, a stacked two-agent group that must never apply) against a
+    URL per document. The full RFC 9309 pipeline — group sessionization,
+    agent scoping, LIKE-translated longest-match with Allow tie-break —
+    must replay bit-for-bit in DuckDB."""
+    from logstash_spark.operators.robots import parse_robots, robots_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = (
+        docs.select((F.col("doc_id") % 20).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+            _robots_blob_spark(F.col("hid")).alias("robots_txt"),
+        )
+    )
+    rules = parse_robots(hosts)
+    idx = (F.col("doc_id") % 6).cast("int") + 1
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.element_at(F.array(*[F.lit(p) for p in _RPATHS]), idx),
+            F.when(F.col("doc_id") % 6 == 5, F.lit("")).otherwise(
+                F.col("doc_id").cast("string")
+            ),
+        ).alias("path"),
+    )
+    out = robots_filter(urls, rules, "graftbot")
+    return out.select(
+        "doc_id",
+        "host",
+        "path",
+        F.col("allowed").cast("int").alias("allowed"),
+        "matched_rule",
+        "matched_path",
+    )
