@@ -167,4 +167,55 @@ def robots_filter(
     )
 
 
-__all__ = ["parse_robots", "robots_filter", "robots_like_pattern"]
+__all__ = [
+    "parse_robots",
+    "robots_filter",
+    "robots_like_pattern",
+    "sitemap_urls",
+]
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (sitemaps.org XML) — crawl discovery, the flip side of robots
+# ---------------------------------------------------------------------------
+
+_URL_BLOCK_RX = r"(?is)<url\s*>(.*?)</url\s*>"
+_SITEMAP_BLOCK_RX = r"(?is)<sitemap\s*>(.*?)</sitemap\s*>"
+
+
+def _xml_field(block: Column, tag: str) -> Column:
+    return F.trim(
+        F.regexp_extract(block, rf"(?is)<{tag}[^>]*>(.*?)</{tag}\s*>", 1)
+    )
+
+
+def sitemap_urls(
+    df: DataFrame, field: str = "sitemap_xml", entry_no: str = "entry_no"
+) -> DataFrame:
+    """sitemaps.org parsing: one row per ``<url>`` entry (or per child
+    ``<sitemap>`` of an index file) with loc / lastmod / changefreq /
+    priority and ``is_index``. Regex-based on purpose — the sitemap
+    subset of XML is flat and RE2-safe, so the parse replays on any
+    engine and never needs a DOM (the xml filter's xpath route exists
+    for documents that do). ONE posexplode per file, zero shuffle.
+
+    lastmod stays a raw string (sitemaps mix date-only and full
+    ISO-8601); feed it to the `date` op for typed parsing. priority is
+    parsed to double when present (try_cast keeps junk null)."""
+    urls = F.regexp_extract_all(F.col(field), F.lit(_URL_BLOCK_RX), 1)
+    subs = F.regexp_extract_all(F.col(field), F.lit(_SITEMAP_BLOCK_RX), 1)
+    is_index = F.size(urls) == 0
+    blocks = F.when(is_index, subs).otherwise(urls)
+    out = df.select(
+        *[c for c in df.columns if c != field],
+        is_index.alias("is_index"),
+        F.posexplode(blocks).alias(entry_no, "_b"),
+    )
+    b = F.col("_b")
+    return out.select(
+        *[c for c in out.columns if c != "_b"],
+        _xml_field(b, "loc").alias("loc"),
+        _xml_field(b, "lastmod").alias("lastmod"),
+        _xml_field(b, "changefreq").alias("changefreq"),
+        _xml_field(b, "priority").try_cast("double").alias("priority"),
+    )

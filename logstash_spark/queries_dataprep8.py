@@ -622,3 +622,159 @@ def robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_rule",
         "matched_path",
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-graph authority (operators/graph.py pagerank)
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+      SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % 50 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 13 + 1) % 23 AS VARCHAR) AS dst
+      FROM documents
+"""
+
+
+def _pr_edges_spark(docs: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    a = docs.select(
+        F.concat(F.lit("h"), (i % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((i * 7 + 3) % 50).cast("string")).alias("dst"),
+    )
+    b = docs.select(
+        F.concat(F.lit("h"), (i % 50).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((i * 13 + 1) % 23).cast("string")).alias("dst"),
+    )
+    return a.unionByName(b)
+
+
+def _pagerank_oracle() -> str:
+    from logstash_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, iters=2)
+
+
+@query("host_pagerank", _pagerank_oracle())
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-authority gate (`graph.pagerank`): a 50-host link graph is
+    derived from the documents table (a second edge family lands on a
+    23-host subset, so in-degrees — and therefore ranks — genuinely
+    differ), then two damped PageRank rounds run in scaled-int64 space.
+    The unrolled DuckDB replay must agree bit-for-bit — every share and
+    update is non-negative integer div. The rank is the document
+    quality PRIOR a curation pipeline joins back on host (Common Crawl
+    publishes host-level webgraph ranks for exactly this use)."""
+    from logstash_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pagerank(_pr_edges_spark(docs), iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery (robots.sitemap_urls)
+# ---------------------------------------------------------------------------
+
+_SM_URLSET_A = (
+    '<?xml version="1.0"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<url><loc>https://ex.com/a/"
+)
+_SM_URLSET_B = (
+    "</loc><lastmod>2026-01-15</lastmod><changefreq>daily</changefreq>"
+    "<priority>0.8</priority></url>"
+    "<url> <loc> https://ex.com/b/"
+)
+_SM_URLSET_C = " </loc><lastmod>2026-01-17T12:00:00Z</lastmod></url></urlset>"
+_SM_INDEX_A = (
+    '<?xml version="1.0"?><sitemapindex><sitemap><loc>https://ex.com/sm1-'
+)
+_SM_INDEX_B = ".xml</loc><lastmod>2026-01-17</lastmod></sitemap><sitemap><loc>https://ex.com/sm2-"
+_SM_INDEX_C = ".xml</loc></sitemap></sitemapindex>"
+
+
+def _sitemap_spark(doc_id) -> F.Column:
+    i = doc_id.cast("string")
+    urlset = F.concat(
+        F.lit(_SM_URLSET_A), i, F.lit(_SM_URLSET_B), i, F.lit(_SM_URLSET_C)
+    )
+    index = F.concat(
+        F.lit(_SM_INDEX_A), i, F.lit(_SM_INDEX_B), i, F.lit(_SM_INDEX_C)
+    )
+    return F.when(doc_id % 4 == 0, index).otherwise(urlset)
+
+
+_SITEMAP_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '{W._sq(_SM_INDEX_A)}' || CAST(doc_id AS VARCHAR)
+                       || '{W._sq(_SM_INDEX_B)}' || CAST(doc_id AS VARCHAR)
+                       || '{W._sq(_SM_INDEX_C)}'
+                  ELSE '{W._sq(_SM_URLSET_A)}' || CAST(doc_id AS VARCHAR)
+                       || '{W._sq(_SM_URLSET_B)}' || CAST(doc_id AS VARCHAR)
+                       || '{W._sq(_SM_URLSET_C)}'
+             END AS xml
+      FROM documents
+"""
+
+
+def _sm_field_sql(tag: str) -> str:
+    return f"trim(regexp_extract(b, '(?is)<{tag}[^>]*>(.*?)</{tag}\\s*>', 1))"
+
+
+@query(
+    "sitemap_discovery",
+    f"""
+    WITH files AS ({_SITEMAP_SQL}),
+    parts AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS is_index,
+             CASE WHEN doc_id % 4 = 0
+                  THEN regexp_extract_all(xml,
+                         '(?is)<sitemap\\s*>(.*?)</sitemap\\s*>', 1)
+                  ELSE regexp_extract_all(xml,
+                         '(?is)<url\\s*>(.*?)</url\\s*>', 1)
+             END AS bs
+      FROM files
+    ),
+    recs AS (
+      -- both file kinds carry exactly 2 entries by construction
+      SELECT doc_id, is_index, CAST(gs.i - 1 AS INT) AS entry_no,
+             bs[gs.i] AS b
+      FROM parts, generate_series(1, 2) gs(i)
+    )
+    SELECT doc_id, is_index, entry_no,
+           {_sm_field_sql("loc")} AS loc,
+           {_sm_field_sql("lastmod")} AS lastmod,
+           {_sm_field_sql("changefreq")} AS changefreq,
+           CAST(TRY_CAST({_sm_field_sql("priority")} AS DOUBLE) * 10 AS INT)
+             AS priority_x10
+    FROM recs
+    """,
+)
+def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing gate (`robots.sitemap_urls`): per document a
+    urlset file (two entries — full and sparse fields, whitespace-padded
+    tags) or, on every 4th doc, a sitemapindex with two children. Entry
+    splitting, loc/lastmod/changefreq extraction and priority parsing
+    must replay bit-for-bit in DuckDB (priority ×10 as int — the gate
+    values are exact in binary so both engines agree)."""
+    from logstash_spark.operators.robots import sitemap_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = docs.select(
+        "doc_id", _sitemap_spark(F.col("doc_id")).alias("sitemap_xml")
+    )
+    out = sitemap_urls(files, "sitemap_xml")
+    return out.select(
+        "doc_id",
+        F.col("is_index").cast("int").alias("is_index"),
+        F.col("entry_no").cast("int").alias("entry_no"),
+        "loc",
+        "lastmod",
+        "changefreq",
+        (F.col("priority") * 10).cast("int").alias("priority_x10"),
+    )

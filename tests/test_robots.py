@@ -109,3 +109,64 @@ def test_like_pattern_translation(spark):
         .collect()
     ]
     assert got == ["/a%b", r"/p\_q\%r%", "/plain%"]
+
+
+# ---------------------------------------------------------------------------
+# sitemap_urls
+# ---------------------------------------------------------------------------
+
+_URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://ex.com/a</loc>
+    <lastmod>2026-01-15</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc> https://ex.com/b </loc></url>
+</urlset>
+"""
+_INDEX = (
+    "<sitemapindex><sitemap><loc>https://ex.com/s1.xml</loc></sitemap>"
+    "<sitemap><loc>https://ex.com/s2.xml</loc>"
+    "<lastmod>2026-01-17T00:00:00Z</lastmod></sitemap></sitemapindex>"
+)
+
+
+def test_sitemap_urlset(spark):
+    from logstash_spark.operators.robots import sitemap_urls
+
+    df = spark.createDataFrame([(1, _URLSET)], "fid int, sitemap_xml string")
+    rows = sitemap_urls(df).orderBy("entry_no").collect()
+    assert len(rows) == 2 and not rows[0]["is_index"]
+    assert rows[0]["loc"] == "https://ex.com/a"
+    assert rows[0]["lastmod"] == "2026-01-15"
+    assert rows[0]["changefreq"] == "daily"
+    assert rows[0]["priority"] == 0.8
+    assert rows[1]["loc"] == "https://ex.com/b"  # whitespace trimmed
+    assert rows[1]["priority"] is None and rows[1]["lastmod"] == ""
+
+
+def test_sitemap_index(spark):
+    from logstash_spark.operators.robots import sitemap_urls
+
+    df = spark.createDataFrame([(1, _INDEX)], "fid int, sitemap_xml string")
+    rows = sitemap_urls(df).orderBy("entry_no").collect()
+    assert [r["loc"] for r in rows] == [
+        "https://ex.com/s1.xml",
+        "https://ex.com/s2.xml",
+    ]
+    assert all(r["is_index"] for r in rows)
+    assert rows[1]["lastmod"] == "2026-01-17T00:00:00Z"
+
+
+def test_sitemap_plan_zero_shuffle(spark):
+    from logstash_spark.operators.robots import sitemap_urls
+
+    df = spark.createDataFrame([(1, _URLSET)], "fid int, sitemap_xml string")
+    out = sitemap_urls(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
