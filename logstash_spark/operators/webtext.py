@@ -406,3 +406,63 @@ def canonical_url_sql(expr: str) -> str:
 
 def declared_lang_sql(expr: str) -> str:
     return f"lower(regexp_extract({expr}, '{_sq(_HTML_LANG_RX)}', 1))"
+
+
+# ---------------------------------------------------------------------------
+# Anchor text: the inter-document description signal
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RX = r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a\s*>'
+
+
+def extract_anchors(col: Column | str) -> Column:
+    """array<struct<href,text>> of double-quoted anchors, document
+    order. Both fields come from the SAME regex (groups 1 and 2), so
+    the two extract_all lists are aligned by construction and zip
+    losslessly; anchor text is tag-stripped and whitespace-normalized
+    (an anchor wrapping <b>bold</b> keeps its words)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hrefs = F.regexp_extract_all(c, F.lit(_ANCHOR_RX), 1)
+    texts = F.transform(
+        F.regexp_extract_all(c, F.lit(_ANCHOR_RX), 2),
+        lambda t: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, _TAG_RX, ""), r"\s+", " "
+            )
+        ),
+    )
+    return F.arrays_zip(hrefs.alias("href"), texts.alias("text"))
+
+
+def anchor_stats(
+    pages: DataFrame, field: str = "html", source: str | None = None
+) -> DataFrame:
+    """Per-target anchor census over a page corpus: how often each href
+    is linked (`n_refs`) and its most common anchor text (`top_text`,
+    ties broken lexicographically) — the classic web signal: anchor
+    text is how OTHER documents describe a target (retrieval boosts,
+    quality priors), in-link count is a cheap authority proxy feeding
+    `graph.pagerank`.
+
+    Shape: one explode (∝ total anchors — link tuples, never page
+    payloads) → groupBy(href, text) with map-side partials → one window
+    on href for the total and the top-1. The (href, text) exchange is
+    reused by the window (same leading key), so the whole census costs
+    ONE real shuffle of (href, text, count) rows."""
+    a = pages.select(F.explode(extract_anchors(field)).alias("an"))
+    pairs = a.select(F.col("an.href").alias("href"), F.col("an.text").alias("text"))
+    counted = pairs.groupBy("href", "text").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    wh = Window.partitionBy("href")
+    rank = Window.partitionBy("href").orderBy(
+        F.col("cnt").desc(), F.col("text").asc()
+    )
+    return (
+        counted.withColumn("n_refs", F.sum("cnt").over(wh))
+        .withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .select("href", "n_refs", F.col("text").alias("top_text"))
+    )

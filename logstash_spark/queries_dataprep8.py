@@ -778,3 +778,81 @@ def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "changefreq",
         (F.col("priority") * 10).cast("int").alias("priority_x10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text census (webtext.anchor_stats)
+# ---------------------------------------------------------------------------
+
+# 3 anchors per document onto 101 shared targets; anchor text comes from
+# a 5-word vocabulary keyed by target (so each target has a dominant
+# description) with a minority variant every 11th (doc+slot); even docs
+# wrap the text in <b> and pad whitespace — extraction must strip both.
+_AN_VOCAB = ("click here", "read more", "project docs", "home page",
+             "next post")
+_AN_VOCAB_SQL = "[" + ", ".join(f"'{t}'" for t in _AN_VOCAB) + "]"
+
+
+def _anchor_page_spark(doc_id) -> F.Column:
+    segs = []
+    for j in range(3):
+        n = (doc_id * 3 + F.lit(j)) % 101
+        base = F.element_at(
+            F.array(*[F.lit(t) for t in _AN_VOCAB]), (n % 5).cast("int") + 1
+        )
+        text = F.when((doc_id + j) % 11 == 0, F.lit("rare link")).otherwise(
+            base
+        )
+        shown = F.when(
+            doc_id % 2 == 0, F.concat(F.lit(" <b>"), text, F.lit("</b> "))
+        ).otherwise(text)
+        segs += [
+            F.lit('<a href="/t/'),
+            n.cast("string"),
+            F.lit('">'),
+            shown,
+            F.lit("</a> and "),
+        ]
+    return F.concat(F.lit("<html><body>"), *segs, F.lit("</body></html>"))
+
+
+@query(
+    "anchor_text_stats",
+    f"""
+    WITH anchors AS (
+      SELECT '/t/' || CAST((doc_id * 3 + gs.j) % 101 AS VARCHAR) AS href,
+             CASE WHEN (doc_id + gs.j) % 11 = 0 THEN 'rare link'
+                  ELSE ({_AN_VOCAB_SQL})
+                       [CAST((doc_id * 3 + gs.j) % 101 % 5 AS INT) + 1]
+             END AS text
+      FROM documents, generate_series(0, 2) gs(j)
+    ),
+    counted AS (
+      SELECT href, text, CAST(count(*) AS BIGINT) AS cnt
+      FROM anchors GROUP BY href, text
+    ),
+    ranked AS (
+      SELECT href, text, cnt,
+             sum(cnt) OVER (PARTITION BY href) AS n_refs,
+             row_number() OVER (PARTITION BY href
+                                ORDER BY cnt DESC, text ASC) AS rn
+      FROM counted
+    )
+    SELECT href, CAST(n_refs AS BIGINT) AS n_refs, text AS top_text
+    FROM ranked WHERE rn = 1
+    """,
+)
+def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text census gate (`webtext.anchor_stats`): pages with 3
+    anchors onto 101 shared targets are synthesized per document (bold
+    markup + whitespace padding on even docs); the Spark side EXTRACTS
+    from the markup while the oracle computes the ground-truth pairs
+    directly — per-target reference counts and the dominant anchor text
+    (count-desc, text-asc tie-break) must agree exactly. One real
+    shuffle: (href, text) partials; the href window reuses the same
+    exchange prefix."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        _anchor_page_spark(F.col("doc_id")).alias("html")
+    )
+    return W.anchor_stats(pages, "html")

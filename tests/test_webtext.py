@@ -110,3 +110,40 @@ def test_gate_repaired_ok_all_rows(spark):
         F.min("repaired_ok").alias("mn"), F.count("*").alias("c")
     ).collect()[0]
     assert rows["mn"] == 1 and rows["c"] > 0
+
+
+# ---------------------------------------------------------------------------
+# anchor extraction / census
+# ---------------------------------------------------------------------------
+
+
+def test_extract_anchors_markup_and_whitespace(spark):
+    html = ('<a href="/a"> <b>read</b>  more </a>'
+            "<a href='/skip'>s</a>"
+            '<A HREF="/b">plain</A>')
+    df = spark.createDataFrame([(html,)], "html string")
+    rows = df.select(F.explode(W.extract_anchors("html")).alias("a")).collect()
+    got = [(r["a"]["href"], r["a"]["text"]) for r in rows]
+    assert got == [("/a", "read more"), ("/b", "plain")]
+
+
+def test_anchor_stats_counts_and_top(spark):
+    pages = spark.createDataFrame(
+        [
+            ('<a href="/t">read more</a><a href="/t">read more</a>',),
+            ('<a href="/t">alpha</a><a href="/u">solo</a>',),
+        ],
+        "html string",
+    )
+    rows = {r["href"]: r for r in W.anchor_stats(pages, "html").collect()}
+    assert rows["/t"]["n_refs"] == 3
+    assert rows["/t"]["top_text"] == "read more"
+    assert rows["/u"]["n_refs"] == 1 and rows["/u"]["top_text"] == "solo"
+
+
+def test_anchor_stats_tie_breaks_lexicographically(spark):
+    pages = spark.createDataFrame(
+        [('<a href="/t">zzz</a><a href="/t">aaa</a>',)], "html string"
+    )
+    row = W.anchor_stats(pages, "html").collect()[0]
+    assert row["top_text"] == "aaa" and row["n_refs"] == 2
