@@ -1,0 +1,960 @@
+"""Binary wire-format codecs (SURVEY.md §2.2): NetFlow v5, Avro datum,
+msgpack / fluent forward-protocol, collectd binary parts.
+
+Reference behavior being matched (all public plugins):
+  * logstash-codec-netflow  lib/logstash/codecs/netflow.rb  §decode —
+    v5 header + 48-byte flow records via BinData declarations.
+  * logstash-codec-avro     lib/logstash/codecs/avro.rb     §decode —
+    one Avro *datum* (binary encoding, NO container file) per event.
+  * logstash-codec-msgpack / logstash-codec-fluent — MessagePack datum;
+    fluent's forward wire entry is the msgpack array [tag, time, record].
+  * logstash-codec-collectd lib/logstash/codecs/collectd.rb §decode —
+    TLV "parts" stream where context parts (host/plugin/type/time) stick
+    until a VALUES part emits an event.
+
+Scale design: NetFlow decode is numpy-vectorized — ONE frombuffer over
+the concatenated record bytes of an Arrow batch, never a per-record
+Python loop; header fields fan out with np.repeat. The varint formats
+(Avro, msgpack) are inherently sequential per datum, so they decode
+row-at-a-time *inside* an Arrow batch (the honest slow path — same
+CPU shape as the reference's Ruby decode, but embarrassingly parallel
+across executors and zero-shuffle). Encoders are deterministic so
+round-trip gates replay bit-for-bit across engines and task retries.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logstash_spark.operators import op
+
+# ---------------------------------------------------------------------------
+# NetFlow v5 (logstash-codec-netflow §decode, Netflow5PDU BinData record)
+# ---------------------------------------------------------------------------
+
+_NF5_HEADER_LEN = 24
+_NF5_RECORD_LEN = 48
+
+#: decoded per-flow fields, named exactly like the reference codec's
+#: event fields (netflow.rb emits them under the `netflow` target).
+_NF5_FLOW_FIELDS = [
+    ("ipv4_src_addr", "string"),
+    ("ipv4_dst_addr", "string"),
+    ("ipv4_next_hop", "string"),
+    ("input_snmp", "int"),
+    ("output_snmp", "int"),
+    ("in_pkts", "bigint"),
+    ("in_bytes", "bigint"),
+    ("first_switched_ms", "bigint"),
+    ("last_switched_ms", "bigint"),
+    ("l4_src_port", "int"),
+    ("l4_dst_port", "int"),
+    ("tcp_flags", "int"),
+    ("protocol", "int"),
+    ("src_tos", "int"),
+    ("src_as", "int"),
+    ("dst_as", "int"),
+    ("src_mask", "int"),
+    ("dst_mask", "int"),
+]
+_NF5_HDR_FIELDS = [
+    ("netflow_version", "int"),
+    ("flow_seq_num", "bigint"),
+    ("engine_type", "int"),
+    ("engine_id", "int"),
+    ("sampling_interval", "int"),
+    ("unix_sec", "bigint"),
+    ("sys_uptime_ms", "bigint"),
+    ("flow_records", "int"),
+    ("flow_no", "int"),
+]
+
+
+@op("netflow")
+def netflow_decode(df: DataFrame, field: str) -> DataFrame:
+    """Decode NetFlow v5 export packets: one binary blob per row → one
+    output row per flow record, header fields denormalized onto every
+    flow (reference: logstash-codec-netflow §decode emits one event per
+    flowset record carrying header uptime/unix_secs/flow_seq_num).
+
+    `first/last_switched_ms` follow the reference's SwitchedTimeKey
+    conversion from router-uptime-relative ms to epoch ms:
+    ``unix_secs*1000 + unix_nsecs/1e6 - sys_uptime + first`` (integer
+    form, nsecs floor-divided) — deterministic int64 arithmetic.
+
+    Vectorization: per Arrow batch, all record bytes are concatenated
+    and decoded with ONE ``np.frombuffer`` over a structured dtype;
+    passthrough columns fan out via ``np.repeat``. No per-record Python
+    loop, no shuffle. Malformed packets (short blob, version != 5,
+    length != 24 + count*48) yield zero flows, like gzip_lines' corrupt
+    streams.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    passthrough = [c for c in df.columns if c != field]
+    in_schema = df.schema
+    out_fields = [in_schema[c] for c in passthrough]
+    out_fields += [
+        T.StructField(n, _spark_type(t)) for n, t in _NF5_HDR_FIELDS
+    ]
+    out_fields += [
+        T.StructField(n, _spark_type(t)) for n, t in _NF5_FLOW_FIELDS
+    ]
+    out_schema = T.StructType(out_fields)
+
+    hdr_dt = np.dtype(
+        [
+            ("version", ">u2"),
+            ("count", ">u2"),
+            ("sys_uptime", ">u4"),
+            ("unix_secs", ">u4"),
+            ("unix_nsecs", ">u4"),
+            ("flow_sequence", ">u4"),
+            ("engine_type", "u1"),
+            ("engine_id", "u1"),
+            ("sampling_interval", ">u2"),
+        ]
+    )
+    rec_dt = np.dtype(
+        [
+            ("srcaddr", ">u4"),
+            ("dstaddr", ">u4"),
+            ("nexthop", ">u4"),
+            ("input", ">u2"),
+            ("output", ">u2"),
+            ("dPkts", ">u4"),
+            ("dOctets", ">u4"),
+            ("first", ">u4"),
+            ("last", ">u4"),
+            ("srcport", ">u2"),
+            ("dstport", ">u2"),
+            ("pad1", "u1"),
+            ("tcp_flags", "u1"),
+            ("prot", "u1"),
+            ("tos", "u1"),
+            ("src_as", ">u2"),
+            ("dst_as", ">u2"),
+            ("src_mask", "u1"),
+            ("dst_mask", "u1"),
+            ("pad2", ">u2"),
+        ]
+    )
+    assert hdr_dt.itemsize == _NF5_HEADER_LEN
+    assert rec_dt.itemsize == _NF5_RECORD_LEN
+
+    def _dotted(u32: "np.ndarray") -> "pd.Series":
+        # vectorized dotted-quad render: 4 octet arrays → str concat in C
+        o = [(u32 >> s) & 0xFF for s in (24, 16, 8, 0)]
+        s = [pd.Series(x).astype("string") for x in o]
+        return (s[0] + "." + s[1] + "." + s[2] + "." + s[3]).astype(object)
+
+    def decode(batches):
+        for pdf in batches:
+            blobs = pdf[field].tolist()
+            keep, hdr_buf, rec_buf, counts = [], [], [], []
+            for i, b in enumerate(blobs):
+                if b is None or len(b) < _NF5_HEADER_LEN:
+                    continue
+                b = bytes(b)
+                (ver, cnt) = struct.unpack(">HH", b[:4])
+                if ver != 5 or len(b) != _NF5_HEADER_LEN + cnt * _NF5_RECORD_LEN:
+                    continue
+                keep.append(i)
+                hdr_buf.append(b[:_NF5_HEADER_LEN])
+                rec_buf.append(b[_NF5_HEADER_LEN:])
+                counts.append(cnt)
+            if not keep:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in out_schema}
+                )
+                continue
+            hdr = np.frombuffer(b"".join(hdr_buf), hdr_dt)
+            rec = np.frombuffer(b"".join(rec_buf), rec_dt)
+            counts = np.asarray(counts, dtype=np.int64)
+            src_rows = np.repeat(np.asarray(keep, dtype=np.int64), counts)
+            n_flows = int(counts.sum())
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            flow_no = np.arange(n_flows, dtype=np.int64) - starts
+            out = pdf.iloc[src_rows][passthrough].reset_index(drop=True)
+            h = {k: np.repeat(hdr[k], counts) for k in hdr.dtype.names}
+            # epoch-ms base per the reference's uptime→wallclock conversion
+            base = (
+                h["unix_secs"].astype(np.int64) * 1000
+                + h["unix_nsecs"].astype(np.int64) // 1_000_000
+                - h["sys_uptime"].astype(np.int64)
+            )
+            out["netflow_version"] = h["version"].astype(np.int32)
+            out["flow_seq_num"] = h["flow_sequence"].astype(np.int64)
+            out["engine_type"] = h["engine_type"].astype(np.int32)
+            out["engine_id"] = h["engine_id"].astype(np.int32)
+            out["sampling_interval"] = h["sampling_interval"].astype(np.int32)
+            out["unix_sec"] = h["unix_secs"].astype(np.int64)
+            out["sys_uptime_ms"] = h["sys_uptime"].astype(np.int64)
+            out["flow_records"] = np.repeat(counts, counts).astype(np.int32)
+            out["flow_no"] = flow_no.astype(np.int32)
+            out["ipv4_src_addr"] = _dotted(rec["srcaddr"])
+            out["ipv4_dst_addr"] = _dotted(rec["dstaddr"])
+            out["ipv4_next_hop"] = _dotted(rec["nexthop"])
+            out["input_snmp"] = rec["input"].astype(np.int32)
+            out["output_snmp"] = rec["output"].astype(np.int32)
+            out["in_pkts"] = rec["dPkts"].astype(np.int64)
+            out["in_bytes"] = rec["dOctets"].astype(np.int64)
+            out["first_switched_ms"] = base + rec["first"].astype(np.int64)
+            out["last_switched_ms"] = base + rec["last"].astype(np.int64)
+            out["l4_src_port"] = rec["srcport"].astype(np.int32)
+            out["l4_dst_port"] = rec["dstport"].astype(np.int32)
+            out["tcp_flags"] = rec["tcp_flags"].astype(np.int32)
+            out["protocol"] = rec["prot"].astype(np.int32)
+            out["src_tos"] = rec["tos"].astype(np.int32)
+            out["src_as"] = rec["src_as"].astype(np.int32)
+            out["dst_as"] = rec["dst_as"].astype(np.int32)
+            out["src_mask"] = rec["src_mask"].astype(np.int32)
+            out["dst_mask"] = rec["dst_mask"].astype(np.int32)
+            yield out[[f.name for f in out_schema]]
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def _spark_type(name: str) -> T.DataType:
+    return {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),  # avro spelling
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "binary": T.BinaryType(),
+        "bytes": T.BinaryType(),  # avro spelling
+    }[name]
+
+
+def _hex_be(col: Column, nbytes: int) -> Column:
+    """Big-endian fixed-width hex of a non-negative integral column —
+    the building block for the zero-UDF NetFlow encoder."""
+    return F.lpad(F.hex(col.cast("bigint")), nbytes * 2, "0")
+
+
+def netflow_encode(
+    df: DataFrame,
+    *,
+    count: Column,
+    header: dict[str, Column],
+    record: "dict[str, object]",
+    target: str = "packet",
+) -> DataFrame:
+    """Assemble NetFlow v5 packets in PURE column algebra (hex-concat →
+    unhex): `count` flows per row, each flow field given as a function
+    of the 0-based flow index (``lambda i: Column``) or a constant
+    Column. Zero UDFs, zero shuffle, fully codegen — this is the test /
+    replay harness for netflow_decode, and doubles as the file-output
+    side of a flow archive. All values must already be masked to their
+    field width (the encoder truncates via lpad/hex, it does not
+    validate)."""
+    hdr = F.concat(
+        _hex_be(F.lit(5), 2),
+        _hex_be(count, 2),
+        _hex_be(header.get("sys_uptime", F.lit(0)), 4),
+        _hex_be(header.get("unix_secs", F.lit(0)), 4),
+        _hex_be(header.get("unix_nsecs", F.lit(0)), 4),
+        _hex_be(header.get("flow_sequence", F.lit(0)), 4),
+        _hex_be(header.get("engine_type", F.lit(0)), 1),
+        _hex_be(header.get("engine_id", F.lit(0)), 1),
+        _hex_be(header.get("sampling_interval", F.lit(0)), 2),
+    )
+
+    widths = [
+        ("srcaddr", 4), ("dstaddr", 4), ("nexthop", 4),
+        ("input", 2), ("output", 2),
+        ("dPkts", 4), ("dOctets", 4),
+        ("first", 4), ("last", 4),
+        ("srcport", 2), ("dstport", 2),
+        ("pad1", 1), ("tcp_flags", 1), ("prot", 1), ("tos", 1),
+        ("src_as", 2), ("dst_as", 2),
+        ("src_mask", 1), ("dst_mask", 1), ("pad2", 2),
+    ]
+
+    def one_record(i: Column) -> Column:
+        parts = []
+        for name, nb in widths:
+            spec = record.get(name, F.lit(0))
+            col = spec(i) if callable(spec) else spec
+            parts.append(_hex_be(col, nb))
+        return F.concat(*parts)
+
+    recs = F.array_join(
+        F.transform(F.sequence(F.lit(0), count - 1), one_record), ""
+    )
+    return df.withColumn(target, F.unhex(F.concat(hdr, recs)))
+
+
+# ---------------------------------------------------------------------------
+# Avro binary datum (logstash-codec-avro §decode/§encode)
+# ---------------------------------------------------------------------------
+#
+# Schema shorthand: an ordered list of (name, type) where type ∈
+# {"long","int","string","boolean","double","bytes"} with a trailing "?"
+# for the nullable union ["null", T] (null = branch 0, per the Avro
+# spec's union encoding: a long branch index then the value).
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _avro_read(buf: bytes, pos: int, typ: str):
+    if typ in ("long", "int"):
+        return _zigzag_decode(buf, pos)
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    if typ == "double":
+        return struct.unpack("<d", buf[pos : pos + 8])[0], pos + 8
+    if typ in ("string", "bytes"):
+        n, pos = _zigzag_decode(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if typ == "string" else raw), pos + n
+    raise ValueError(f"unsupported avro type: {typ}")
+
+
+def _avro_write(out: bytearray, val, typ: str) -> None:
+    if typ in ("long", "int"):
+        out += _zigzag_encode(int(val))
+    elif typ == "boolean":
+        out.append(1 if val else 0)
+    elif typ == "double":
+        out += struct.pack("<d", float(val))
+    elif typ in ("string", "bytes"):
+        raw = val.encode("utf-8") if typ == "string" else bytes(val)
+        out += _zigzag_encode(len(raw))
+        out += raw
+    else:
+        raise ValueError(f"unsupported avro type: {typ}")
+
+
+def avro_decode(
+    df: DataFrame,
+    field: str,
+    schema: list[tuple[str, str]],
+    *,
+    tag_on_failure: str = "_avroparsefailure",
+    tags: str = "tags",
+) -> DataFrame:
+    """Decode one Avro binary *datum* per row against a record schema of
+    primitive (optionally nullable) fields — exactly the shape
+    logstash-codec-avro handles (it requires `schema_uri`; the datum
+    stream has no embedded schema). Corrupt / truncated datums keep all
+    fields null and append `tag_on_failure` to `tags` (the reference's
+    `tag_on_failure => true` mode).
+
+    Varint decoding is sequential per datum, so this is the honest
+    Arrow-batched slow path: a per-row Python loop INSIDE mapInPandas,
+    parallel across executors, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    passthrough = [c for c in df.columns if c != field]
+    has_tags = tags in df.columns
+    out_fields = [df.schema[c] for c in passthrough]
+    if not has_tags:
+        out_fields.append(T.StructField(tags, T.ArrayType(T.StringType())))
+    out_fields += [
+        T.StructField(n, _spark_type(t.rstrip("?"))) for n, t in schema
+    ]
+    out_schema = T.StructType(out_fields)
+    names = [n for n, _ in schema]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            old_tags = pdf[tags] if has_tags else None
+            for j, b in enumerate(pdf[field].tolist()):
+                vals: dict[str, object] = dict.fromkeys(names)
+                ok = b is not None
+                if ok:
+                    try:
+                        buf, pos = bytes(b), 0
+                        for n, t in schema:
+                            base = t.rstrip("?")
+                            if t.endswith("?"):
+                                branch, pos = _zigzag_decode(buf, pos)
+                                if branch == 0:
+                                    vals[n] = None
+                                    continue
+                            vals[n], pos = _avro_read(buf, pos, base)
+                        if pos != len(buf):
+                            raise ValueError("trailing bytes")
+                    except (IndexError, ValueError, UnicodeDecodeError):
+                        ok = False
+                        vals = dict.fromkeys(names)
+                prev = list(old_tags.iloc[j] or []) if has_tags else []
+                vals[tags] = prev if ok else [*prev, tag_on_failure]
+                rows.append(vals)
+            dec = pd.DataFrame(rows, columns=[tags, *names])
+            base_cols = [c for c in passthrough if c != tags]
+            out = pdf[base_cols].reset_index(drop=True)
+            for c in dec.columns:
+                out[c] = dec[c]
+            yield out[[f.name for f in out_schema]]
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def avro_encode(
+    df: DataFrame,
+    schema: list[tuple[str, str]],
+    *,
+    target: str = "avro_datum",
+) -> DataFrame:
+    """Deterministic Avro datum encoder (logstash-codec-avro §encode
+    without the base64 wrap — that's one F.base64 away). Field order is
+    the schema order, as Avro requires. All input columns are carried
+    THROUGH the mapInPandas (pandas' int-column NaN coercion makes a
+    separate encode-then-rejoin path lossy for nullable ints).
+    Arrow-batched, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    names = [n for n, _ in schema]
+    passthrough = list(df.columns)
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough]
+        + [T.StructField(target, T.BinaryType())]
+    )
+
+    def enc_through(batches):
+        for pdf in batches:
+            blobs = []
+            for row in pdf[names].itertuples(index=False):
+                out = bytearray()
+                for (n, t), val in zip(schema, row):
+                    base = t.rstrip("?")
+                    if t.endswith("?"):
+                        if val is None or (
+                            isinstance(val, float) and pd.isna(val)
+                        ):
+                            out += _zigzag_encode(0)
+                            continue
+                        out += _zigzag_encode(1)
+                    _avro_write(out, val, base)
+                blobs.append(bytes(out))
+            res = pdf[passthrough].reset_index(drop=True)
+            res[target] = blobs
+            yield res
+
+    return df.mapInPandas(enc_through, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# MessagePack (logstash-codec-msgpack) + fluent forward (logstash-codec-fluent)
+# ---------------------------------------------------------------------------
+#
+# Minimal msgpack subset — every type the two reference codecs emit for
+# flat JSON-ish events: nil, booleans, positive/negative fixint,
+# uint8/16/32/64, int8/16/32/64, float64, fixstr/str8/str16, bin8,
+# fixarray/array16, fixmap/map16.
+
+
+def _mp_decode(buf: bytes, pos: int = 0):
+    b = buf[pos]
+    pos += 1
+    if b <= 0x7F:  # positive fixint
+        return b, pos
+    if b >= 0xE0:  # negative fixint
+        return b - 0x100, pos
+    if 0x80 <= b <= 0x8F:  # fixmap
+        return _mp_map(buf, pos, b & 0x0F)
+    if 0x90 <= b <= 0x9F:  # fixarray
+        return _mp_array(buf, pos, b & 0x0F)
+    if 0xA0 <= b <= 0xBF:  # fixstr
+        n = b & 0x1F
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b == 0xC4:  # bin8
+        n = buf[pos]
+        return bytes(buf[pos + 1 : pos + 1 + n]), pos + 1 + n
+    if b == 0xCA:  # float32
+        return struct.unpack(">f", buf[pos : pos + 4])[0], pos + 4
+    if b == 0xCB:  # float64
+        return struct.unpack(">d", buf[pos : pos + 8])[0], pos + 8
+    if b in (0xCC, 0xCD, 0xCE, 0xCF):  # uint 8/16/32/64
+        n = 1 << (b - 0xCC)
+        return int.from_bytes(buf[pos : pos + n], "big"), pos + n
+    if b in (0xD0, 0xD1, 0xD2, 0xD3):  # int 8/16/32/64
+        n = 1 << (b - 0xD0)
+        return int.from_bytes(buf[pos : pos + n], "big", signed=True), pos + n
+    if b == 0xD9:  # str8
+        n = buf[pos]
+        return buf[pos + 1 : pos + 1 + n].decode("utf-8"), pos + 1 + n
+    if b == 0xDA:  # str16
+        n = int.from_bytes(buf[pos : pos + 2], "big")
+        return buf[pos + 2 : pos + 2 + n].decode("utf-8"), pos + 2 + n
+    if b == 0xDC:  # array16
+        n = int.from_bytes(buf[pos : pos + 2], "big")
+        return _mp_array(buf, pos + 2, n)
+    if b == 0xDE:  # map16
+        n = int.from_bytes(buf[pos : pos + 2], "big")
+        return _mp_map(buf, pos + 2, n)
+    raise ValueError(f"unsupported msgpack byte 0x{b:02x}")
+
+
+def _mp_array(buf: bytes, pos: int, n: int):
+    out = []
+    for _ in range(n):
+        v, pos = _mp_decode(buf, pos)
+        out.append(v)
+    return out, pos
+
+
+def _mp_map(buf: bytes, pos: int, n: int):
+    out = {}
+    for _ in range(n):
+        k, pos = _mp_decode(buf, pos)
+        v, pos = _mp_decode(buf, pos)
+        out[k] = v
+    return out, pos
+
+
+def _mp_encode(val) -> bytes:
+    out = bytearray()
+    _mp_write(out, val)
+    return bytes(out)
+
+
+def _mp_write(out: bytearray, v) -> None:
+    if v is None:
+        out.append(0xC0)
+    elif v is True:
+        out.append(0xC3)
+    elif v is False:
+        out.append(0xC2)
+    elif isinstance(v, int):
+        if 0 <= v <= 0x7F:
+            out.append(v)
+        elif -32 <= v < 0:
+            out.append(v & 0xFF)
+        elif v >= 0:
+            for code, n in ((0xCC, 1), (0xCD, 2), (0xCE, 4), (0xCF, 8)):
+                if v < (1 << (8 * n)):
+                    out.append(code)
+                    out += v.to_bytes(n, "big")
+                    return
+            raise ValueError("uint too large")
+        else:
+            for code, n in ((0xD0, 1), (0xD1, 2), (0xD2, 4), (0xD3, 8)):
+                if -(1 << (8 * n - 1)) <= v:
+                    out.append(code)
+                    out += v.to_bytes(n, "big", signed=True)
+                    return
+            raise ValueError("int too small")
+    elif isinstance(v, float):
+        out.append(0xCB)
+        out += struct.pack(">d", v)
+    elif isinstance(v, str):
+        raw = v.encode("utf-8")
+        if len(raw) <= 31:
+            out.append(0xA0 | len(raw))
+        elif len(raw) <= 0xFF:
+            out += bytes((0xD9, len(raw)))
+        else:
+            out.append(0xDA)
+            out += len(raw).to_bytes(2, "big")
+        out += raw
+    elif isinstance(v, (bytes, bytearray)):
+        if len(v) > 0xFF:
+            raise ValueError("bin too large for bin8")
+        out += bytes((0xC4, len(v)))
+        out += bytes(v)
+    elif isinstance(v, (list, tuple)):
+        if len(v) <= 15:
+            out.append(0x90 | len(v))
+        else:
+            out.append(0xDC)
+            out += len(v).to_bytes(2, "big")
+        for item in v:
+            _mp_write(out, item)
+    elif isinstance(v, dict):
+        if len(v) <= 15:
+            out.append(0x80 | len(v))
+        else:
+            out.append(0xDE)
+            out += len(v).to_bytes(2, "big")
+        for k, item in v.items():
+            _mp_write(out, k)
+            _mp_write(out, item)
+    else:
+        raise ValueError(f"unsupported msgpack value: {type(v)}")
+
+
+@op("fluent")
+def fluent_decode(
+    df: DataFrame,
+    field: str,
+    record_schema: list[tuple[str, str]],
+    *,
+    tag_col: str = "fluent_tag",
+    time_col: str = "fluent_time",
+    tag_on_failure: str = "_fluentparsefailure",
+    tags: str = "tags",
+) -> DataFrame:
+    """Decode one fluent forward-protocol Message per row: the msgpack
+    array ``[tag:str, time:int, record:map]`` (reference:
+    logstash-codec-fluent §decode — it unpacks exactly this triple and
+    merges the record into the event, keeping tag/epoch). `record_schema`
+    pins the output columns (names + Spark types) so the DataFrame
+    schema is static regardless of per-row map contents; extra record
+    keys are dropped, missing keys are null — the schema-on-read
+    discipline every other parse op here follows. Corrupt blobs null
+    everything and append `tag_on_failure`. Per-row decode inside an
+    Arrow batch (varint format), zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    passthrough = [c for c in df.columns if c != field]
+    has_tags = tags in df.columns
+    out_fields = [df.schema[c] for c in passthrough]
+    if not has_tags:
+        out_fields.append(T.StructField(tags, T.ArrayType(T.StringType())))
+    out_fields.append(T.StructField(tag_col, T.StringType()))
+    out_fields.append(T.StructField(time_col, T.LongType()))
+    out_fields += [T.StructField(n, _spark_type(t)) for n, t in record_schema]
+    out_schema = T.StructType(out_fields)
+    names = [n for n, _ in record_schema]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            old_tags = pdf[tags] if has_tags else None
+            for j, b in enumerate(pdf[field].tolist()):
+                vals: dict[str, object] = dict.fromkeys(
+                    [tag_col, time_col, *names]
+                )
+                ok = b is not None
+                if ok:
+                    try:
+                        (triple, pos) = _mp_decode(bytes(b), 0)
+                        if (
+                            pos != len(b)
+                            or not isinstance(triple, list)
+                            or len(triple) != 3
+                            or not isinstance(triple[0], str)
+                            or not isinstance(triple[1], int)
+                            or not isinstance(triple[2], dict)
+                        ):
+                            raise ValueError("not a fluent Message")
+                        vals[tag_col] = triple[0]
+                        vals[time_col] = triple[1]
+                        for n in names:
+                            vals[n] = triple[2].get(n)
+                    except (IndexError, ValueError, UnicodeDecodeError):
+                        ok = False
+                        vals = dict.fromkeys([tag_col, time_col, *names])
+                prev = list(old_tags.iloc[j] or []) if has_tags else []
+                vals[tags] = prev if ok else [*prev, tag_on_failure]
+                rows.append(vals)
+            dec = pd.DataFrame(rows, columns=[tags, tag_col, time_col, *names])
+            out = pdf[[c for c in passthrough if c != tags]].reset_index(
+                drop=True
+            )
+            for c in dec.columns:
+                out[c] = dec[c]
+            yield out[[f.name for f in out_schema]]
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def fluent_encode(
+    df: DataFrame,
+    record_cols: list[str],
+    *,
+    tag: Column | None = None,
+    time: Column | None = None,
+    tag_col: str = "fluent_tag",
+    time_col: str = "fluent_time",
+    target: str = "fluent_msg",
+) -> DataFrame:
+    """Deterministic fluent Message encoder — ``[tag, time, record]``
+    msgpack triple per row (reference: logstash-codec-fluent §encode /
+    logstash-output-fluentd). Record keys are emitted in `record_cols`
+    order, so the bytes are reproducible. Arrow-batched, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    work = df
+    if tag is not None:
+        work = work.withColumn(tag_col, tag)
+    if time is not None:
+        work = work.withColumn(time_col, time)
+    passthrough = list(work.columns)
+    out_schema = T.StructType(
+        [work.schema[c] for c in passthrough]
+        + [T.StructField(target, T.BinaryType())]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            cols = pdf[[tag_col, time_col, *record_cols]]
+            for row in cols.itertuples(index=False):
+                rec = {}
+                for k, v in zip(record_cols, row[2:]):
+                    if isinstance(v, float) and pd.isna(v):
+                        v = None
+                    elif hasattr(v, "item"):  # numpy scalar → python
+                        v = v.item()
+                    rec[k] = v
+                blobs.append(_mp_encode([row[0], int(row[1]), rec]))
+            res = pdf[passthrough].reset_index(drop=True)
+            res[target] = blobs
+            yield res
+
+    return work.mapInPandas(enc, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# collectd binary protocol (logstash-codec-collectd §decode)
+# ---------------------------------------------------------------------------
+
+#: part type ids from the public collectd network protocol spec
+#: (collectd/src/network.h TYPE_*) — the same table the reference codec
+#: hard-codes in its TYPEMAP.
+_CD_HOST = 0x0000
+_CD_TIME = 0x0001
+_CD_PLUGIN = 0x0002
+_CD_PLUGIN_INSTANCE = 0x0003
+_CD_TYPE = 0x0004
+_CD_TYPE_INSTANCE = 0x0005
+_CD_VALUES = 0x0006
+_CD_INTERVAL = 0x0007
+_CD_TIME_HR = 0x0008
+_CD_INTERVAL_HR = 0x0009
+
+#: value data-source types (COUNTER/GAUGE/DERIVE/ABSOLUTE)
+_CD_DS = {0: "counter", 1: "gauge", 2: "derive", 3: "absolute"}
+
+
+@op("collectd")
+def collectd_decode(df: DataFrame, field: str) -> DataFrame:
+    """Decode collectd network-protocol packets: a TLV part stream where
+    string/time/interval parts set sticky context and each VALUES part
+    emits one event with the context attached (reference:
+    logstash-codec-collectd §decode — identical state machine). High-res
+    time/interval parts are converted from 2^-30 s units to epoch
+    seconds exactly like the codec. One output row per (VALUES part ×
+    data source), columns: host, plugin, plugin_instance, type,
+    type_instance, time_s, interval_s, value_no, ds_type,
+    value_counter (int64 for counter/derive/absolute) and value_gauge
+    (double, gauge only). Truncated/garbage packets stop at the bad
+    part, keeping prior events (reference behavior: it iterates until
+    the buffer runs out). Per-row sequential decode inside Arrow
+    batches, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    passthrough = [c for c in df.columns if c != field]
+    out_fields = [df.schema[c] for c in passthrough]
+    out_fields += [
+        T.StructField("host", T.StringType()),
+        T.StructField("plugin", T.StringType()),
+        T.StructField("plugin_instance", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("type_instance", T.StringType()),
+        T.StructField("time_s", T.LongType()),
+        T.StructField("interval_s", T.LongType()),
+        T.StructField("value_no", T.IntegerType()),
+        T.StructField("ds_type", T.StringType()),
+        T.StructField("value_counter", T.LongType()),
+        T.StructField("value_gauge", T.DoubleType()),
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def _one(buf: bytes):
+        ctx: dict[str, object] = {
+            "host": None, "plugin": None, "plugin_instance": None,
+            "type": None, "type_instance": None, "time_s": None,
+            "interval_s": None,
+        }
+        events = []
+        pos = 0
+        try:
+            while pos + 4 <= len(buf):
+                ptype, plen = struct.unpack_from(">HH", buf, pos)
+                if plen < 4 or pos + plen > len(buf):
+                    break
+                body = buf[pos + 4 : pos + plen]
+                pos += plen
+                if ptype in (_CD_HOST, _CD_PLUGIN, _CD_PLUGIN_INSTANCE,
+                             _CD_TYPE, _CD_TYPE_INSTANCE):
+                    key = {
+                        _CD_HOST: "host", _CD_PLUGIN: "plugin",
+                        _CD_PLUGIN_INSTANCE: "plugin_instance",
+                        _CD_TYPE: "type", _CD_TYPE_INSTANCE: "type_instance",
+                    }[ptype]
+                    ctx[key] = body.rstrip(b"\x00").decode("utf-8")
+                elif ptype == _CD_TIME:
+                    ctx["time_s"] = struct.unpack(">Q", body)[0]
+                elif ptype == _CD_TIME_HR:
+                    ctx["time_s"] = struct.unpack(">Q", body)[0] >> 30
+                elif ptype == _CD_INTERVAL:
+                    ctx["interval_s"] = struct.unpack(">Q", body)[0]
+                elif ptype == _CD_INTERVAL_HR:
+                    ctx["interval_s"] = struct.unpack(">Q", body)[0] >> 30
+                elif ptype == _CD_VALUES:
+                    nvals = struct.unpack_from(">H", body, 0)[0]
+                    ds = body[2 : 2 + nvals]
+                    vpos = 2 + nvals
+                    for i in range(nvals):
+                        raw = body[vpos + 8 * i : vpos + 8 * (i + 1)]
+                        dsname = _CD_DS.get(ds[i], "unknown")
+                        cnt = gauge = None
+                        if dsname == "gauge":
+                            gauge = struct.unpack("<d", raw)[0]
+                        elif dsname == "derive":
+                            cnt = struct.unpack(">q", raw)[0]
+                        else:  # counter / absolute (unsigned 64 BE)
+                            cnt = struct.unpack(">Q", raw)[0]
+                        events.append(
+                            {**ctx, "value_no": i, "ds_type": dsname,
+                             "value_counter": cnt, "value_gauge": gauge}
+                        )
+        except struct.error:
+            pass
+        return events
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for j, b in enumerate(pdf[field].tolist()):
+                if b is None:
+                    continue
+                evs = _one(bytes(b))
+                if not evs:
+                    continue
+                block = pd.DataFrame(evs)
+                for c in passthrough:
+                    block[c] = [pdf[c].iloc[j]] * len(block)
+                frames.append(block)
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+            else:
+                out = pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in out_schema}
+                )
+            yield out[[f.name for f in out_schema]]
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def _cd_part_str(ptype: int, s: Column) -> Column:
+    """hex of one collectd string part (NUL-terminated, length-prefixed)."""
+    body = F.concat(F.hex(F.encode(s, "utf-8")), F.lit("00"))
+    plen = (F.length(body) / 2 + 4).cast("bigint")
+    return F.concat(_hex_be(F.lit(ptype), 2), _hex_be(plen, 2), body)
+
+
+def _cd_part_u64(ptype: int, v: Column) -> Column:
+    return F.concat(
+        _hex_be(F.lit(ptype), 2), _hex_be(F.lit(12), 2), _hex_be(v, 8)
+    )
+
+
+def collectd_encode_single_derive(
+    df: DataFrame,
+    *,
+    host: Column,
+    plugin: Column,
+    type_: Column,
+    time_s: Column,
+    interval_s: Column,
+    value: Column,
+    type_instance: Column | None = None,
+    target: str = "packet",
+) -> DataFrame:
+    """Assemble a minimal collectd packet whose VALUES part is one DERIVE
+    data source (big-endian signed int64 on the wire) — pure column
+    algebra, integer-exact end to end, which is why the oracle gate uses
+    this shape (a gauge would need IEEE bit surgery on both engines).
+    Negative values work because Spark's hex() renders bigints as 16-char
+    two's complement."""
+    values = F.concat(
+        _hex_be(F.lit(_CD_VALUES), 2),
+        _hex_be(F.lit(4 + 2 + 1 + 8), 2),
+        _hex_be(F.lit(1), 2),   # nvals
+        _hex_be(F.lit(2), 1),   # ds type: derive
+        _hex_be(value, 8),
+    )
+    parts = [
+        _cd_part_str(_CD_HOST, host),
+        _cd_part_u64(_CD_TIME, time_s),
+        _cd_part_str(_CD_PLUGIN, plugin),
+        _cd_part_str(_CD_TYPE, type_),
+    ]
+    if type_instance is not None:
+        parts.append(_cd_part_str(_CD_TYPE_INSTANCE, type_instance))
+    parts += [_cd_part_u64(_CD_INTERVAL, interval_s), values]
+    return df.withColumn(target, F.unhex(F.concat(*parts)))
+
+
+def collectd_encode_single_gauge(
+    df: DataFrame,
+    *,
+    host: Column,
+    plugin: Column,
+    type_: Column,
+    time_s: Column,
+    interval_s: Column,
+    gauge_bits: Column,
+    target: str = "packet",
+) -> DataFrame:
+    """Assemble a minimal collectd packet (host, time, plugin, type,
+    interval, one little-endian gauge VALUES part) in pure column
+    algebra — the decode test/replay harness. `gauge_bits` is the IEEE
+    bit pattern of the gauge as int64 (big-endian hex is byte-reversed
+    into the wire's little-endian double), so gates can pick values
+    with exact integer provenance."""
+    # little-endian double = reverse the 8 bytes of the BE hex rendering
+    be = _hex_be(gauge_bits, 8)
+    le = F.concat(
+        *[F.substring(be, 2 * i + 1, 2) for i in range(7, -1, -1)]
+    )
+    values = F.concat(
+        _hex_be(F.lit(_CD_VALUES), 2),
+        _hex_be(F.lit(4 + 2 + 1 + 8), 2),
+        _hex_be(F.lit(1), 2),   # nvals
+        _hex_be(F.lit(1), 1),   # ds type: gauge
+        le,
+    )
+    pkt = F.concat(
+        _cd_part_str(_CD_HOST, host),
+        _cd_part_u64(_CD_TIME, time_s),
+        _cd_part_str(_CD_PLUGIN, plugin),
+        _cd_part_str(_CD_TYPE, type_),
+        _cd_part_u64(_CD_INTERVAL, interval_s),
+        values,
+    )
+    return df.withColumn(target, F.unhex(pkt))

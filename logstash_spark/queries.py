@@ -763,6 +763,7 @@ from logstash_spark import queries_logstash10 as _ql10  # noqa: E402,F401
 from logstash_spark import queries_dataprep6 as _qdp6  # noqa: E402,F401
 from logstash_spark import queries_dataprep7 as _qdp7  # noqa: E402,F401
 from logstash_spark import queries_dataprep8 as _qdp8  # noqa: E402,F401
+from logstash_spark import queries_logstash11 as _ql11  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -869,6 +870,11 @@ _DRIVER_PRIORITY = [
     "c4_fineweb_line_rules",
     "embed_decontam_flags",
     "cms_frequency",
+    # binary wire codecs (round 3, operators/wire.py)
+    "netflow_codec",
+    "avro_codec",
+    "fluent_codec",
+    "collectd_codec",
 ]
 
 
