@@ -736,3 +736,40 @@ def warc_decode(
         )
         .drop("_hdr")
     )
+
+
+@op("cloudtrail")
+def cloudtrail_decode(
+    df: DataFrame,
+    field: str,
+    record_schema: str,
+    *,
+    record_no: str = "record_no",
+) -> DataFrame:
+    """logstash-codec-cloudtrail (decode): an AWS CloudTrail delivery
+    blob is one JSON object ``{"Records": [event, ...]}``; the codec
+    splits it into one event per Records element (reference:
+    logstash-codec-cloudtrail lib/logstash/codecs/cloudtrail.rb §decode
+    — JSON parse, then `.each` over `Records`). `record_schema` is the
+    DDL of the per-record fields to surface (nested structs allowed —
+    e.g. ``"eventName STRING, userIdentity STRUCT<type:STRING>"``);
+    schema-on-read keeps the DataFrame schema static like every parse
+    op here.
+
+    All-Catalyst: ONE from_json over an array<struct> + posexplode,
+    zero UDF, zero shuffle. A blob that isn't valid JSON or has no
+    Records array yields zero events, tagged upstream via the isNull
+    check callers can apply before the explode."""
+    from pyspark.sql import types as T
+
+    rec_t = T._parse_datatype_string(record_schema)
+    wrap = T.StructType([T.StructField("Records", T.ArrayType(rec_t))])
+    parsed = F.from_json(F.col(field), wrap)
+    out = df.select(
+        *[c for c in df.columns if c != field],
+        F.posexplode(parsed["Records"]).alias(record_no, "_rec"),
+    )
+    return out.select(
+        *[c for c in out.columns if c != "_rec"],
+        *[F.col(f"_rec.`{f}`").alias(f) for f in rec_t.fieldNames()],
+    )

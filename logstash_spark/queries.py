@@ -875,6 +875,7 @@ _DRIVER_PRIORITY = [
     "avro_codec",
     "fluent_codec",
     "collectd_codec",
+    "cloudtrail_codec",
 ]
 
 

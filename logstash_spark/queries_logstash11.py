@@ -279,3 +279,63 @@ def collectd_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "host", "plugin", "type", "type_instance",
         "time_s", "interval_s", "ds_type", "value_counter",
     )
+
+
+# ---------------------------------------------------------------------------
+# cloudtrail codec (codec.cloudtrail_decode)
+# ---------------------------------------------------------------------------
+
+_CT_SCHEMA = (
+    "eventName STRING, awsRegion STRING, sourceIPAddress STRING, "
+    "userIdentity STRUCT<type:STRING>, eventID BIGINT"
+)
+
+
+@query(
+    "cloudtrail_codec",
+    """
+    SELECT e.event_id,
+           CAST(gs.i AS INT) AS record_no,
+           e.event_type || '-' || CAST(gs.i AS VARCHAR) AS eventName,
+           'us-east-' || CAST(e.event_id % 3 + 1 AS VARCHAR) AS awsRegion,
+           '10.0.' || CAST(e.event_id % 256 AS VARCHAR) || '.' ||
+             CAST(gs.i AS VARCHAR) AS sourceIPAddress,
+           CASE WHEN (e.event_id + gs.i) % 4 = 0 THEN 'Root'
+                ELSE 'IAMUser' END AS identity_type,
+           CAST(e.event_id * 10 + gs.i AS BIGINT) AS eventID
+    FROM events e,
+         LATERAL (SELECT unnest(range(0, 2)) AS i) gs
+    """,
+)
+def cloudtrail_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudTrail delivery-blob split (reference: logstash-codec-cloudtrail
+    §decode — one event per element of the Records array): the blob is
+    synthesized in-query as real JSON (two records per event, nested
+    userIdentity struct), decoded via ONE from_json(array<struct>) +
+    posexplode — zero UDF, zero shuffle. Oracle recomputes each record's
+    fields from event arithmetic without parsing JSON."""
+    from logstash_spark.operators.codec import cloudtrail_decode
+
+    e = F.col("event_id")
+
+    def rec(i: int) -> F.Column:
+        ident = F.when((e + F.lit(i)) % 4 == 0, "Root").otherwise("IAMUser")
+        return F.concat(
+            F.lit('{"eventName":"'), F.col("event_type"), F.lit(f"-{i}"),
+            F.lit('","awsRegion":"us-east-'), (e % 3 + 1).cast("string"),
+            F.lit('","sourceIPAddress":"10.0.'), (e % 256).cast("string"),
+            F.lit(f'.{i}"'),
+            F.lit(',"userIdentity":{"type":"'), ident, F.lit('"}'),
+            F.lit(',"eventID":'), (e * 10 + i).cast("string"), F.lit("}"),
+        )
+
+    blob = F.concat(F.lit('{"Records":['), rec(0), F.lit(","), rec(1), F.lit("]}"))
+    src = _ev(spark, sf_dir).select("event_id", blob.alias("blob"))
+    out = cloudtrail_decode(src, "blob", _CT_SCHEMA)
+    return out.select(
+        "event_id",
+        F.col("record_no").cast("int"),
+        "eventName", "awsRegion", "sourceIPAddress",
+        F.col("userIdentity.type").alias("identity_type"),
+        "eventID",
+    )

@@ -368,3 +368,26 @@ class TestCollectd:
         assert r.host == "h1" and r.plugin == "load"
         assert r.time_s == 1_700_000_777 and r.interval_s == 60
         assert r.ds_type == "gauge" and r.value_gauge == 42.125
+
+
+class TestCloudtrail:
+    def test_split_and_failure(self, spark):
+        from logstash_spark.operators.codec import cloudtrail_decode
+
+        good = (
+            '{"Records":[{"eventName":"RunInstances","awsRegion":"us-east-1",'
+            '"userIdentity":{"type":"IAMUser"},"eventID":10},'
+            '{"eventName":"StopInstances","awsRegion":"eu-west-1",'
+            '"userIdentity":{"type":"Root"},"eventID":11}]}'
+        )
+        rows = [(1, good), (2, "not json"), (3, '{"other": 1}')]
+        df = spark.createDataFrame(rows, "id int, blob string")
+        out = cloudtrail_decode(
+            df, "blob",
+            "eventName STRING, awsRegion STRING, "
+            "userIdentity STRUCT<type:STRING>, eventID BIGINT",
+        ).orderBy("id", "record_no").collect()
+        assert len(out) == 2  # bad blobs produce zero events
+        assert out[0].eventName == "RunInstances"
+        assert out[0].userIdentity.type == "IAMUser"
+        assert out[1].record_no == 1 and out[1].eventID == 11
