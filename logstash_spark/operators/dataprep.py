@@ -2932,3 +2932,87 @@ def reservoir_sample_k(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining (word2phrase)
+# ---------------------------------------------------------------------------
+
+
+def pmi_phrases(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+    delta: int = 1,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation / phrase mining via the word2phrase score (Mikolov et
+    al. 2013 §4, "Distributed Representations of Words and Phrases"):
+    ``score(a,b) = (cnt(ab) − δ) · N / (cnt(a) · cnt(b))`` — bigrams
+    whose co-occurrence beats the independence expectation become
+    phrase candidates (the tool that turns "new york" into "new_york"
+    before LLM/embedding training).
+
+    Output: top-`top_k` (w1, w2, cnt_ab, cnt_a, cnt_b, pmi_q, score)
+    where `pmi_q` is the integer bit-length-quantized log2 PMI
+    (floor(log2(cnt_ab−δ)) + floor(log2(N)) − floor(log2(cnt_a)) −
+    floor(log2(cnt_b))) — exact integer arithmetic that replays
+    bit-for-bit in any engine — and `score` is the float word2phrase
+    ratio rounded to 4dp for human ranking. Ordering is the fully
+    deterministic integer tuple (pmi_q DESC, cnt_ab DESC, w1, w2).
+
+    Scale topology: bigram counts = ONE array-local pairing explode +
+    groupBy(w1,w2) with map-side partials; the `min_count` df-cut runs
+    BEFORE the unigram joins so the singleton tail (the vast majority
+    of bigrams at web scale) never shuffles twice; unigram counts join
+    on word keys — work ∝ vocabulary, not corpus; the final cut is a
+    top-K TakeOrdered, never a full sort. Products like cnt·N are never
+    formed at full precision (log2 quantization), so nothing overflows
+    int64 even at 10^12 tokens."""
+    src = df.select(F.lit(1).alias("_one"), text_col)
+    bg = _doc_bigrams(src, "_one", text_col)
+    bcounts = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .where(F.col("cnt_ab") >= min_count)
+        .where(F.col("cnt_ab") > delta)
+    )
+    w = F.filter(words_of(F.col(text_col)), lambda x: x != "")
+    uni = (
+        df.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("_n")).select(
+        F.floor(F.log2("_n")).cast("bigint").alias("_log_n"), "_n"
+    )
+    cand = (
+        bcounts.join(
+            uni.select(F.col("word").alias("w1"), F.col("cnt").alias("cnt_a")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("word").alias("w2"), F.col("cnt").alias("cnt_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    scored = cand.select(
+        "w1", "w2", "cnt_ab", "cnt_a", "cnt_b",
+        (
+            F.floor(F.log2(F.col("cnt_ab") - delta))
+            + F.col("_log_n")
+            - F.floor(F.log2("cnt_a"))
+            - F.floor(F.log2("cnt_b"))
+        ).cast("int").alias("pmi_q"),
+        F.round(
+            (F.col("cnt_ab") - delta).cast("double")
+            * F.col("_n").cast("double")
+            / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+            4,
+        ).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("pmi_q").desc(), F.col("cnt_ab").desc(), "w1", "w2"
+    ).limit(top_k)

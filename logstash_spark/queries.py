@@ -764,6 +764,7 @@ from logstash_spark import queries_dataprep6 as _qdp6  # noqa: E402,F401
 from logstash_spark import queries_dataprep7 as _qdp7  # noqa: E402,F401
 from logstash_spark import queries_dataprep8 as _qdp8  # noqa: E402,F401
 from logstash_spark import queries_logstash11 as _ql11  # noqa: E402,F401
+from logstash_spark import queries_dataprep9 as _qdp9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -876,6 +877,7 @@ _DRIVER_PRIORITY = [
     "fluent_codec",
     "collectd_codec",
     "cloudtrail_codec",
+    "pmi_phrases",
 ]
 
 
