@@ -100,6 +100,7 @@ def bench_flagship(spark) -> tuple[float, float]:
 
 DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "200000"))
 ANN_VECS = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "100000"))
+NF_PACKETS = int(os.environ.get("SPARK_GRAFT_NF_PACKETS", "500000"))
 
 
 def synthetic_docs(spark, n: int):
@@ -404,6 +405,49 @@ def bench_dsir_scale(spark) -> float:
     return _time_best(lambda: out, spark)
 
 
+def bench_netflow_scale(spark) -> float:
+    """NetFlow v5 binary decode over NF_PACKETS synthetic export packets
+    (id%3+1 flows each, ~2 flows avg): the numpy-vectorized binary
+    fan-out path — ONE np.frombuffer per Arrow batch, header fields
+    replicated via np.repeat, zero shuffle. Packets are pre-materialized
+    (persist + count, untimed) so the timing isolates the DECODE, not
+    the hex-concat synthesizer."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.wire import netflow_decode, netflow_encode
+
+    e = F.col("id")
+    pkts = netflow_encode(
+        spark.range(0, NF_PACKETS, 1, CPUS * 2),
+        count=(e % 3 + 1).cast("int"),
+        header={
+            "sys_uptime": F.lit(3_600_000),
+            "unix_secs": F.lit(1_700_000_000) + e % 100000,
+            "flow_sequence": e,
+        },
+        record={
+            "srcaddr": lambda i: F.lit(167_772_160) + (e % 65536) * 256 + i,
+            "dstaddr": F.lit(3_232_235_777),
+            "dPkts": lambda i: e % 1000 + i + 1,
+            "dOctets": lambda i: (e % 1000 + i + 1) * 64,
+            "first": lambda i: F.lit(3_000_000) + i,
+            "last": lambda i: F.lit(3_500_000) + i,
+            "srcport": F.lit(1024) + e % 60000,
+            "dstport": F.lit(443),
+            "prot": F.lit(6),
+        },
+    ).select("id", "packet").persist()
+    try:
+        pkts.count()
+        out = netflow_decode(pkts, "packet").agg(
+            F.count(F.lit(1)).alias("flows"),
+            F.sum("in_bytes").alias("bytes"),
+        )
+        return _time_best(lambda: out, spark)
+    finally:
+        pkts.unpersist()
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from logstash_spark.session import get_spark
@@ -429,6 +473,7 @@ def main() -> None:
     timings["dsir_score_scale"] = round(bench_dsir_scale(spark), 3)
     timings["bm25_scale"] = round(bench_bm25_scale(spark), 3)
     timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
+    timings["netflow_decode_scale"] = round(bench_netflow_scale(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)

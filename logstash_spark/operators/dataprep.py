@@ -3016,3 +3016,68 @@ def pmi_phrases(
     return scored.orderBy(
         F.col("pmi_q").desc(), F.col("cnt_ab").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+# ---------------------------------------------------------------------------
+# FIM (fill-in-the-middle) training transform over token arrays
+# ---------------------------------------------------------------------------
+
+
+def fim_transform(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    rate_pct: int = 50,
+    pre_tok: int = 50281,
+    mid_tok: int = 50282,
+    suf_tok: int = 50283,
+    seed: str = "fim",
+    min_len: int = 4,
+) -> DataFrame:
+    """Fill-in-the-middle document-level transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"): for
+    a deterministic `rate_pct`% of documents, split the token sequence
+    at two hash-chosen interior points and emit the PSM reordering
+    ``[PRE] prefix [SUF] suffix [MID] middle`` so the LM learns infilling;
+    the rest pass through unchanged (the paper's joint objective).
+
+    Everything is derived from md5 hashes of (id, seed) — reproducible
+    across engines, retries, and epochs with different `seed` values;
+    no RNG state anywhere. Cut points c1,c2 ∈ [1, n−1] (uniform via
+    hash mod), lo=min, hi=max; equal cuts give an empty middle (the
+    paper keeps these — teaches the model empty infill). Docs shorter
+    than `min_len` tokens never transform.
+
+    Pure column algebra — slice/concat/size only, ZERO shuffle, zero
+    UDF: at 10^12 sequences this is a map-only pass that AQE never has
+    to think about. Output: id, tokens (possibly reordered, 3 sentinels
+    longer), n_tok, fim_applied."""
+    i = F.col(id_col).cast("string")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    h1 = portable_hash32(F.concat(i, F.lit(f":{seed}:a")))
+    h2 = portable_hash32(F.concat(i, F.lit(f":{seed}:b")))
+    hsel = portable_hash32(F.concat(i, F.lit(f":{seed}:sel")))
+    selected = (hsel % 100 < rate_pct) & (n >= min_len)
+    # greatest(,1) guards the modulus for 0/1-token docs (they are never
+    # selected, but both when-branches evaluate — ANSI %0 would throw)
+    span = F.greatest(n - 1, F.lit(1))
+    c1 = (h1 % span + 1).cast("int")
+    c2 = (h2 % span + 1).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    fim = F.concat(
+        F.array(F.lit(pre_tok).cast("int")),
+        F.slice(toks, 1, lo),
+        F.array(F.lit(suf_tok).cast("int")),
+        F.slice(toks, hi + 1, n - hi),
+        F.array(F.lit(mid_tok).cast("int")),
+        F.slice(toks, lo + 1, hi - lo),
+    )
+    out_toks = F.when(selected, fim).otherwise(toks)
+    return df.select(
+        id_col,
+        out_toks.alias(tokens_col),
+        F.size(out_toks).cast("int").alias("n_tok"),
+        selected.alias("fim_applied"),
+    )

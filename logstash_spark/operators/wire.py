@@ -958,3 +958,242 @@ def collectd_encode_single_gauge(
         values,
     )
     return df.withColumn(target, F.unhex(pkt))
+
+
+# ---------------------------------------------------------------------------
+# Protobuf wire format (logstash-codec-protobuf §decode)
+# ---------------------------------------------------------------------------
+#
+# Minimal schema-driven decoder for proto3 scalar messages — the shape
+# logstash-codec-protobuf handles once its class_name message is
+# compiled. Schema: ordered list of (field_no, name, type) with type ∈
+# {"int64","uint64","sint64","bool","string","bytes","double","float",
+#  "fixed64","fixed32"}. Unknown fields are skipped by wire type (the
+# protobuf forward-compat rule); missing fields decode to null (proto3
+# default-absence). No external protobuf library needed: the wire
+# format is varint tags + 4 payload kinds.
+
+_PB_TYPES = {
+    "int64": "long", "uint64": "long", "sint64": "long", "bool": "boolean",
+    "string": "string", "bytes": "binary", "double": "double",
+    "float": "double", "fixed64": "long", "fixed32": "long",
+}
+
+
+def _pb_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _pb_decode_one(buf: bytes, by_no: dict) -> dict:
+    out: dict[str, object] = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _pb_varint(buf, pos)
+        field_no, wt = tag >> 3, tag & 7
+        spec = by_no.get(field_no)
+        if wt == 0:
+            v, pos = _pb_varint(buf, pos)
+            if spec:
+                name, t = spec
+                if t == "sint64":
+                    out[name] = (v >> 1) ^ -(v & 1)
+                elif t == "bool":
+                    out[name] = bool(v)
+                elif t == "int64":
+                    # two's-complement interp for negatives (10-byte varints)
+                    out[name] = v - (1 << 64) if v >= (1 << 63) else v
+                else:
+                    out[name] = v
+        elif wt == 1:
+            raw = buf[pos : pos + 8]
+            pos += 8
+            if spec:
+                name, t = spec
+                out[name] = (
+                    struct.unpack("<d", raw)[0]
+                    if t == "double"
+                    else int.from_bytes(raw, "little")
+                )
+        elif wt == 5:
+            raw = buf[pos : pos + 4]
+            pos += 4
+            if spec:
+                name, t = spec
+                out[name] = (
+                    struct.unpack("<f", raw)[0]
+                    if t == "float"
+                    else int.from_bytes(raw, "little")
+                )
+        elif wt == 2:
+            n, pos = _pb_varint(buf, pos)
+            raw = buf[pos : pos + n]
+            if len(raw) != n:
+                raise ValueError("truncated length-delimited field")
+            pos += n
+            if spec:
+                name, t = spec
+                out[name] = raw.decode("utf-8") if t == "string" else bytes(raw)
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+    return out
+
+
+@op("protobuf")
+def protobuf_decode(
+    df: DataFrame,
+    field: str,
+    schema: list[tuple[int, str, str]],
+    *,
+    tag_on_failure: str = "_protobufdecodefailure",
+    tags: str = "tags",
+) -> DataFrame:
+    """Decode one protobuf wire-format message per row against a scalar
+    field schema (reference: logstash-codec-protobuf §decode — it emits
+    the compiled message's fields as the event; this analog pins them
+    with (field_no, name, type) triples). proto3 semantics: unknown
+    fields skipped by wire type, absent fields null, zigzag sint64,
+    two's-complement int64 negatives. Corrupt messages null all fields
+    and append `tag_on_failure` (the reference codec's rescue path).
+    Per-row varint decode inside Arrow batches, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    by_no = {no: (name, t) for no, name, t in schema}
+    names = [name for _, name, _ in schema]
+    passthrough = [c for c in df.columns if c != field]
+    has_tags = tags in df.columns
+    out_fields = [df.schema[c] for c in passthrough]
+    if not has_tags:
+        out_fields.append(T.StructField(tags, T.ArrayType(T.StringType())))
+    out_fields += [
+        T.StructField(name, _spark_type(_PB_TYPES[t])) for _, name, t in schema
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            old_tags = pdf[tags] if has_tags else None
+            for j, b in enumerate(pdf[field].tolist()):
+                vals: dict[str, object] = dict.fromkeys(names)
+                ok = b is not None
+                if ok:
+                    try:
+                        vals.update(_pb_decode_one(bytes(b), by_no))
+                    except (IndexError, ValueError, UnicodeDecodeError):
+                        ok = False
+                        vals = dict.fromkeys(names)
+                prev = list(old_tags.iloc[j] or []) if has_tags else []
+                vals[tags] = prev if ok else [*prev, tag_on_failure]
+                rows.append(vals)
+            dec = pd.DataFrame(rows, columns=[tags, *names])
+            out = pdf[[c for c in passthrough if c != tags]].reset_index(
+                drop=True
+            )
+            for c in dec.columns:
+                out[c] = dec[c]
+            yield out[[f.name for f in out_schema]]
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def protobuf_encode(
+    df: DataFrame,
+    schema: list[tuple[int, str, str]],
+    *,
+    target: str = "pb_msg",
+    emit_defaults: bool = False,
+) -> DataFrame:
+    """Deterministic protobuf wire encoder (field-number order; proto3
+    skips zero-valued scalars unless `emit_defaults`). Null columns are
+    always absent. Arrow-batched, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    ordered = sorted(schema)
+    names = [name for _, name, _ in schema]
+    passthrough = list(df.columns)
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough]
+        + [T.StructField(target, T.BinaryType())]
+    )
+
+    def _wv(out: bytearray, v: int) -> None:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    def _enc_row(vals: dict) -> bytes:
+        out = bytearray()
+        for no, name, t in ordered:
+            v = vals[name]
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            if t in ("int64", "uint64", "sint64", "bool"):
+                iv = int(v)
+                if t == "sint64":
+                    iv = (iv << 1) ^ (iv >> 63)
+                elif iv < 0:
+                    iv += 1 << 64
+                if iv == 0 and not emit_defaults:
+                    continue
+                _wv(out, no << 3 | 0)
+                _wv(out, iv)
+            elif t == "double":
+                if v == 0.0 and not emit_defaults:
+                    continue
+                _wv(out, no << 3 | 1)
+                out += struct.pack("<d", float(v))
+            elif t == "fixed64":
+                if int(v) == 0 and not emit_defaults:
+                    continue
+                _wv(out, no << 3 | 1)
+                out += int(v).to_bytes(8, "little")
+            elif t == "float":
+                if v == 0.0 and not emit_defaults:
+                    continue
+                _wv(out, no << 3 | 5)
+                out += struct.pack("<f", float(v))
+            elif t == "fixed32":
+                if int(v) == 0 and not emit_defaults:
+                    continue
+                _wv(out, no << 3 | 5)
+                out += int(v).to_bytes(4, "little")
+            elif t in ("string", "bytes"):
+                raw = v.encode("utf-8") if t == "string" else bytes(v)
+                if not raw and not emit_defaults:
+                    continue
+                _wv(out, no << 3 | 2)
+                _wv(out, len(raw))
+                out += raw
+            else:
+                raise ValueError(f"unsupported protobuf type: {t}")
+        return bytes(out)
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for row in pdf[names].itertuples(index=False):
+                vals = {}
+                for k, v in zip(names, row):
+                    if hasattr(v, "item"):
+                        v = v.item()
+                    vals[k] = v
+                blobs.append(_enc_row(vals))
+            res = pdf[passthrough].reset_index(drop=True)
+            res[target] = blobs
+            yield res
+
+    return df.mapInPandas(enc, out_schema)

@@ -878,6 +878,8 @@ _DRIVER_PRIORITY = [
     "collectd_codec",
     "cloudtrail_codec",
     "pmi_phrases",
+    "protobuf_codec",
+    "fim_transform",
 ]
 
 

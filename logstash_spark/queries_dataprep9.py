@@ -75,3 +75,85 @@ def pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pmi_phrases(
         docs, min_count=_MINC, delta=_DELTA, top_k=_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# FIM (fill-in-the-middle) token transform
+# ---------------------------------------------------------------------------
+
+_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+_TOK_N = "(doc_id % 37) + 3"
+_TOK_SQL = (
+    f"list_transform(range(0, {_TOK_N}), "
+    "i -> CAST((doc_id * 7 + i * 13) % 50000 AS INTEGER))"
+)
+_FIM_RATE = 50
+
+
+@query(
+    "fim_transform",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, CAST({_TOK_N} AS INT) AS n, {_TOK_SQL} AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, n, t,
+             {_H32.format(x="CAST(doc_id AS VARCHAR) || ':fim:a'")} AS h1,
+             {_H32.format(x="CAST(doc_id AS VARCHAR) || ':fim:b'")} AS h2,
+             {_H32.format(x="CAST(doc_id AS VARCHAR) || ':fim:sel'")} AS hsel
+      FROM docs
+    ),
+    c AS (
+      SELECT doc_id, n, t,
+             (hsel % 100 < {_FIM_RATE} AND n >= 4) AS selected,
+             least(CAST(h1 % greatest(n - 1, 1) + 1 AS INT),
+                   CAST(h2 % greatest(n - 1, 1) + 1 AS INT)) AS lo,
+             greatest(CAST(h1 % greatest(n - 1, 1) + 1 AS INT),
+                      CAST(h2 % greatest(n - 1, 1) + 1 AS INT)) AS hi
+      FROM h
+    ),
+    f AS (
+      SELECT doc_id, selected,
+             CASE WHEN selected THEN
+               [CAST(50281 AS INT)] || t[1:lo]
+               || [CAST(50283 AS INT)] || t[hi+1:n]
+               || [CAST(50282 AS INT)] || t[lo+1:hi]
+             ELSE t END AS toks
+      FROM c
+    )
+    SELECT doc_id,
+           md5(array_to_string(toks, ',')) AS tokens_md5,
+           CAST(len(toks) AS INT) AS n_tok,
+           selected AS fim_applied
+    FROM f
+    """,
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform gate (`dataprep.fim_transform`;
+    Bavarian et al. 2022): hash-selected 50% of docs reorder to
+    ``[PRE] prefix [SUF] suffix [MID] middle`` with cut points derived
+    from md5 — zero RNG state, zero shuffle, pure slice/concat algebra.
+    The driver canonicalizer can't sort raw arrays, so the gate emits
+    md5-canonicalized token payloads (same convention as
+    token_chunking); the raw arrays are covered by unit tests."""
+    from pyspark.sql import functions as FN
+
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (FN.col("doc_id") % 37 + 3).cast("int")
+    toks = FN.transform(
+        FN.sequence(FN.lit(0), n - 1),
+        lambda i: ((FN.col("doc_id") * 7 + i * 13) % 50000).cast("int"),
+    )
+    src = docs.select("doc_id", toks.alias("tokens"))
+    out = D.fim_transform(src, rate_pct=_FIM_RATE)
+    return out.select(
+        "doc_id",
+        FN.md5(
+            FN.concat_ws(",", FN.col("tokens").cast("array<string>"))
+        ).alias("tokens_md5"),
+        "n_tok",
+        "fim_applied",
+    )

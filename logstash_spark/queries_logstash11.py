@@ -339,3 +339,59 @@ def cloudtrail_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("userIdentity.type").alias("identity_type"),
         "eventID",
     )
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire format (wire.protobuf_decode / protobuf_encode)
+# ---------------------------------------------------------------------------
+
+_PB_SCHEMA = [
+    (1, "rec_id", "sint64"),
+    (2, "name", "string"),
+    (3, "ok", "bool"),
+    (4, "score", "double"),
+    (5, "big", "fixed64"),
+]
+
+
+@query(
+    "protobuf_codec",
+    """
+    SELECT event_id,
+           CAST(event_id * 7 - 30000 AS BIGINT) AS rec_id,
+           event_type AS name,
+           event_id % 2 = 0 AS ok,
+           CAST(event_id AS DOUBLE) / 4.0 AS score,
+           CAST(event_id * 1000000 + 1 AS BIGINT) AS big,
+           0 AS n_tags
+    FROM events
+    """,
+)
+def protobuf_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """protobuf wire-format round trip (reference:
+    logstash-codec-protobuf §decode): zigzag sint64 (negatives), UTF-8
+    strings, bool varints, little-endian doubles and fixed64 — encoded
+    with `emit_defaults=True` so proto3 zero-skip doesn't turn falsy
+    values into nulls, decoded by the schema-driven wire reader (no
+    protobuf library — the wire format is varint tags + 4 payload
+    kinds). Oracle recomputes every field from event arithmetic; n_tags
+    proves zero `_protobufdecodefailure`."""
+    from logstash_spark.operators.wire import protobuf_decode, protobuf_encode
+
+    e = F.col("event_id")
+    src = _ev(spark, sf_dir).select(
+        "event_id",
+        (e * 7 - 30000).alias("rec_id"),
+        F.col("event_type").alias("name"),
+        (e % 2 == 0).alias("ok"),
+        (e.cast("double") / 4.0).alias("score"),
+        (e * 1_000_000 + 1).alias("big"),
+    )
+    enc = protobuf_encode(src, _PB_SCHEMA, emit_defaults=True).select(
+        "event_id", "pb_msg"
+    )
+    dec = protobuf_decode(enc, "pb_msg", _PB_SCHEMA)
+    return dec.select(
+        "event_id", "rec_id", "name", "ok", "score", "big",
+        F.size("tags").cast("int").alias("n_tags"),
+    )

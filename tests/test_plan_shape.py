@@ -388,3 +388,42 @@ def test_bm25_scoring_broadcasts_queries_not_corpus(spark):
     # the qidf side (query terms × df × corpus stats) broadcasts into the
     # postings join — the corpus never broadcasts and never re-sorts
     assert "BroadcastHashJoin" in plan
+
+
+def test_netflow_decode_zero_shuffle_one_arrow_node(spark):
+    """The netflow packet->flows fan-out happens map-side: one
+    MapInPandas node, no Exchange anywhere (encode is pure column
+    algebra, decode explodes within the batch)."""
+    from logstash_spark.operators.wire import netflow_decode, netflow_encode
+
+    e = F.col("id")
+    pkts = netflow_encode(
+        spark.range(100),
+        count=(e % 3 + 1).cast("int"),
+        header={"unix_secs": F.lit(1_700_000_000)},
+        record={"srcaddr": lambda i: e + i, "dPkts": F.lit(1)},
+    )
+    out = netflow_decode(pkts, "packet")
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_pmi_phrases_dfcut_before_vocab_joins(spark):
+    """min_count prunes the bigram tail BEFORE the unigram joins: the
+    optimized plan applies the cnt filter directly on the bigram
+    aggregate (below the joins), so the singleton tail never shuffles
+    twice."""
+    from logstash_spark.operators.dataprep import pmi_phrases
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pmi_phrases(docs, min_count=5, delta=1, top_k=10)
+    opt = optimized_of(out)
+    joins = [ln for ln in opt.splitlines() if "Join" in ln]
+    filt = [ln for ln in opt.splitlines() if "cnt_ab" in ln and "Filter" in ln]
+    assert joins and filt
+    # the filter line sits deeper (more indented) than the last join
+    depth = lambda s: len(s) - len(s.lstrip(" :+-"))
+    assert min(depth(f) for f in filt) > max(depth(j) for j in joins)
+    # top-k is TakeOrdered, never a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan_of(out)

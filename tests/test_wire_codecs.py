@@ -391,3 +391,105 @@ class TestCloudtrail:
         assert out[0].eventName == "RunInstances"
         assert out[0].userIdentity.type == "IAMUser"
         assert out[1].record_no == 1 and out[1].eventID == 11
+
+
+_PB_SCHEMA = [
+    (1, "rec_id", "sint64"),
+    (2, "name", "string"),
+    (3, "ok", "bool"),
+    (4, "score", "double"),
+    (5, "big", "fixed64"),
+]
+
+
+def _pb_varint_bytes(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_golden(rec_id, name, ok, score, big) -> bytes:
+    out = bytearray()
+    zz = (rec_id << 1) ^ (rec_id >> 63)
+    out += _pb_varint_bytes(1 << 3 | 0) + _pb_varint_bytes(zz)
+    raw = name.encode()
+    out += _pb_varint_bytes(2 << 3 | 2) + _pb_varint_bytes(len(raw)) + raw
+    out += _pb_varint_bytes(3 << 3 | 0) + _pb_varint_bytes(1 if ok else 0)
+    out += _pb_varint_bytes(4 << 3 | 1) + struct.pack("<d", score)
+    out += _pb_varint_bytes(5 << 3 | 1) + big.to_bytes(8, "little")
+    return bytes(out)
+
+
+class TestProtobuf:
+    def test_golden_decode(self, spark):
+        from logstash_spark.operators.wire import protobuf_decode
+
+        # field 99 is unknown (varint) — must be skipped, not fail
+        unknown = _pb_varint_bytes(99 << 3 | 0) + _pb_varint_bytes(7)
+        rows = [
+            (1, _pb_golden(-12345, "héllo", True, 2.5, 2**50)),
+            (2, unknown + _pb_golden(0, "", False, 0.0, 0)),
+            (3, b"\x0a\xff"),  # truncated length-delimited
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id int, blob binary")
+        out = {r.id: r for r in
+               protobuf_decode(df, "blob", _PB_SCHEMA).collect()}
+        assert out[1].rec_id == -12345 and out[1].name == "héllo"
+        assert out[1].ok is True and out[1].score == 2.5
+        assert out[1].big == 2**50 and out[1].tags == []
+        assert out[2].rec_id == 0 and out[2].tags == []
+        assert out[3].tags == ["_protobufdecodefailure"]
+        assert out[4].tags == ["_protobufdecodefailure"]
+
+    def test_roundtrip_with_defaults(self, spark):
+        from logstash_spark.operators.wire import (
+            protobuf_decode,
+            protobuf_encode,
+        )
+
+        df = spark.range(40).select(
+            (F.col("id") * 7 - 100).alias("rec_id"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+            (F.col("id") % 2 == 0).alias("ok"),
+            (F.col("id") / 4.0).alias("score"),
+            (F.col("id") * 1000).alias("big"),
+        )
+        enc = protobuf_encode(df, _PB_SCHEMA, emit_defaults=True)
+        dec = protobuf_decode(
+            enc.select(F.col("rec_id").alias("orig"), "pb_msg"),
+            "pb_msg",
+            _PB_SCHEMA,
+        )
+        for r in dec.collect():
+            assert r.rec_id == r.orig
+            i = (r.orig + 100) // 7
+            assert r.name == f"n{i}" and r.ok == (i % 2 == 0)
+            assert r.score == i / 4.0 and r.big == i * 1000
+            assert r.tags == []
+
+    def test_proto3_zero_skip(self, spark):
+        """Without emit_defaults, zero/empty scalars are absent on the
+        wire and decode as null (proto3 default-absence)."""
+        from logstash_spark.operators.wire import (
+            protobuf_decode,
+            protobuf_encode,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "", False, 0.0, 0)],
+            "rec_id bigint, name string, ok boolean, score double, big bigint",
+        )
+        enc = protobuf_encode(df, _PB_SCHEMA)
+        blob = bytes(enc.collect()[0].pb_msg)
+        assert blob == b""  # all defaults → empty message
+        dec = protobuf_decode(enc.select("pb_msg"), "pb_msg", _PB_SCHEMA)
+        r = dec.collect()[0]
+        assert r.rec_id is None and r.name is None and r.ok is None
+        assert r.tags == []
