@@ -151,13 +151,26 @@ def run_once(master: str, total_cores: int) -> dict:
 # the constraint is an artifact. Thread mode stays at 8/32 for context.
 _EXEC_MEM = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM", "4g")
 _WORKER_MB = int(_EXEC_MEM.rstrip("gG")) * 1024  # worker must fit the executor
+# SPARK_GRAFT_SCALING_EXEC_CORES narrows executors (e.g. 2 -> [1,2] vs
+# [4,2], 2 vs 8 total cores): a controlled probe that keeps the 4x top
+# level UNDER the single-box memory-bandwidth ceiling, isolating
+# topology scaling from shared-hardware rolloff for bandwidth-bound
+# jobs (see the dedup analysis in BENCH/BASELINE.md).
+_EXEC_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_EXEC_CORES", "4"))
 
 LEVELS = {
-    "e1": (f"local-cluster[1,4,{_WORKER_MB}]", 4),
-    "e4": (f"local-cluster[4,4,{_WORKER_MB}]", 16),
+    "e1": (f"local-cluster[1,{_EXEC_CORES},{_WORKER_MB}]", _EXEC_CORES),
+    "e4": (f"local-cluster[4,{_EXEC_CORES},{_WORKER_MB}]", 4 * _EXEC_CORES),
     "t8": ("local[8]", 8),
     "t32": ("local[32]", 32),
 }
+# SPARK_GRAFT_SCALING_LEVELS=e1,e4 runs only the executor levels (the
+# authoritative pair) — thread mode is context and can be skipped for
+# focused probes.
+_ONLY = os.environ.get("SPARK_GRAFT_SCALING_LEVELS")
+if _ONLY:
+    keep = {s.strip() for s in _ONLY.split(",")}
+    LEVELS = {k: v for k, v in LEVELS.items() if k in keep}
 
 
 def main() -> None:
@@ -173,7 +186,14 @@ def main() -> None:
             print(json.dumps({"round": rnd, "level": name, **r}), file=sys.stderr)
             row[name] = r
         row["eff_exec"] = (row["e4"]["rows_per_sec"] / row["e1"]["rows_per_sec"]) / 4.0
-        row["eff_thread"] = (row["t32"]["rows_per_sec"] / row["t8"]["rows_per_sec"]) / 4.0
+        if "t8" in row and "t32" in row:
+            row["eff_thread"] = (
+                row["t32"]["rows_per_sec"] / row["t8"]["rows_per_sec"]
+            ) / 4.0
+        else:
+            row["eff_thread"] = float("nan")
+            row.setdefault("t8", {"rows_per_sec": 0, "steal_pct": None})
+            row.setdefault("t32", {"rows_per_sec": 0, "steal_pct": None})
         rounds.append(row)
 
     pick = max(rounds, key=lambda r: r["eff_exec"])

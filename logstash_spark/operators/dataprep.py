@@ -3081,3 +3081,397 @@ def fim_transform(
         F.size(out_toks).cast("int").alias("n_tok"),
         selected.alias("fim_applied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5/UL2 span-corruption (denoising) transform over token arrays
+# ---------------------------------------------------------------------------
+
+
+def span_corrupt(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    rate_pct: int = 15,
+    span_len: int = 3,
+    sentinel_base: int = 32099,
+    max_spans: int = 100,
+    seed: str = "spanc",
+    min_len: int = 8,
+) -> DataFrame:
+    """T5-style span-corruption denoising transform (Raffel et al. 2020
+    §3.1.4; the R-denoiser of UL2, Tay et al. 2022): replace ~`rate_pct`%
+    of each document's tokens with sentinel markers and emit the
+    (inputs, targets) pair — inputs = text with each corrupted span
+    collapsed to one sentinel, targets = each sentinel followed by the
+    span it replaced, closed by a final sentinel.
+
+    Deterministic relational construction (no RNG state): the sequence
+    is divided into k = max(1, min(n·rate/100/span_len, n/span_len,
+    max_spans)) equal segments and ONE fixed-length span is placed per
+    segment at an md5-chosen offset — spans can never overlap by
+    construction (the standard segmented approximation of T5's
+    mean-length-3 Poisson spans; span count still tracks rate·n).
+    Sentinels descend from `sentinel_base` (T5's <extra_id_i> = 32099−i
+    convention); the final target sentinel is sentinel_base−k.
+
+    Pure column algebra — ONE flatten(transform(...)) per output, zero
+    shuffle, zero UDF: a map-only pass at 10^12 sequences. Docs shorter
+    than `min_len` (which must be ≥ span_len) pass through with empty
+    targets and corrupted=false."""
+    if min_len < span_len:
+        raise ValueError("min_len must be >= span_len")
+    ident = F.col(id_col).cast("string")
+    t = F.col(tokens_col)
+    n = F.size(t)
+    # Spark `/` on ints is float div — floor() forces integer semantics
+    k = F.greatest(
+        F.lit(1),
+        F.least(
+            F.floor(n * rate_pct / F.lit(100 * span_len)),
+            F.floor(n / F.lit(span_len)),
+            F.lit(max_spans).cast("bigint"),
+        ).cast("int"),
+    )
+    seg = F.floor(n / k).cast("int")
+    eligible = n >= min_len
+    # off ∈ [0, seg-span_len]; greatest(.,1) guards ineligible rows where
+    # seg < span_len (both when-branches evaluate under ANSI)
+    mod_base = F.greatest(seg - span_len + 1, F.lit(1))
+
+    def _off(i: Column) -> Column:
+        h = portable_hash32(
+            F.concat(ident, F.lit(f":{seed}:"), i.cast("string"))
+        )
+        return (h % mod_base).cast("int")
+
+    def _sentinel(i: Column) -> Column:
+        return (F.lit(sentinel_base) - i).cast("int")
+
+    idx = F.sequence(F.lit(0), k - 1)
+
+    def _input_piece(i: Column) -> Column:
+        off = _off(i)
+        start = i * seg + off  # 0-based global span start
+        end_i = F.when(i == k - 1, n).otherwise((i + 1) * seg)
+        tail_len = F.greatest(end_i - start - span_len, F.lit(0))
+        return F.concat(
+            F.slice(t, i * seg + 1, off),
+            F.array(_sentinel(i)),
+            F.slice(t, start + span_len + 1, tail_len),
+        )
+
+    def _target_piece(i: Column) -> Column:
+        off = _off(i)
+        return F.concat(
+            F.array(_sentinel(i)),
+            F.slice(t, i * seg + off + 1, F.least(F.lit(span_len), n)),
+        )
+
+    inputs = F.flatten(F.transform(idx, _input_piece))
+    targets = F.concat(
+        F.flatten(F.transform(idx, _target_piece)),
+        F.array((F.lit(sentinel_base) - k).cast("int")),
+    )
+    empty = F.array().cast("array<int>")
+    out_inputs = F.when(eligible, inputs).otherwise(t)
+    out_targets = F.when(eligible, targets).otherwise(empty)
+    return df.select(
+        id_col,
+        out_inputs.alias("inputs"),
+        out_targets.alias("targets"),
+        F.size(out_inputs).cast("int").alias("n_input"),
+        F.size(out_targets).cast("int").alias("n_target"),
+        eligible.alias("corrupted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    score_col: str,
+    group_cols: Sequence[str] = ("lang",),
+    id_col: str = "doc_id",
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    best_is_high: bool = True,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §3: split each
+    language's corpus into head/middle/tail by LM perplexity; most
+    pipelines keep head+middle). Generic over any deterministic score —
+    feed `unigram_logprob_score`/`bigram_logprob_score` output (there
+    higher = better, the default ordering) or a raw perplexity with
+    `best_is_high=False`.
+
+    Exact-rank form: bucket = floor((rank−1)·B / group_count) with
+    rank ordered by (score, id) — ties broken by id so the assignment
+    is total and replayable bit-for-bit in any engine. ONE shuffle (the
+    per-group window sort). At 10^12 docs prefer the zero-shuffle
+    variant `perplexity_bucket_by_cutoffs` below with cutoffs estimated
+    once from `sketch.quantile_sketch` (mergeable, one keyed pass) —
+    exact ranks force a full per-group sort that is only worth it when
+    the grouping column already partitions storage."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    b = len(labels)
+    score = F.col(score_col)
+    order = [score.desc() if best_is_high else score.asc(), F.col(id_col)]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wc = Window.partitionBy(*group_cols)
+    rank = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(wc)
+    idx = F.floor((rank - 1) * b / cnt).cast("int")
+    lab = F.element_at(F.array(*[F.lit(x) for x in labels]), idx + 1)
+    return df.withColumn("bucket_idx", idx).withColumn("bucket", lab)
+
+
+def perplexity_bucket_by_cutoffs(
+    df: DataFrame,
+    *,
+    score_col: str,
+    group_col: str = "lang",
+    cutoffs: dict[str, Sequence[int]] | None = None,
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    best_is_high: bool = True,
+) -> DataFrame:
+    """Zero-shuffle bucket assignment against precomputed per-group
+    score cutoffs (descending when best_is_high) — the 100 TB path:
+    estimate cutoffs once with `sketch.quantile_sketch` (or the exact
+    window on a sample shard), fold them into this plan-time literal
+    CASE, and the corpus never shuffles. `cutoffs[g]` holds B−1
+    boundaries; a group without cutoffs falls into the last bucket of
+    index 0 (everything 'head') so new languages fail open."""
+    score = F.col(score_col)
+    expr = F.lit(0)
+    for g, bounds in (cutoffs or {}).items():
+        idx = F.lit(0)
+        for j, bound in enumerate(bounds):
+            past = score < F.lit(bound) if best_is_high else score > F.lit(bound)
+            idx = F.when(past, F.lit(j + 1)).otherwise(idx)
+        expr = F.when(F.col(group_col) == g, idx).otherwise(expr)
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), expr.cast("int") + 1
+    )
+    return df.withColumn("bucket_idx", expr.cast("int")).withColumn(
+        "bucket", lab
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility / compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    tokens_col: str = "tokens",
+    min_chars_per_tok_bp: int = 20000,
+    max_toks_per_word_bp: int = 30000,
+) -> DataFrame:
+    """Tokenizer-compression quality signal (the bytes-per-token filter
+    of FineWeb/RedPajama-style curation; Rust et al. 2021 call the
+    per-word form 'fertility'): natural language compresses to ~4+
+    chars/token under a BPE vocabulary — text that tokenizes much worse
+    (chars_per_tok low, toks_per_word high) is gibberish, binary spill,
+    or a language the tokenizer can't serve, and trains poorly per
+    FLOP.
+
+    Integer basis points (×10000, floor) — bit-reproducible everywhere;
+    `fertility_ok` = chars_per_tok_bp ≥ min AND toks_per_word_bp ≤ max.
+    Zero-token/empty docs fail closed. Pure column algebra, zero
+    shuffle."""
+    chars = F.length(F.col(text_col))
+    bts = F.octet_length(F.col(text_col))
+    n_tok = F.size(F.col(tokens_col))
+    words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    words = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(words)
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_words = F.greatest(words, F.lit(1))
+    cpt = F.floor(chars * 10000 / safe_tok).cast("int")
+    bpt = F.floor(bts * 10000 / safe_tok).cast("int")
+    tpw = F.floor(n_tok * 10000 / safe_words).cast("int")
+    ok = (
+        (n_tok > 0)
+        & (words > 0)
+        & (cpt >= min_chars_per_tok_bp)
+        & (tpw <= max_toks_per_word_bp)
+    )
+    return (
+        df.withColumn("chars_per_tok_bp", cpt)
+        .withColumn("bytes_per_tok_bp", bpt)
+        .withColumn("toks_per_word_bp", tpw)
+        .withColumn("fertility_ok", ok)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int,
+    tau_halvings: int = 1,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-weighted multi-source sampling (the multilingual
+    mixing rule of Arivazhagan et al. 2019 §4 / mT5: draw source s with
+    probability ∝ n_s^τ, τ<1 up-weighting small sources). τ is
+    restricted to 2^-tau_halvings (τ=1/2, 1/4, …) so the weight is
+    `tau_halvings` repeated integer square roots — floor(sqrt(double))
+    is correctly rounded IEEE in every engine, so the whole computation
+    is bit-reproducible with NO float accumulation.
+
+    Per-source quota m_s = min(n_s, target_total·w_s/Σw) (integer div);
+    a doc keeps iff md5-uniform(id) mod n_s < m_s — exactly m_s/n_s
+    keep probability, deterministic per (id, seed). Plan: ONE tiny
+    groupBy(source) (|sources| rows), an unpartitioned window over that
+    tiny table, broadcast join back — the corpus itself NEVER
+    shuffles. Output adds src_count, src_quota, mix_keep."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql.functions import broadcast  # noqa: PLC0415
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("src_count"))
+    w = F.col("src_count").cast("double")
+    for _ in range(tau_halvings):
+        w = F.floor(F.sqrt(w))
+    counts = counts.withColumn("w", w.cast("bigint"))
+    total_w = F.sum("w").over(Window.partitionBy())
+    counts = counts.withColumn(
+        "src_quota",
+        F.least(
+            F.col("src_count"),
+            F.floor(F.lit(target_total) * F.col("w") / total_w).cast("bigint"),
+        ),
+    ).drop("w")
+    h = portable_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    return df.join(broadcast(counts), source_col, "left").withColumn(
+        "mix_keep", h % F.col("src_count") < F.col("src_quota")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SFT loss masking (instruction-tuning label arrays)
+# ---------------------------------------------------------------------------
+
+
+def sft_loss_mask(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    prompt_len_col: str = "prompt_len",
+    mask_label: int = -100,
+) -> DataFrame:
+    """Supervised-fine-tuning label construction: copy the token array
+    into a `labels` array with the first `prompt_len` positions replaced
+    by `mask_label` (-100, the cross-entropy ignore_index convention) so
+    the loss only trains on the response span. The standard SFT data
+    layout (Alpaca/FLAN-style prompt-masking).
+
+    Pure column algebra (ONE transform over the array), zero shuffle,
+    zero UDF. prompt_len ≥ n masks everything; null prompt_len masks
+    nothing. Output adds labels + n_masked + n_trainable."""
+    t = F.col(tokens_col)
+    p = F.coalesce(F.col(prompt_len_col), F.lit(0)).cast("int")
+    labels = F.transform(
+        t, lambda x, i: F.when(i < p, F.lit(mask_label)).otherwise(x)
+    )
+    n = F.size(t)
+    n_masked = F.least(F.greatest(p, F.lit(0)), n)
+    return (
+        df.withColumn("labels", labels)
+        .withColumn("n_masked", n_masked.cast("int"))
+        .withColumn("n_trainable", (n - n_masked).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best-of-N per-group selection (RLHF / rejection-sampling data prep)
+# ---------------------------------------------------------------------------
+
+
+def best_of_n(
+    df: DataFrame,
+    *,
+    group_col: str = "prompt_id",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    keep_n: int = 1,
+    best_is_high: bool = True,
+) -> DataFrame:
+    """Rejection-sampling selection (Llama 2 §3.2.2 / best-of-n
+    distillation): keep the top `keep_n` candidates per group by score.
+    Ties broken by id so the selection is total and engine-replayable.
+    ONE shuffle (the per-group window); at 10^12 candidates groups are
+    small (N generations per prompt) so the window state is bounded —
+    this is the shape AQE handles without help. Output adds
+    `candidate_rank` (1-based) + `bon_keep`."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    score = F.col(score_col)
+    order = [score.desc() if best_is_high else score.asc(), F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    rank = F.row_number().over(w)
+    return df.withColumn("candidate_rank", rank).withColumn(
+        "bon_keep", rank <= keep_n
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source epoch replication (data-recipe epochs, LLaMA-style)
+# ---------------------------------------------------------------------------
+
+
+def epoch_replicate(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    epochs_bp: dict[str, int] | None = None,
+    default_bp: int = 10000,
+    seed: str = "epoch",
+) -> DataFrame:
+    """Source-level epoch replication (the 'epochs' column of the LLaMA
+    data-mixture table: e.g. Wikipedia 2.45 epochs, CommonCrawl 1.10):
+    replicate each document floor(e) times plus one more for a
+    hash-selected frac(e) share — so a source with epochs_bp=24500 sees
+    every doc twice and a deterministic 45% of docs a third time.
+    Fractions below 1.0 subsume downsampling (epochs_bp=3000 keeps a
+    30% sample). Expected output rows per source = n_s·e_s exactly.
+
+    epochs are integer basis points (×10000) and the fractional draw is
+    md5-uniform — bit-reproducible, no RNG state. `epoch_idx` (0-based)
+    distinguishes copies for downstream shuffling (feed `shard_assign`
+    keyed on (id, epoch_idx)). Map-side posexplode, ZERO shuffle; the
+    multiplier is a plan-time literal CASE over sources."""
+    e_bp = F.lit(default_bp)
+    for s, bp in (epochs_bp or {}).items():
+        e_bp = F.when(F.col(source_col) == s, F.lit(bp)).otherwise(e_bp)
+    h = portable_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    copies = (
+        F.floor(e_bp / 10000) + (h % 10000 < e_bp % 10000).cast("int")
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), copies - 1))
+    # sequence(0, -1) would be descending [0, -1]; gate copies=0 rows
+    # out first with a filter (they contribute nothing by definition)
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("epoch_idx", idx)
+        .drop("_copies")
+    )

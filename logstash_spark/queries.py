@@ -765,6 +765,8 @@ from logstash_spark import queries_dataprep7 as _qdp7  # noqa: E402,F401
 from logstash_spark import queries_dataprep8 as _qdp8  # noqa: E402,F401
 from logstash_spark import queries_logstash11 as _ql11  # noqa: E402,F401
 from logstash_spark import queries_dataprep9 as _qdp9  # noqa: E402,F401
+from logstash_spark import queries_dataprep10 as _qdp10  # noqa: E402,F401
+from logstash_spark import queries_dataprep11 as _qdp11  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -880,6 +882,15 @@ _DRIVER_PRIORITY = [
     "pmi_phrases",
     "protobuf_codec",
     "fim_transform",
+    # dataprep batch 10 (round 3)
+    "span_corruption",
+    "perplexity_terciles",
+    "tokenizer_fertility",
+    "temperature_mix",
+    # dataprep batch 11 (round 3)
+    "sft_loss_mask",
+    "best_of_n_select",
+    "epoch_replication",
 ]
 
 
