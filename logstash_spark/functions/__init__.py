@@ -150,10 +150,61 @@ def bytes_filter(df: DataFrame, source: str, *, target: str = "bytes") -> DataFr
 
 @op("truncate")
 def truncate(df: DataFrame, fields: Sequence[str], length_bytes: int) -> DataFrame:
-    """logstash-filter-truncate (char approximation of byte cap)."""
-    return df.withColumns(
-        {f_: F.substring(F.col(f_), 1, length_bytes) for f_ in fields}
-    )
+    """logstash-filter-truncate: cap each field at `length_bytes` BYTES
+    (the reference truncates the byte representation — Ruby byteslice —
+    not characters). Columnar analog: encode → byte substring → decode,
+    then strip the U+FFFD replacement a mid-sequence cut leaves, so the
+    cut snaps to the last complete character within the byte budget
+    (raw invalid UTF-8 is unrepresentable in a Spark string; boundary
+    snap is the faithful relational reading). ASCII input behaves
+    exactly like a char cap. Pure column exprs, zero UDF."""
+
+    def _cut(c: Column) -> Column:
+        b = F.substring(F.encode(c, "UTF-8"), 1, length_bytes)
+        hexs = F.hex(b)
+        nb = F.length(hexs) / 2
+
+        def byte_from_end(i: int) -> Column:
+            # i-th byte counting from the END of the prefix (1-based);
+            # 0 when the prefix is shorter than i bytes
+            return F.when(
+                nb >= i,
+                F.conv(F.substring(hexs, -2 * i, 2), 16, 10).cast("int"),
+            ).otherwise(F.lit(0))
+
+        def is_cont(i: int) -> Column:
+            return byte_from_end(i).between(0x80, 0xBF)
+
+        # trailing continuation-byte run length k ∈ 0..3, then the lead
+        # byte right before it decides whether the final char is whole
+        k = (
+            F.when(~is_cont(1), F.lit(0))
+            .when(~is_cont(2), F.lit(1))
+            .when(~is_cont(3), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        lead = (
+            F.when(k == 0, byte_from_end(1))
+            .when(k == 1, byte_from_end(2))
+            .when(k == 2, byte_from_end(3))
+            .otherwise(byte_from_end(4))
+        )
+        expect = (
+            F.when(lead < 0x80, F.lit(1))
+            .when(lead.between(0xC0, 0xDF), F.lit(2))
+            .when(lead.between(0xE0, 0xEF), F.lit(3))
+            .otherwise(F.lit(4))
+        )
+        # the source string is valid UTF-8, so the only possible defect
+        # after a byte cut is ONE truncated final char: drop it unless
+        # its expected length matches what actually fits
+        valid_len = F.when(expect == k + 1, nb).otherwise(nb - (k + 1))
+        return F.decode(
+            F.substring(b, 1, F.greatest(valid_len, F.lit(0)).cast("int")),
+            "UTF-8",
+        )
+
+    return df.withColumns({f_: _cut(F.col(f_)) for f_ in fields})
 
 
 @op("urldecode")

@@ -314,3 +314,33 @@ class TestDatePerEventTimezone:
         epoch = out.selectExpr("unix_timestamp(p) AS e").first()["e"]
         utc = date_op(df, "dstr", ["yyyy-MM-dd HH:mm:ss"], target="p")
         assert epoch == utc.selectExpr("unix_timestamp(p) AS e").first()["e"] - 3 * 3600
+
+
+def test_truncate_byte_semantics(spark):
+    from logstash_spark.functions import truncate
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),      # ASCII: plain char cap
+            (2, "héllo"),            # é = 2 bytes; cut lands mid-char
+            (3, "日本語テスト"),      # 3 bytes/char
+            (4, None),
+        ],
+        "id bigint, msg string",
+    )
+    got = {r.id: r.msg for r in truncate(df, ["msg"], 7).collect()}
+    assert got[1] == "hello w"
+    # h(1) é(2) l l o = 6 bytes ≤ 7 — whole string survives
+    assert got[2] == "héllo"
+    # 7 bytes = 2 complete chars (6 bytes) + 1 dangling byte → snapped
+    assert got[3] == "日本"
+    assert got[4] is None
+
+
+def test_truncate_cut_inside_multibyte(spark):
+    from logstash_spark.functions import truncate
+
+    df = spark.createDataFrame([(1, "aaéz")], "id bigint, msg string")
+    # bytes: a a c3 a9 z — cap 3 cuts é in half → snap back to "aa"
+    got = truncate(df, ["msg"], 3).collect()[0].msg
+    assert got == "aa"
