@@ -97,6 +97,11 @@ os.environ["SPARK_GRAFT_CPUS"] = str(total)
 from logstash_spark.session import get_spark
 from pyspark.sql import functions as F
 extra = {{"spark.ui.showConsoleProgress": "false"}}
+# AQE can pick a broadcast join mid-plan (e.g. the dedup verify join at
+# low shuffle-partition counts); the driver builds that table in ITS
+# heap — size it explicitly or narrow-executor probes die with
+# notEnoughMemoryToBuildAndBroadcastTableError.
+extra["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_SCALING_DRIVER_MEM", "8g")
 if master.startswith("local-cluster"):
     extra["spark.executor.memory"] = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM", "4g")
 spark = get_spark(master=master, shuffle_partitions=shuffle, extra_conf=extra)
