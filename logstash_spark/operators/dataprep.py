@@ -3475,3 +3475,159 @@ def epoch_replicate(
         .withColumn("epoch_idx", idx)
         .drop("_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair construction (post-training data prep)
+# ---------------------------------------------------------------------------
+
+
+def dpo_pairs(
+    df: DataFrame,
+    *,
+    group_col: str = "prompt_id",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_margin: int = 0,
+) -> DataFrame:
+    """Direct-preference-optimization pair construction (Rafailov et al.
+    2023; the Zephyr/Llama-3 post-training recipe): per prompt, pair the
+    highest-scored candidate (chosen) with the lowest-scored one
+    (rejected), keeping prompts with >= 2 candidates and a score margin
+    >= `min_margin`. Ties are broken by candidate id on BOTH ends
+    (ascending for chosen, descending for rejected) so the selection is
+    total and engine-replayable — the same determinism discipline as
+    `best_of_n`.
+
+    Output: (group_col, chosen_id, rejected_id, margin, chosen_tokens,
+    rejected_tokens, n_candidates).
+
+    Scale topology: two row_number windows over the SAME partition key
+    followed by a groupBy on that key — ONE shuffle (AQE reuses the
+    window's hash partitioning for the aggregate). Groups are N
+    generations per prompt (single digits), so window state is trivially
+    bounded; no skew risk at 10^12 candidates. The struct max() trick
+    avoids a chosen-vs-rejected self-join entirely.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    g, s, i = F.col(group_col), F.col(score_col), F.col(id_col)
+    w_hi = Window.partitionBy(group_col).orderBy(s.desc(), i.asc())
+    w_lo = Window.partitionBy(group_col).orderBy(s.asc(), i.desc())
+    ranked = df.withColumn("_rh", F.row_number().over(w_hi)).withColumn(
+        "_rl", F.row_number().over(w_lo)
+    )
+    pick = lambda rank_col, field: F.max(  # noqa: E731
+        F.when(F.col(rank_col) == 1, F.col(field))
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        pick("_rh", id_col).alias("chosen_id"),
+        pick("_rl", id_col).alias("rejected_id"),
+        (pick("_rh", score_col) - pick("_rl", score_col)).alias("margin"),
+        pick("_rh", tokens_col).alias("chosen_tokens"),
+        pick("_rl", tokens_col).alias("rejected_tokens"),
+    )
+    return agg.where(
+        (F.col("n_candidates") >= 2) & (F.col("margin") >= min_margin)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive retrieval training data)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    gold: DataFrame,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 4,
+    broadcast_gold: bool = False,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training (DPR,
+    Karpukhin et al. 2020 §3.2; the BM25-negatives recipe): from a
+    ranked candidate table (query_id, doc_id, score) — e.g. the output
+    of `retrieval.bm25_topk` or `ann_topk_bruteforce` — drop every
+    (query, doc) pair present in the `gold` positives table, then keep
+    the top `k` remaining candidates per query as `neg_rank` 1..k.
+    Deterministic order (score desc, doc id) — engine-replayable.
+
+    Scale topology: ONE left_anti equi-join on (query, doc) — broadcast
+    it when the gold table is dictionary-sized (`broadcast_gold=True`),
+    else a shuffled hash join keyed the same way as the downstream
+    window, which AQE then reuses — plus ONE row_number window per
+    query. Candidate lists are top-K-bounded upstream, so window state
+    is O(K) per query; no skew risk.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    g = gold.select(query_col, doc_col)
+    if broadcast_gold:
+        g = F.broadcast(g)
+    neg = candidates.join(g, [query_col, doc_col], "left_anti")
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(doc_col)
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .withColumn("neg_rank", F.col("neg_rank").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-context pretraining: cluster-ordered context-window packing
+# ---------------------------------------------------------------------------
+
+
+def incontext_pack(
+    df: DataFrame,
+    *,
+    cluster_col: str = "cluster",
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """In-context pretraining packing (Shi et al., ICLR 2024: order
+    RELATED documents into the same context window instead of random
+    concatenation). Documents arrive with a similarity-cluster key (from
+    `kmeans_lloyd` / `semantic_dedup` assignment or a SimHash prefix);
+    within each cluster they are ordered deterministically by id, laid
+    end-to-end, and cut into `seq_len`-token context windows.
+
+    Output adds: pack_order (1-based position within the cluster's
+    stream), offset (token offset of the doc's first token in the
+    cluster stream), window_id (the seq_len-window containing that
+    first token), straddles (doc crosses into the next window — the
+    packer's boundary-split set).
+
+    Scale topology: ONE shuffle (hash-partition by cluster for the
+    running-sum window); no global sort — ordering is per-cluster, and
+    clusters are independent so the layout parallelizes across
+    10^12 docs. Token assembly reuses `pack_concat_chunks` downstream;
+    this operator owns the ORDER, which is the ICP contribution.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    n = F.col(n_tok_col).cast("long")
+    w = Window.partitionBy(cluster_col).orderBy(id_col)
+    run = Window.partitionBy(cluster_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = (F.sum(n).over(run) - n).cast("long")
+    return (
+        df.withColumn("pack_order", F.row_number().over(w))
+        .withColumn("offset", off)
+        .withColumn(
+            "window_id", F.floor(F.col("offset") / seq_len).cast("int")
+        )
+        .withColumn(
+            "straddles",
+            (F.col("offset") % seq_len) + n > seq_len,
+        )
+    )

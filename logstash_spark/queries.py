@@ -767,6 +767,7 @@ from logstash_spark import queries_logstash11 as _ql11  # noqa: E402,F401
 from logstash_spark import queries_dataprep9 as _qdp9  # noqa: E402,F401
 from logstash_spark import queries_dataprep10 as _qdp10  # noqa: E402,F401
 from logstash_spark import queries_dataprep11 as _qdp11  # noqa: E402,F401
+from logstash_spark import queries_dataprep12 as _qdp12  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -891,6 +892,10 @@ _DRIVER_PRIORITY = [
     "sft_loss_mask",
     "best_of_n_select",
     "epoch_replication",
+    # dataprep batch 12 (round 3)
+    "dpo_pairs",
+    "hard_negative_mining",
+    "incontext_pack",
 ]
 
 

@@ -1,0 +1,177 @@
+"""Correctness-gate queries, dataprep batch 12 (round 3): DPO
+preference-pair construction, hard-negative mining for retrieval
+training, in-context-pretraining cluster-ordered packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logstash_spark.queries import query
+
+_TOK_N = "(doc_id % 37) + 3"
+_TOK_SQL = (
+    f"list_transform(range(0, {_TOK_N}), "
+    "i -> CAST((doc_id * 7 + i * 13) % 50000 AS INTEGER))"
+)
+
+
+@query(
+    "dpo_pairs",
+    f"""
+    WITH c AS (
+      SELECT doc_id % 61 AS prompt_id, doc_id,
+             CAST((doc_id * 7919) % 1000 AS INT) AS score,
+             {_TOK_SQL} AS t
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY score DESC, doc_id ASC) AS rh,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY score ASC, doc_id DESC) AS rl,
+             count(*) OVER (PARTITION BY prompt_id) AS n
+      FROM c
+    ),
+    p AS (
+      SELECT prompt_id,
+             max(CASE WHEN rh = 1 THEN doc_id END) AS chosen_id,
+             max(CASE WHEN rl = 1 THEN doc_id END) AS rejected_id,
+             CAST(max(CASE WHEN rh = 1 THEN score END)
+                  - max(CASE WHEN rl = 1 THEN score END) AS INT) AS margin,
+             max(CASE WHEN rh = 1
+                      THEN md5(array_to_string(t, ',')) END) AS chosen_md5,
+             max(CASE WHEN rl = 1
+                      THEN md5(array_to_string(t, ',')) END) AS rejected_md5,
+             CAST(max(n) AS BIGINT) AS n_candidates
+      FROM r GROUP BY prompt_id
+    )
+    SELECT * FROM p WHERE n_candidates >= 2 AND margin >= 2
+    """,
+)
+def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair gate (`dataprep.dpo_pairs`, Rafailov et al.
+    2023): per prompt (doc_id % 61 → ~8 candidates at sf0.01), chosen =
+    highest deterministic score, rejected = lowest, margin >= 2; ties
+    broken by id on both ends. md5-canonicalized token payloads (driver
+    convention). One shuffle: two same-key windows + the groupBy."""
+    from pyspark.sql import functions as FN
+
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (FN.col("doc_id") % 37 + 3).cast("int")
+    toks = FN.transform(
+        FN.sequence(FN.lit(0), n - 1),
+        lambda i: ((FN.col("doc_id") * 7 + i * 13) % 50000).cast("int"),
+    )
+    src = docs.select(
+        (FN.col("doc_id") % 61).alias("prompt_id"),
+        "doc_id",
+        ((FN.col("doc_id") * 7919) % 1000).cast("int").alias("score"),
+        toks.alias("tokens"),
+    )
+    out = D.dpo_pairs(src, min_margin=2)
+    md5 = lambda c: FN.md5(  # noqa: E731
+        FN.concat_ws(",", FN.col(c).cast("array<string>"))
+    )
+    return out.select(
+        "prompt_id",
+        "chosen_id",
+        "rejected_id",
+        FN.col("margin").cast("int").alias("margin"),
+        md5("chosen_tokens").alias("chosen_md5"),
+        md5("rejected_tokens").alias("rejected_md5"),
+        "n_candidates",
+    )
+
+
+@query(
+    "hard_negative_mining",
+    """
+    WITH c AS (
+      SELECT doc_id % 47 AS query_id, doc_id,
+             CAST((doc_id * 104729) % 100000 AS INT) AS score
+      FROM documents
+    ),
+    g AS (SELECT query_id, doc_id FROM c WHERE doc_id % 17 = 0),
+    n AS (
+      SELECT c.* FROM c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM g
+        WHERE g.query_id = c.query_id AND g.doc_id = c.doc_id)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS neg_rank
+      FROM n
+    )
+    SELECT query_id, doc_id, score, CAST(neg_rank AS INT) AS neg_rank
+    FROM r WHERE neg_rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining gate (`dataprep.hard_negatives`, DPR §3.2):
+    candidates = every doc scored per query (doc_id % 47), gold pairs =
+    docs with doc_id % 17 == 0; top-3 non-gold per query by (score
+    desc, id). ONE anti-join + ONE bounded window."""
+    from pyspark.sql import functions as FN
+
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = docs.select(
+        (FN.col("doc_id") % 47).alias("query_id"),
+        "doc_id",
+        ((FN.col("doc_id") * 104729) % 100000).cast("int").alias("score"),
+    )
+    gold = cand.where(FN.col("doc_id") % 17 == 0).select("query_id", "doc_id")
+    return D.hard_negatives(cand, gold, k=3)
+
+
+@query(
+    "incontext_pack",
+    """
+    WITH d AS (
+      SELECT doc_id % 13 AS cluster, doc_id,
+             CAST((doc_id % 37) + 3 AS INT) AS n_tok
+      FROM documents
+    ),
+    o AS (
+      SELECT *,
+             CAST(sum(n_tok) OVER (PARTITION BY cluster ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tok AS BIGINT) AS "offset",
+             CAST(row_number() OVER (PARTITION BY cluster
+                                     ORDER BY doc_id) AS INT) AS pack_order
+      FROM d
+    )
+    SELECT cluster, doc_id, n_tok, pack_order, "offset",
+           CAST("offset" // 64 AS INT) AS window_id,
+           (("offset" % 64) + n_tok) > 64 AS straddles
+    FROM o
+    """,
+)
+def incontext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining packing gate (`dataprep.incontext_pack`,
+    Shi et al. ICLR 2024): docs keyed by similarity cluster (doc_id %
+    13 here), laid end-to-end per cluster in deterministic id order and
+    cut into 64-token context windows; the gate pins the full layout
+    (pack_order, offset, window_id, straddle set). ONE shuffle — the
+    per-cluster running-sum window."""
+    from pyspark.sql import functions as FN
+
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        (FN.col("doc_id") % 13).alias("cluster"),
+        "doc_id",
+        ((FN.col("doc_id") % 37) + 3).cast("int").alias("n_tok"),
+    )
+    out = D.incontext_pack(src, seq_len=64)
+    return out.select(
+        "cluster", "doc_id", "n_tok", "pack_order", "offset",
+        "window_id", "straddles",
+    )
