@@ -896,6 +896,7 @@ _DRIVER_PRIORITY = [
     "dpo_pairs",
     "hard_negative_mining",
     "incontext_pack",
+    "snapshot_cdc_diff",
 ]
 
 

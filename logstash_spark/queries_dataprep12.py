@@ -175,3 +175,59 @@ def incontext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster", "doc_id", "n_tok", "pack_order", "offset",
         "window_id", "straddles",
     )
+
+
+@query(
+    "snapshot_cdc_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    j AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             v1.text AS t1, v2.text AS t2,
+             v1.doc_id IS NULL AS ins, v2.doc_id IS NULL AS del
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    ),
+    c AS (
+      SELECT doc_id,
+             CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+                  WHEN t1 <> t2 THEN 'update'
+                  ELSE 'unchanged' END AS change,
+             md5(coalesce(t2, '')) AS text_md5
+      FROM j
+    )
+    SELECT doc_id, change, text_md5 FROM c WHERE change <> 'unchanged'
+    """,
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC gate (`sources.tableio.snapshot_diff`): v1 drops
+    every 5th doc, v2 drops every 7th and rewrites every 3rd — the diff
+    must emit exactly the insert/delete/update sets with new-side
+    payload (null for deletes, md5-canonicalized). ONE full-outer join
+    on the id; fingerprints computed map-side."""
+    from pyspark.sql import functions as FN
+
+    from logstash_spark.sources.tableio import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v1 = docs.where(FN.col("doc_id") % 5 != 0).select("doc_id", "text")
+    v2 = docs.where(FN.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        FN.when(
+            FN.col("doc_id") % 3 == 0, FN.concat(FN.col("text"), FN.lit("!"))
+        )
+        .otherwise(FN.col("text"))
+        .alias("text"),
+    )
+    out = snapshot_diff(v1, v2, id_col="doc_id", compare_cols=["text"])
+    return out.select(
+        "doc_id",
+        "change",
+        FN.md5(FN.coalesce(FN.col("text"), FN.lit(""))).alias("text_md5"),
+    )
