@@ -1475,11 +1475,22 @@ def pack_concat_chunks(
     n_tok_col: str = "n_tok",
     seq_len: int = 2048,
     drop_last_partial: bool = False,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard LLM-pretraining
     assembly): within each `group_col` stream, documents are concatenated
     in `id_col` order and the token stream is cut every `seq_len` tokens;
     docs straddle chunk boundaries.
+
+    `with_boundaries=True` additionally emits what a sample-packing
+    trainer (flash-attn varlen / HF `position_ids` packing) needs per
+    chunk: `position_ids` (doc-RELATIVE positions — a doc continuing
+    from the previous chunk keeps counting, which is the RoPE-faithful
+    continuation), `doc_starts` (within-chunk offsets where a NEW doc
+    begins — the cu_seqlens cut points), `seg_lens` (tokens contributed
+    by each doc segment, in order) and `n_segments`. Same single
+    shuffle: the extras ride the existing piece rows (two longs each)
+    and assemble in the same groupBy.
 
     Relational derivation that NEVER creates per-token rows:
       1. window cumsum over (group ORDER BY id) → each doc's global
@@ -1540,17 +1551,75 @@ def pack_concat_chunks(
             ).alias("_piece"),
         )
     )
+    if not with_boundaries:
+        out = (
+            pieces.groupBy(group_col, "seq_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("_off"), F.col("_piece")))
+                        ),
+                        lambda s: s.getField("_piece"),
+                    )
+                ).alias(tokens_col)
+            )
+            .withColumn("n_tok", F.size(F.col(tokens_col)))
+        )
+        if drop_last_partial:
+            out = out.where(F.col("n_tok") == seq_len)
+        return out
+
+    # boundary mode: each piece also carries its doc-relative start
+    # (position_ids continuation) and, for pieces that BEGIN a doc in
+    # this chunk, the within-chunk start (the cu_seqlens cut point)
+    bp = pieces.withColumn(
+        "_pstart",
+        F.greatest(F.col("seq_id") * L - F.col("_off"), F.lit(0)).cast("long"),
+    ).withColumn(
+        "_cstart",
+        F.when(
+            F.col("_off") >= F.col("seq_id") * L,
+            (F.col("_off") - F.col("seq_id") * L).cast("long"),
+        ),
+    )
+    sorted_pieces = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("_off"), F.col("_piece"), F.col("_pstart"), F.col("_cstart")
+            )
+        )
+    )
     out = (
-        pieces.groupBy(group_col, "seq_id")
-        .agg(
+        bp.groupBy(group_col, "seq_id")
+        .agg(sorted_pieces.alias("_ps"))
+        .select(
+            group_col,
+            "seq_id",
+            F.flatten(
+                F.transform(F.col("_ps"), lambda s: s.getField("_piece"))
+            ).alias(tokens_col),
             F.flatten(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("_off"), F.col("_piece")))
+                    F.col("_ps"),
+                    lambda s: F.sequence(
+                        s.getField("_pstart"),
+                        s.getField("_pstart")
+                        + F.size(s.getField("_piece"))
+                        - 1,
                     ),
-                    lambda s: s.getField("_piece"),
                 )
-            ).alias(tokens_col)
+            ).alias("position_ids"),
+            F.transform(
+                F.filter(
+                    F.col("_ps"), lambda s: s.getField("_cstart").isNotNull()
+                ),
+                lambda s: s.getField("_cstart"),
+            ).alias("doc_starts"),
+            F.transform(
+                F.col("_ps"), lambda s: F.size(s.getField("_piece")).cast("long")
+            ).alias("seg_lens"),
+            F.size(F.col("_ps")).cast("int").alias("n_segments"),
         )
         .withColumn("n_tok", F.size(F.col(tokens_col)))
     )

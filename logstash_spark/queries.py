@@ -897,6 +897,7 @@ _DRIVER_PRIORITY = [
     "hard_negative_mining",
     "incontext_pack",
     "snapshot_cdc_diff",
+    "packing_position_ids",
 ]
 
 

@@ -231,3 +231,77 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change",
         FN.md5(FN.coalesce(FN.col("text"), FN.lit(""))).alias("text_md5"),
     )
+
+
+@query(
+    "packing_position_ids",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, {_TOK_N} AS n, {_TOK_SQL} AS t FROM documents
+    ),
+    offs AS (
+      SELECT *, CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n AS BIGINT) AS off
+      FROM docs
+    ),
+    pieces AS (
+      SELECT source, cs.seq_id, off,
+             greatest(cs.seq_id * 64 - off, 0) AS pstart,
+             CASE WHEN off >= cs.seq_id * 64
+                  THEN off - cs.seq_id * 64 END AS cstart,
+             t[CAST(greatest(cs.seq_id * 64 - off, 0) + 1 AS BIGINT) :
+               CAST(least((cs.seq_id + 1) * 64, off + n) - off AS BIGINT)]
+               AS piece
+      FROM offs,
+           LATERAL (SELECT unnest(range(off // 64, (off + n - 1) // 64 + 1))
+                    AS seq_id) cs
+    )
+    SELECT source, seq_id,
+           md5(array_to_string(flatten(list(piece ORDER BY off)), ','))
+             AS tokens_md5,
+           md5(array_to_string(flatten(
+               list(range(pstart, pstart + len(piece)) ORDER BY off)), ','))
+             AS pos_md5,
+           md5(coalesce(array_to_string(
+               list(cstart ORDER BY off) FILTER (WHERE cstart IS NOT NULL),
+               ','), '')) AS starts_md5,
+           CAST(count(*) AS INT) AS n_segments,
+           CAST(len(flatten(list(piece ORDER BY off))) AS INTEGER) AS n_tok
+    FROM pieces GROUP BY source, seq_id
+    """,
+)
+def packing_position_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-aware packing gate (`dataprep.pack_concat_chunks`
+    `with_boundaries=True`): per packed chunk, doc-relative
+    position_ids (RoPE-faithful continuation across chunk boundaries),
+    the within-chunk doc-start cut points (cu_seqlens), and segment
+    counts — the flash-attn varlen training layout. Same ONE shuffle as
+    plain packing; md5-canonicalized arrays (driver convention)."""
+    from pyspark.sql import functions as FN
+
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (FN.col("doc_id") % 37 + 3).cast("int")
+    toks = FN.transform(
+        FN.sequence(FN.lit(0), n - 1),
+        lambda i: ((FN.col("doc_id") * 7 + i * 13) % 50000).cast("int"),
+    )
+    src = docs.select(
+        "doc_id", "source", n.alias("n_tok"), toks.alias("tokens")
+    )
+    out = D.pack_concat_chunks(
+        src, group_col="source", seq_len=64, with_boundaries=True
+    )
+    md5 = lambda c: FN.md5(  # noqa: E731
+        FN.concat_ws(",", FN.col(c).cast("array<string>"))
+    )
+    return out.select(
+        "source",
+        "seq_id",
+        md5("tokens").alias("tokens_md5"),
+        md5("position_ids").alias("pos_md5"),
+        md5("doc_starts").alias("starts_md5"),
+        "n_segments",
+        "n_tok",
+    )

@@ -136,3 +136,61 @@ def test_incontext_single_shuffle(spark):
     )
     plan = _plan(incontext_pack(df, seq_len=5))
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# pack_concat_chunks with_boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_packing_boundaries(spark):
+    from logstash_spark.operators.dataprep import pack_concat_chunks
+
+    # one stream: docs of 3, 4, 5 tokens, seq_len=5
+    # stream: d1[0..2] d2[3..6] d3[7..11]
+    # chunk 0 = d1 (3) + d2's first 2; chunk 1 = d2's last 2 + d3's
+    # first 3; chunk 2 = d3's last 2
+    df = spark.createDataFrame(
+        [
+            ("s", 1, [10, 11, 12], 3),
+            ("s", 2, [20, 21, 22, 23], 4),
+            ("s", 3, [30, 31, 32, 33, 34], 5),
+        ],
+        "source string, doc_id bigint, tokens array<int>, n_tok int",
+    )
+    got = {
+        r.seq_id: r
+        for r in pack_concat_chunks(
+            df, group_col="source", seq_len=5, with_boundaries=True
+        ).collect()
+    }
+    c0, c1, c2 = got[0], got[1], got[2]
+    assert c0.tokens == [10, 11, 12, 20, 21]
+    # both docs start inside chunk 0; positions reset at each doc start
+    assert c0.position_ids == [0, 1, 2, 0, 1]
+    assert c0.doc_starts == [0, 3]
+    assert c0.seg_lens == [3, 2]
+    assert c0.n_segments == 2
+    # chunk 1: d2 CONTINUES (positions keep counting: 2, 3), d3 starts
+    assert c1.tokens == [22, 23, 30, 31, 32]
+    assert c1.position_ids == [2, 3, 0, 1, 2]
+    assert c1.doc_starts == [2]  # only d3 begins here
+    assert c1.n_segments == 2
+    # chunk 2: continuation only — no doc starts at all
+    assert c2.tokens == [33, 34]
+    assert c2.position_ids == [3, 4]
+    assert c2.doc_starts == []
+    assert c2.n_segments == 1
+
+
+def test_packing_boundaries_single_shuffle(spark):
+    from logstash_spark.operators.dataprep import pack_concat_chunks
+
+    df = spark.createDataFrame(
+        [("s", 1, [10, 11], 2)],
+        "source string, doc_id bigint, tokens array<int>, n_tok int",
+    )
+    plan = _plan(
+        pack_concat_chunks(df, group_col="source", seq_len=5, with_boundaries=True)
+    )
+    assert plan.count("Exchange") == 1
