@@ -101,6 +101,7 @@ def bench_flagship(spark) -> tuple[float, float]:
 DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "200000"))
 ANN_VECS = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "100000"))
 NF_PACKETS = int(os.environ.get("SPARK_GRAFT_NF_PACKETS", "500000"))
+PACK_DOCS = int(os.environ.get("SPARK_GRAFT_PACK_DOCS", "1000000"))
 
 
 def synthetic_docs(spark, n: int):
@@ -448,6 +449,45 @@ def bench_netflow_scale(spark) -> float:
         pkts.unpersist()
 
 
+def bench_packing_scale(spark) -> float:
+    """Boundary-aware sequence packing over PACK_DOCS synthetic token
+    docs (avg ~48 tokens → ~48M tokens through ONE Exchange at the
+    default): the canonical tokens-table assembly for the north-rule
+    input shape (doc_id, tokens, n_tok, source). Streams are sharded
+    256-way (how a 100 TB pack run parallelizes: per-shard streams, not
+    8 giant per-source ones), and the with_boundaries layout forces
+    tokens + position_ids + cu_seqlens materialization."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.dataprep import pack_concat_chunks
+
+    i = F.col("id")
+    n_tok = (F.lit(16) + F.pmod(F.xxhash64(i * F.lit(7919)), F.lit(64))).cast(
+        "int"
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), n_tok - 1),
+        lambda j: F.pmod(
+            F.xxhash64(i * F.lit(100003) + j.cast("long")), F.lit(50257)
+        ).cast("int"),
+    )
+    docs = spark.range(0, PACK_DOCS, 1, CPUS * 4).select(
+        i.alias("doc_id"),
+        F.pmod(F.xxhash64(i), F.lit(256)).cast("string").alias("source"),
+        n_tok.alias("n_tok"),
+        toks.alias("tokens"),
+    )
+    out = pack_concat_chunks(
+        docs, group_col="source", seq_len=2048, with_boundaries=True
+    )
+    agg = out.agg(
+        F.sum("n_tok").alias("toks"),
+        F.count(F.lit(1)).alias("chunks"),
+        F.sum("n_segments").alias("segs"),
+    )
+    return _time_best(lambda: agg, spark)
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from logstash_spark.session import get_spark
@@ -474,6 +514,7 @@ def main() -> None:
     timings["bm25_scale"] = round(bench_bm25_scale(spark), 3)
     timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
     timings["netflow_decode_scale"] = round(bench_netflow_scale(spark), 3)
+    timings["packing_scale"] = round(bench_packing_scale(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
