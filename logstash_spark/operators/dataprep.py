@@ -3700,3 +3700,42 @@ def incontext_pack(
             (F.col("offset") % seq_len) + n > seq_len,
         )
     )
+
+
+def chat_loss_mask(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    spans_col: str = "train_spans",
+    mask_label: int = -100,
+) -> DataFrame:
+    """Multi-turn SFT label construction: train only on the listed
+    [start, end) token spans (the assistant turns of a chat transcript)
+    and mask everything else with `mask_label` — the multi-turn
+    generalization of `sft_loss_mask`'s single prompt_len split.
+    `spans_col` is array<struct<s:int, e:int>>; out-of-range ends clip
+    naturally, null/empty span lists mask the whole sequence (nothing
+    to train on), overlapping spans union.
+
+    Pure column algebra: one transform over the token array with an
+    exists() probe into the (single-digit-length) span list per
+    position — zero shuffle, zero UDF. Output adds labels +
+    n_trainable."""
+    t = F.col(tokens_col)
+    spans = F.coalesce(
+        F.col(spans_col), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    in_span = lambda i: F.exists(  # noqa: E731
+        spans,
+        lambda sp: (i >= sp.getField("s")) & (i < sp.getField("e")),
+    )
+    labels = F.transform(
+        t, lambda x, i: F.when(in_span(i), x).otherwise(F.lit(mask_label))
+    )
+    out = df.withColumn("labels", labels)
+    return out.withColumn(
+        "n_trainable",
+        F.size(
+            F.filter(F.col("labels"), lambda x: x != F.lit(mask_label))
+        ).cast("int"),
+    )

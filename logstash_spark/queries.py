@@ -898,6 +898,7 @@ _DRIVER_PRIORITY = [
     "incontext_pack",
     "snapshot_cdc_diff",
     "packing_position_ids",
+    "chat_loss_mask",
 ]
 
 

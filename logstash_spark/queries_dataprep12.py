@@ -305,3 +305,67 @@ def packing_position_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments",
         "n_tok",
     )
+
+
+@query(
+    "chat_loss_mask",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST({_TOK_N} AS INT) AS n, {_TOK_SQL} AS t,
+             CAST(doc_id % 5 AS INT) AS s1,
+             CAST(20 + doc_id % 9 AS INT) AS s2
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, s1, s2,
+             list_transform(range(1, n + 1), i ->
+               CASE WHEN ((i - 1) >= s1 AND (i - 1) < s1 + 7)
+                      OR ((i - 1) >= s2 AND (i - 1) < s2 + 4)
+                    THEN t[i] ELSE -100 END) AS labels
+      FROM d
+    )
+    SELECT doc_id, s1, s2,
+           md5(coalesce(array_to_string(labels, ','), '')) AS labels_md5,
+           CAST(len(list_filter(labels, x -> x <> -100)) AS INT)
+             AS n_trainable
+    FROM m
+    """,
+)
+def chat_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn chat masking gate (`dataprep.chat_loss_mask`): two
+    assistant spans per doc ([s1, s1+7) and [20+k, 20+k+4)), the second
+    deliberately beyond many docs' length to pin the clip behavior.
+    md5-canonicalized labels (driver convention)."""
+    from pyspark.sql import functions as FN
+
+    from logstash_spark.operators import dataprep as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (FN.col("doc_id") % 37 + 3).cast("int")
+    toks = FN.transform(
+        FN.sequence(FN.lit(0), n - 1),
+        lambda i: ((FN.col("doc_id") * 7 + i * 13) % 50000).cast("int"),
+    )
+    s1 = (FN.col("doc_id") % 5).cast("int")
+    s2 = (FN.col("doc_id") % 9 + 20).cast("int")
+    spans = FN.array(
+        FN.struct(s1.alias("s"), (s1 + 7).alias("e")),
+        FN.struct(s2.alias("s"), (s2 + 4).alias("e")),
+    )
+    src = docs.select(
+        "doc_id",
+        toks.alias("tokens"),
+        spans.alias("train_spans"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    out = D.chat_loss_mask(src)
+    return out.select(
+        "doc_id",
+        "s1",
+        "s2",
+        FN.md5(
+            FN.concat_ws(",", FN.col("labels").cast("array<string>"))
+        ).alias("labels_md5"),
+        "n_trainable",
+    )

@@ -194,3 +194,36 @@ def test_packing_boundaries_single_shuffle(spark):
         pack_concat_chunks(df, group_col="source", seq_len=5, with_boundaries=True)
     )
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# chat_loss_mask
+# ---------------------------------------------------------------------------
+
+
+def test_chat_loss_mask_values(spark):
+    from logstash_spark.operators.dataprep import chat_loss_mask
+
+    df = spark.createDataFrame(
+        [
+            # two spans, second clips at the end
+            (1, [1, 2, 3, 4, 5, 6], [(1, 3), (4, 99)]),
+            # overlapping spans union
+            (2, [1, 2, 3, 4], [(0, 2), (1, 3)]),
+            # empty span list masks everything
+            (3, [7, 8], []),
+            # null span list masks everything
+            (4, [9], None),
+        ],
+        "doc_id bigint, tokens array<int>, "
+        "train_spans array<struct<s:int,e:int>>",
+    )
+    got = {r.doc_id: r for r in chat_loss_mask(df).collect()}
+    assert got[1].labels == [-100, 2, 3, -100, 5, 6]
+    assert got[1].n_trainable == 4
+    assert got[2].labels == [1, 2, 3, -100]
+    assert got[2].n_trainable == 3
+    assert got[3].labels == [-100, -100]
+    assert got[3].n_trainable == 0
+    assert got[4].labels == [-100]
+    assert got[4].n_trainable == 0
