@@ -104,6 +104,14 @@ extra = {{"spark.ui.showConsoleProgress": "false"}}
 extra["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_SCALING_DRIVER_MEM", "8g")
 if master.startswith("local-cluster"):
     extra["spark.executor.memory"] = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM", "4g")
+# Narrow-executor probes: AQE's mid-plan broadcast promotion builds the
+# table in the DRIVER heap and ships it to every executor — on 2-core
+# probe topologies that build exceeds the heap before the job's real
+# shuffle even starts. SPARK_GRAFT_SCALING_NO_BCAST=1 pins every join
+# to shuffle form so both levels run the identical plan.
+if os.environ.get("SPARK_GRAFT_SCALING_NO_BCAST"):
+    extra["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    extra["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
 spark = get_spark(master=master, shuffle_partitions=shuffle, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 {payload}
