@@ -1570,28 +1570,20 @@ def pack_concat_chunks(
             out = out.where(F.col("n_tok") == seq_len)
         return out
 
-    # boundary mode: each piece also carries its doc-relative start
-    # (position_ids continuation) and, for pieces that BEGIN a doc in
-    # this chunk, the within-chunk start (the cu_seqlens cut point)
-    bp = pieces.withColumn(
-        "_pstart",
-        F.greatest(F.col("seq_id") * L - F.col("_off"), F.lit(0)).cast("long"),
-    ).withColumn(
-        "_cstart",
-        F.when(
-            F.col("_off") >= F.col("seq_id") * L,
-            (F.col("_off") - F.col("seq_id") * L).cast("long"),
-        ),
-    )
+    # boundary mode: the doc-relative piece start (position_ids
+    # continuation) and the within-chunk start of pieces that BEGIN a
+    # doc here (the cu_seqlens cut points) are both derivable POST
+    # SHUFFLE from _off and the seq_id group key — nothing extra rides
+    # the Exchange beyond what plain packing already ships
     sorted_pieces = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("_off"), F.col("_piece"), F.col("_pstart"), F.col("_cstart")
-            )
-        )
+        F.collect_list(F.struct(F.col("_off"), F.col("_piece")))
     )
+    chunk0 = F.col("seq_id") * L  # chunk's global start offset
+    pstart = lambda s: F.greatest(  # noqa: E731 — doc-relative start
+        chunk0 - s.getField("_off"), F.lit(0)
+    ).cast("long")
     out = (
-        bp.groupBy(group_col, "seq_id")
+        pieces.groupBy(group_col, "seq_id")
         .agg(sorted_pieces.alias("_ps"))
         .select(
             group_col,
@@ -1603,18 +1595,16 @@ def pack_concat_chunks(
                 F.transform(
                     F.col("_ps"),
                     lambda s: F.sequence(
-                        s.getField("_pstart"),
-                        s.getField("_pstart")
-                        + F.size(s.getField("_piece"))
-                        - 1,
+                        pstart(s),
+                        pstart(s) + F.size(s.getField("_piece")) - 1,
                     ),
                 )
             ).alias("position_ids"),
             F.transform(
                 F.filter(
-                    F.col("_ps"), lambda s: s.getField("_cstart").isNotNull()
+                    F.col("_ps"), lambda s: s.getField("_off") >= chunk0
                 ),
-                lambda s: s.getField("_cstart"),
+                lambda s: (s.getField("_off") - chunk0).cast("long"),
             ).alias("doc_starts"),
             F.transform(
                 F.col("_ps"), lambda s: F.size(s.getField("_piece")).cast("long")
@@ -3581,7 +3571,11 @@ def dpo_pairs(
     """
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    g, s, i = F.col(group_col), F.col(score_col), F.col(id_col)
+    # a null score (failed reward-model call) must not hijack the
+    # rejected slot (NULLs sort first ascending) and null the margin —
+    # unscored candidates simply don't compete
+    df = df.where(F.col(score_col).isNotNull())
+    s, i = F.col(score_col), F.col(id_col)
     w_hi = Window.partitionBy(group_col).orderBy(s.desc(), i.asc())
     w_lo = Window.partitionBy(group_col).orderBy(s.asc(), i.desc())
     ranked = df.withColumn("_rh", F.row_number().over(w_hi)).withColumn(
@@ -3689,11 +3683,15 @@ def incontext_pack(
         Window.unboundedPreceding, Window.currentRow
     )
     off = (F.sum(n).over(run) - n).cast("long")
+    # window_id stays LONG (matching pack_concat_chunks' seq_id): an int
+    # wraps past 2^31 windows per cluster stream. floor() over the
+    # double division is exact while offsets stay under 2^53 tokens per
+    # cluster (9 peta-tokens — far beyond any single stream).
     return (
         df.withColumn("pack_order", F.row_number().over(w))
         .withColumn("offset", off)
         .withColumn(
-            "window_id", F.floor(F.col("offset") / seq_len).cast("int")
+            "window_id", F.floor(F.col("offset") / seq_len).cast("long")
         )
         .withColumn(
             "straddles",
@@ -3732,10 +3730,13 @@ def chat_loss_mask(
     labels = F.transform(
         t, lambda x, i: F.when(in_span(i), x).otherwise(F.lit(mask_label))
     )
-    out = df.withColumn("labels", labels)
-    return out.withColumn(
+    # count span-covered POSITIONS, not labels != mask_label: a token
+    # whose value happens to equal mask_label (or a null token) inside
+    # a train span is still trained on
+    n_trainable = F.size(
+        F.filter(F.sequence(F.lit(0), F.size(t) - 1), in_span)
+    )
+    return df.withColumn("labels", labels).withColumn(
         "n_trainable",
-        F.size(
-            F.filter(F.col("labels"), lambda x: x != F.lit(mask_label))
-        ).cast("int"),
+        F.when(F.size(t) > 0, n_trainable).otherwise(F.lit(0)).cast("int"),
     )

@@ -148,7 +148,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT cluster, doc_id, n_tok, pack_order, "offset",
-           CAST("offset" // 64 AS INT) AS window_id,
+           CAST("offset" // 64 AS BIGINT) AS window_id,
            (("offset" % 64) + n_tok) > 64 AS straddles
     FROM o
     """,

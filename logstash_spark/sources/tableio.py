@@ -209,6 +209,7 @@ def snapshot_diff(
     id_col: str = "doc_id",
     compare_cols: list[str] | None = None,
     include_unchanged: bool = False,
+    carry_payload: bool = True,
 ) -> DataFrame:
     """Row-level change-data-capture between two versions of a keyed
     table: emit (id, change) with change ∈ insert / delete / update
@@ -219,15 +220,25 @@ def snapshot_diff(
     ingest snapshots — the batch analog of the file input's
     sincedb tail.
 
-    New-side payload columns ride along (null for deletes) so the
-    consumer can act on inserts/updates without a second read.
+    With `carry_payload=True` (default) the new-side payload columns
+    ride along (null for deletes) so the consumer can act on
+    inserts/updates without a second read.
+
+    The fingerprint is null-safe and boundary-safe: each compare column
+    hashes independently (NULL gets its own tag, so NULL vs '' vs a
+    value containing the separator can never collide) and the row
+    fingerprint is the hash of those fixed-width digests.
 
     Scale topology: ONE full-outer shuffle join hash-partitioned on the
-    id — both sides prune to id + compare columns before the exchange
-    (fingerprints are computed map-side; unchanged payloads are never
-    re-joined). At 10^12 rows this is the standard AQE-managed keyed
-    join; there is no window, no global sort, no driver state. Against
-    a real Iceberg catalog, `IcebergTable`'s metadata would skip
+    id. The old side always prunes to (id, fingerprint); with
+    `carry_payload=True` the NEW side's payload travels through that
+    exchange — the right trade when most rows change or the payload is
+    narrow. For a low change-rate over a wide table, pass
+    `carry_payload=False` to get the ids-only delta (both sides prune
+    to id + 32-byte fingerprint) and join the change set back to the
+    new snapshot yourself — broadcastable when the delta is small.
+    Either way: no window, no global sort, no driver state. Against a
+    real Iceberg catalog, `IcebergTable`'s metadata would skip
     unchanged FILES entirely; this content diff is the engine-portable
     fallback with identical output."""
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -235,11 +246,21 @@ def snapshot_diff(
     if compare_cols is None:
         shared = [c for c in new.columns if c in set(old.columns)]
         compare_cols = sorted(c for c in shared if c != id_col)
+    # null-safe per-column digests: NULL and values are tagged onto
+    # disjoint preimages, and fixed-width digests make the row concat
+    # unambiguous regardless of value content
+    col_fp = lambda c: F.md5(  # noqa: E731
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.col(c).cast("string"))
+        )
+    )
     fp = lambda df: F.md5(  # noqa: E731
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])
+        F.concat(*[col_fp(c) for c in compare_cols])
     )
     o = old.select(F.col(id_col), fp(old).alias("_fp_old"))
-    payload = [c for c in new.columns if c != id_col]
+    payload = (
+        [c for c in new.columns if c != id_col] if carry_payload else []
+    )
     n = new.select(F.col(id_col), fp(new).alias("_fp_new"), *payload)
     j = o.join(n, id_col, "full_outer")
     change = (

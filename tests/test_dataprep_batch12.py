@@ -227,3 +227,31 @@ def test_chat_loss_mask_values(spark):
     assert got[3].n_trainable == 0
     assert got[4].labels == [-100]
     assert got[4].n_trainable == 0
+
+
+def test_dpo_null_score_does_not_hijack(spark):
+    # a failed reward-model call (null score) must not become the
+    # rejected candidate or null the margin — it just doesn't compete
+    df = spark.createDataFrame(
+        [(1, 11, 5, [1]), (1, 12, 9, [2]), (1, 13, None, [3])],
+        "prompt_id bigint, doc_id bigint, score int, tokens array<int>",
+    )
+    got = dpo_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.chosen_id, r.rejected_id, r.margin) == (12, 11, 4)
+    assert r.n_candidates == 2  # the unscored row is out of the pool
+
+
+def test_chat_loss_mask_counts_positions_not_values(spark):
+    from logstash_spark.operators.dataprep import chat_loss_mask
+
+    df = spark.createDataFrame(
+        [(1, [-100, 7, -100], [(0, 2)])],
+        "doc_id bigint, tokens array<int>, "
+        "train_spans array<struct<s:int,e:int>>",
+    )
+    r = chat_loss_mask(df).collect()[0]
+    # position 0 holds value -100 INSIDE the span: still trainable
+    assert r.labels == [-100, 7, -100]
+    assert r.n_trainable == 2

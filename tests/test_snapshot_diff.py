@@ -53,3 +53,42 @@ def test_read_changes_between_snapshots(spark, tmp_path):
     # append semantics: snapshot 2 = batch1 files + batch2 → delta is
     # exactly the new batch
     assert [(r.doc_id, r.change, r.text) for r in got] == [(3, "insert", "c")]
+
+
+def test_snapshot_diff_null_safe_fingerprint(spark):
+    # (NULL, 'x') vs ('x', NULL) must NOT collide (concat_ws would
+    # silently skip the NULL and call both rows md5('x'))
+    old = spark.createDataFrame(
+        [(1, None, "x")], "doc_id bigint, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None)], "doc_id bigint, a string, b string"
+    )
+    got = snapshot_diff(old, new).collect()
+    assert [(r.doc_id, r.change) for r in got] == [(1, "update")]
+    # separator injection: ('a\x1fb', '') vs ('a', 'b\x1f')
+    old2 = spark.createDataFrame(
+        [(1, "a\x1fb", "")], "doc_id bigint, a string, b string"
+    )
+    new2 = spark.createDataFrame(
+        [(1, "a", "b\x1f")], "doc_id bigint, a string, b string"
+    )
+    got2 = snapshot_diff(old2, new2).collect()
+    assert [(r.doc_id, r.change) for r in got2] == [(1, "update")]
+
+
+def test_snapshot_diff_ids_only_mode(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "doc_id bigint, text string"
+    )
+    got = sorted(
+        snapshot_diff(old, new, carry_payload=False).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in got] == [
+        (1, "delete"), (2, "update"), (3, "insert")
+    ]
+    assert got[0].__fields__ == ["doc_id", "change"]  # no payload cols
