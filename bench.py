@@ -306,15 +306,14 @@ def bench_bpe_scale(spark) -> float:
 
 def bench_bm25_scale(spark) -> float:
     """Inverted-index build + BM25 top-10 for 32 queries over DEDUP_DOCS
-    synthetic docs: the retrieval witness. Index = the one corpus-wide
-    explode+groupBy (dl computed map-side, plan-asserted single
-    Exchange), PERSISTED like the materialized artifact it is at scale —
-    scoring's three consumers (corpus stats, matched-term df, the
-    broadcast term join) otherwise each rebuild it. Timed end-to-end
-    including the build."""
+    synthetic docs: the retrieval witness. Uses the full `bm25_index`
+    artifact path — postings PERSISTED, stats + vocabulary df table
+    derived once from that materialization — so a query batch scans the
+    postings exactly once (the Lucene segment-metadata pattern). Timed
+    end-to-end including the build."""
     from pyspark.sql import functions as F
 
-    from logstash_spark.operators.retrieval import bm25_topk, build_postings
+    from logstash_spark.operators.retrieval import bm25_index, bm25_topk
 
     docs = synthetic_docs(spark, DEDUP_DOCS)
     queries = spark.createDataFrame(
@@ -325,18 +324,21 @@ def bench_bm25_scale(spark) -> float:
     state: dict = {}
 
     def run():
-        if "post" in state:  # drop the previous rep's cache first
-            state["post"].unpersist()
-        state["post"] = post = build_postings(docs).persist()
-        return bm25_topk(post, queries, k=10).agg(
+        for cached in state.values():  # drop the previous rep's cache
+            cached.unpersist()
+        post, stats, dft = bm25_index(docs)
+        state["post"] = post
+        state["stats"] = stats = stats.persist()
+        state["dft"] = dft = dft.persist()
+        return bm25_topk(post, queries, k=10, stats=stats, df_table=dft).agg(
             F.sum("score_scaled").alias("s"), F.count("*").alias("c")
         )
 
     try:
         return _time_best(run, spark)
     finally:
-        if "post" in state:
-            state["post"].unpersist()
+        for cached in state.values():
+            cached.unpersist()
 
 
 def bench_simhash_degenerate(spark) -> float:

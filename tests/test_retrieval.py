@@ -183,3 +183,26 @@ def test_reservoir_seed_independence(spark):
     assert len(a) == len(b) == 50
     # independent hash families: overlap should be tiny (expected ~1.25)
     assert len(a & b) < 15
+
+
+def test_bm25_index_artifacts_match_adhoc(spark):
+    # the index-time artifact path (stats map-side pre-explode, df table
+    # materialized) must reproduce the ad-hoc derivation bit-for-bit —
+    # including an empty doc, which contributes to neither n_docs nor
+    # the postings
+    docs = _corpus(spark).union(
+        spark.createDataFrame([(6, "")], "doc_id long, text string")
+    )
+    post, stats, dft = R.bm25_index(docs)
+    s = stats.collect()[0]
+    s2 = R.postings_stats(post).collect()[0]
+    assert (s.n_docs, s.l_tokens) == (s2.n_docs, s2.l_tokens) == (5, 24)
+    q = spark.createDataFrame(
+        [(1, ["spark", "unicorn"])], "query_id int, terms array<string>"
+    )
+    got = sorted(
+        tuple(r)
+        for r in R.bm25_topk(post, q, k=5, stats=stats, df_table=dft).collect()
+    )
+    want = sorted(tuple(r) for r in R.bm25_topk(post, q, k=5).collect())
+    assert got == want
