@@ -3740,3 +3740,129 @@ def chat_loss_mask(
         "n_trainable",
         F.when(F.size(t) > 0, n_trainable).otherwise(F.lit(0)).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed dynamic batching (padding-waste minimization)
+# ---------------------------------------------------------------------------
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    *,
+    n_tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Group variable-length sequences into fixed-count batches of
+    SIMILAR length so per-batch padding to the batch max wastes little
+    compute — the standard dynamic-batching step in front of training /
+    batched inference (each batch is padded to its own max, not the
+    global max).
+
+    bucket = bit-length of n_tok (docs in [2^k, 2^(k+1)) share a
+    bucket) — integer-exact in any engine (`length(bin(n))`), no float
+    log2 edge cases. Within (bucket, shard) docs order by n_tok DESC
+    (tightest batches first), id ASC; `batch_id` = 0-based row_number
+    div batch_size. The trailing partial batch per (bucket, shard) is
+    kept and identifiable by count < batch_size.
+
+    Scale topology: ONE window shuffle keyed (bucket, shard).
+    Parallelism is buckets x shards — with ~20 real length buckets a
+    bare window serializes 10^12 rows through ~20 reducers, so
+    `n_shards` (deterministic `portable_hash32(id:':lbshard')` split)
+    is the skew lever: batches never cross shards, so output is
+    reproducible under ANY cluster size while parallelism scales to
+    buckets x n_shards. Empty/zero-length rows land in bucket 0.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    n = F.col(n_tok_col).cast("long")
+    bucket = (
+        F.when(n <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(n)))
+        .cast("int")
+        .alias("bucket")
+    )
+    shard = F.pmod(
+        portable_hash32(F.concat(F.col(id_col).cast("string"), F.lit(":lbshard"))),
+        F.lit(n_shards),
+    ).cast("int")
+    out = df.withColumn("bucket", bucket).withColumn("lb_shard", shard)
+    w = Window.partitionBy("bucket", "lb_shard").orderBy(
+        n.desc(), F.col(id_col).asc()
+    )
+    # floor over double division is exact while row numbers stay under
+    # 2^53 per (bucket, shard) — far past any real shard size
+    return out.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast(
+            "long"
+        ),
+    )
+
+
+def batch_pad_stats(
+    batches: DataFrame, *, n_tok_col: str = "n_tok"
+) -> DataFrame:
+    """Per-batch padding economics over `length_bucket_batches` output:
+    n_docs, the batch max (every doc pads to it), the real token sum,
+    and `pad_waste` = n_docs*max - sum (tokens of wasted compute).
+    ONE groupBy on the same (bucket, shard, batch) key the window
+    already partitioned by — AQE coalesces it into the existing
+    partitioning at scale."""
+    n = F.col(n_tok_col).cast("long")
+    return batches.groupBy("bucket", "lb_shard", "batch_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(n).alias("max_tok"),
+        F.sum(n).alias("sum_tok"),
+        (F.count("*") * F.max(n) - F.sum(n)).cast("long").alias("pad_waste"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic (heavy-hitter report)
+# ---------------------------------------------------------------------------
+
+
+def skew_report(
+    df: DataFrame, key_col: str, *, top_k: int = 10
+) -> DataFrame:
+    """Heavy-hitter skew report for a prospective shuffle key: the
+    top_k keys by row count with exact ppm share of the table — the
+    number you read BEFORE keying a 10^12-row join/groupBy on a column,
+    to decide between a plain shuffle, salting, or a broadcast of the
+    hot slice (this repo's `aggregate_salted` / LSH star-guard levers).
+
+    Plan: groupBy(key).count (map-side partial combine, the only
+    full-data shuffle), a 1-row total agg over those counts, and a
+    TakeOrdered top_k (no global sort materialization). ppm is integer
+    arithmetic (cnt*1_000_000 div total) — engine-exact. NULL keys
+    count as a key (rendered as the string '<null>'), because at scale
+    a null-heavy key IS the classic skew bug."""
+    counts = (
+        df.groupBy(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias(
+                "key"
+            )
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_k)
+    out = top.crossJoin(F.broadcast(total))
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return out.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "key",
+        "cnt",
+        F.expr("CAST(cnt * 1000000 DIV total AS BIGINT)").alias("ppm"),
+        "total",
+        "n_keys",
+    )
