@@ -2265,14 +2265,24 @@ def semantic_dedup(
             ),
         )
     )
-    dropped = scored.where(F.col("_cos") >= threshold).select(
+    dup_ids = scored.where(F.col("_cos") >= threshold).select(
         F.col("_b").alias("_dup_id")
-    ).distinct()
-    out = df.join(
-        assign.select(F.col(id_col), F.col("bucket").alias("cluster")), id_col
-    ).join(dropped, F.col(id_col) == F.col("_dup_id"), "left")
+    )
     if mode == "drop":
-        return out.where(F.col("_dup_id").isNull()).drop("_dup_id", "cluster")
+        # drop mode discards the cluster column, so the corpus never
+        # joins back to the assignment at all — one anti-join against
+        # the (typically tiny, AQE-broadcastable) duplicate-id set, and
+        # no distinct (anti-join semantics ignore duplicates)
+        return df.join(
+            dup_ids, F.col(id_col) == F.col("_dup_id"), "left_anti"
+        )
+    # flag mode: source the cluster from the SAME banded subtree the
+    # pair join reads, so AQE reuses the bucket exchange instead of
+    # recomputing the centroid assignment a second time
+    out = df.join(
+        banded.select(F.col("_id").alias(id_col), F.col("bucket").alias("cluster")),
+        id_col,
+    ).join(dup_ids.distinct(), F.col(id_col) == F.col("_dup_id"), "left")
     return out.withColumn("semantic_dup", F.col("_dup_id").isNotNull()).drop("_dup_id")
 
 
