@@ -2410,6 +2410,7 @@ def pq_encode(
     dim: int = 64,
     m_sub: int = 4,
     k_codes: int = 16,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantize vectors: split into `m_sub` subspaces, assign each
     slice to its nearest codebook entry (squared L2, first-min tie break).
@@ -2441,7 +2442,12 @@ def pq_encode(
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    # `keep` lets a caller that already derived per-row columns (e.g. the
+    # IVF bucket) carry them through the encode instead of re-joining the
+    # codes back on id — a map-side projection either way
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep], F.array(*codes).alias("codes")
+    )
 
 
 def ann_ivf_pq(
@@ -2482,13 +2488,19 @@ def ann_ivf_pq(
     cb = pq_codebook(m_sub, k_codes, sub_dim)
     from pyspark.sql.window import Window
 
+    # encode directly on the assignment output (vec rides its exchange
+    # anyway) — one corpus scan and ZERO corpus-side join, instead of
+    # joining two separate derivations of the same scan back on id
     cbuck = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
-    ccodes = pq_encode(
-        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m_sub=m_sub, k_codes=k_codes
-    )
-    cside = cbuck.select(F.col(id_col).alias("c_id"), "bucket").join(
-        ccodes.select(F.col(id_col).alias("c_id"), "codes"), "c_id"
-    )
+    cside = pq_encode(
+        cbuck,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        keep=("bucket",),
+    ).select(F.col(id_col).alias("c_id"), "bucket", "codes")
     qb = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
     qside = qb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket")
     scored = cside.join(qside, "bucket")
