@@ -168,3 +168,79 @@ def grok_firewall_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "username",
         "pam_by",
     )
+
+
+@query(
+    "streaming_metrics_windows",
+    """
+    SELECT strftime(make_timestamp(epoch_us(ts) // 300000000 * 300000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(make_timestamp(epoch_us(ts) // 300000000 * 300000000
+                                   + 300000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_metrics_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING gate: the events table replayed through a
+    real `readStream` file source into `streaming.streaming_metrics`
+    (watermarked 5-minute tumbling counts by event_type), drained with
+    trigger availableNow into a memory sink, returned as the batch
+    result. With the full table available the watermark drops nothing,
+    so the incremental answer must equal the batch GROUP BY — which is
+    exactly what the oracle computes (Spark window() aligns to the unix
+    epoch; the oracle mirrors it with integer epoch arithmetic). This
+    puts the streaming runtime itself — source, state store, window
+    eviction, sink — under the driver's cross-engine gate, not just
+    unit tests."""
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from logstash_spark.streaming.pipeline import (  # noqa: PLC0415
+        streaming_metrics,
+    )
+
+    import os  # noqa: PLC0415
+
+    # the file-stream source requires a DIRECTORY to monitor; expose the
+    # single read-only parquet file through a temp dir of symlinks
+    stream_dir = tempfile.mkdtemp(prefix="smw_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        f"{stream_dir}/events.parquet",
+    )
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .load(stream_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks require event-time
+        # TIMESTAMP (the UTC session makes the cast value-preserving)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = streaming_metrics(
+        src, "ts", ["event_type"], window_duration="5 minutes",
+        watermark="10 minutes",
+    )
+    sink = f"smw_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="smw_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "cnt",
+    )
