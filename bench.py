@@ -490,6 +490,56 @@ def bench_packing_scale(spark) -> float:
     return _time_best(lambda: agg, spark)
 
 
+def bench_streaming_flagship(spark) -> float:
+    """The RESUMABLE shape of the flagship: the same
+    parse→enrich→route→aggregate transform driven by Structured
+    Streaming (file source → foreachBatch fan-out with exactly-once
+    `_batch_id` dynamic-partition sinks) over BENCH_N/4 rows landed as
+    8 parquet files, maxFilesPerTrigger=2 → 4 micro-batches. Timed
+    end-to-end per drain with a FRESH checkpoint each rep (best-of-2;
+    a warm drain would be a no-op). Measures what the batch flagship
+    number cannot: per-micro-batch planning overhead, checkpoint I/O,
+    and real parquet sink writes."""
+    import shutil
+    import tempfile
+
+    from logstash_spark.plans.flagship import build_flagship
+    from logstash_spark.sources.gen import input_sequences
+    from logstash_spark.streaming.pipeline import (
+        file_stream_source,
+        run_streaming_fanout,
+    )
+
+    sinks = ["sink_errors", "sink_edge", "sink_service", "sink_rest", "dlq"]
+    n = max(BENCH_N // 4, 10_000)
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    landing = f"{root}/landing"
+    df = input_sequences(spark, n, partitions=8)
+    df.write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    best = float("inf")
+    for rep in range(2):
+        sinks_root = f"{root}/sinks_{rep}"
+        ckpt = f"{root}/ckpt_{rep}"
+        stream = file_stream_source(
+            spark, landing, schema, max_files_per_trigger=2
+        )
+        t0 = time.perf_counter()
+        q = run_streaming_fanout(
+            stream,
+            build_flagship,
+            sinks,
+            sinks_root,
+            ckpt,
+            drop_before_write=("raw",),
+        )
+        q.awaitTermination()
+        best = min(best, time.perf_counter() - t0)
+    shutil.rmtree(root, ignore_errors=True)
+    return best
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     from logstash_spark.session import get_spark
@@ -517,6 +567,7 @@ def main() -> None:
     timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
     timings["netflow_decode_scale"] = round(bench_netflow_scale(spark), 3)
     timings["packing_scale"] = round(bench_packing_scale(spark), 3)
+    timings["streaming_flagship"] = round(bench_streaming_flagship(spark), 3)
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)

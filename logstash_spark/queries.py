@@ -769,6 +769,7 @@ from logstash_spark import queries_dataprep10 as _qdp10  # noqa: E402,F401
 from logstash_spark import queries_dataprep11 as _qdp11  # noqa: E402,F401
 from logstash_spark import queries_dataprep12 as _qdp12  # noqa: E402,F401
 from logstash_spark import queries_dataprep13 as _qdp13  # noqa: E402,F401
+from logstash_spark import queries_logstash12 as _ql12  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the

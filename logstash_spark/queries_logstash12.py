@@ -1,0 +1,105 @@
+"""Correctness-gate queries, batch 12 (round 3): the STREAMING runtime
+under the cross-engine oracle. Each gate replays a benchmark parquet
+table through a real `readStream` file source, runs a stateful
+Structured Streaming operator (session windows, watermark dedupe),
+drains with trigger(availableNow), and compares the incremental answer
+to a DuckDB batch recomputation. With the whole table available the
+watermark drops nothing, so incremental must equal batch — which is the
+invariant the reference's pipeline integration tests assert for its
+aggregate/fingerprint filters (SURVEY.md §2.7 streaming semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.queries import query
+
+
+@query(
+    "streaming_sessions_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts)
+                          >= 600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts)
+               AS sess_no
+      FROM g
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 600 SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess_no
+    """,
+)
+def streaming_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING gate for native `session_window` (the
+    incremental twin of the batch `sessionize` operator): 10-minute
+    inactivity-gap sessions per user, replayed through a file stream and
+    drained availableNow. The oracle recomputes sessions with the
+    lag+running-sum construction; the boundary rule mirrors Spark's
+    half-open windows (a gap of EXACTLY 600s starts a new session, hence
+    `>=` — `sessionize_gap`'s batch oracle uses `>` because that is the
+    reference aggregate-filter's timeout rule; Spark's native
+    session_window end = last event + gap, both sides truncate the
+    formatted timestamps identically)."""
+    from logstash_spark.streaming.pipeline import (  # noqa: PLC0415
+        drain_available_now,
+        replay_table_stream,
+        streaming_sessions,
+    )
+
+    src = replay_table_stream(spark, sf_dir, "events", ts_col="ts")
+    sess = streaming_sessions(
+        src, "ts", "user_id", gap="10 minutes", watermark="10 minutes"
+    )
+    return drain_available_now(sess, output_mode="complete").select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "user_id",
+        "n_events",
+    )
+
+
+@query(
+    "streaming_dedupe_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedupe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING gate for watermark-bounded exact dedupe
+    (`dropDuplicatesWithinWatermark` — the stateful fingerprint+
+    conditional Logstash pattern): first event per (user_id, event_type)
+    wins; output projected to the key columns so the answer is
+    arrival-order-independent and equals batch DISTINCT. The watermark
+    is set far above the table's 30-day span so no key state is evicted
+    mid-replay — eviction-vs-late-data behavior is pinned separately in
+    tests/test_streaming.py."""
+    from logstash_spark.streaming.pipeline import (  # noqa: PLC0415
+        drain_available_now,
+        replay_table_stream,
+        streaming_dedupe,
+    )
+
+    src = replay_table_stream(spark, sf_dir, "events", ts_col="ts")
+    deduped = streaming_dedupe(
+        src, ["user_id", "event_type"], "ts", watermark="3650 days"
+    )
+    return drain_available_now(deduped, output_mode="append").select(
+        "user_id", "event_type"
+    )

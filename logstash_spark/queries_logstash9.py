@@ -196,47 +196,18 @@ def streaming_metrics_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     puts the streaming runtime itself — source, state store, window
     eviction, sink — under the driver's cross-engine gate, not just
     unit tests."""
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
     from logstash_spark.streaming.pipeline import (  # noqa: PLC0415
+        drain_available_now,
+        replay_table_stream,
         streaming_metrics,
     )
 
-    import os  # noqa: PLC0415
-
-    # the file-stream source requires a DIRECTORY to monitor; expose the
-    # single read-only parquet file through a temp dir of symlinks
-    stream_dir = tempfile.mkdtemp(prefix="smw_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        f"{stream_dir}/events.parquet",
-    )
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(batch_schema)
-        .format("parquet")
-        .load(stream_dir)
-        # parquet stores TIMESTAMP_NTZ; watermarks require event-time
-        # TIMESTAMP (the UTC session makes the cast value-preserving)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    src = replay_table_stream(spark, sf_dir, "events", ts_col="ts")
     agg = streaming_metrics(
         src, "ts", ["event_type"], window_duration="5 minutes",
         watermark="10 minutes",
     )
-    sink = f"smw_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="smw_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
+    return drain_available_now(agg, output_mode="complete").select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),

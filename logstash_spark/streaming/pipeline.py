@@ -75,6 +75,61 @@ def file_stream_source(
     return df
 
 
+def replay_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    *,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Replay a read-only benchmark parquet table through a REAL
+    `readStream` file source (the correctness gates use this to put the
+    streaming runtime — source, state store, eviction, sink — under the
+    same cross-engine oracle as the batch operators).
+
+    The file-stream source monitors a DIRECTORY, and the testdata dirs
+    are read-only, so the single parquet file is exposed through a temp
+    directory of symlinks. `ts_col` (parquet TIMESTAMP_NTZ) is cast to
+    event-time TIMESTAMP for watermarks — value-preserving in the
+    repo's UTC sessions."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/{table}.parquet"
+    stream_dir = tempfile.mkdtemp(prefix=f"replay_{table}_")
+    os.symlink(os.path.abspath(path), f"{stream_dir}/{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).format("parquet").load(stream_dir)
+    if ts_col:
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return src
+
+
+def drain_available_now(
+    result: DataFrame, *, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with trigger(availableNow)
+    into a memory sink and return the drained result as a batch frame.
+    One-shot incremental execution: exactly what a resumable production
+    job does per deployment tick, minus the loop."""
+    import tempfile
+    import uuid
+
+    spark = result.sparkSession
+    sink = f"drain_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="drain_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """logstash-input-generator analog (benchmark source)."""
     return (
