@@ -1,5 +1,6 @@
 """Correctness-gate queries, dataprep batch 13 (round 3): padding-aware
-length-bucketed batching and the shuffle-key skew report.
+length-bucketed batching, the shuffle-key skew report, and the
+storage-bucketed co-located join.
 """
 
 from __future__ import annotations
@@ -94,3 +95,71 @@ def skew_report_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return skew_report(docs, "source", top_k=5)
+
+
+@query(
+    "bucketed_join_colocated",
+    """
+    WITH a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(event_id) AS BIGINT) AS first_event,
+             CAST(max(event_id) AS BIGINT) AS last_event
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_errors,
+             CAST(max(event_id) AS BIGINT) AS last_error
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT a.user_id, n_events, first_event, last_event,
+           n_errors, last_error
+    FROM a JOIN b ON a.user_id = b.user_id
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-bucketing gate (`tableio.write_bucketed`): two per-user
+    summary tables are WRITTEN hash-bucketed by user_id (8 buckets,
+    sorted within buckets), then sort-merge joined through the catalog.
+    Because both scans carry the same bucketing spec on the join key,
+    the join plan has ZERO Exchange (pinned in
+    tests/test_plan_shape.py) — the pay-the-shuffle-once-at-write-time
+    pattern that makes every downstream join on the key free at 100 TB
+    (Iceberg `bucket(N, key)` + storage-partitioned joins on a real
+    cluster). The merge hint keeps the demo honest: without it a
+    broadcast of the small side would also skip the exchange, but for
+    the wrong (size-dependent) reason."""
+    import hashlib  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql import functions as FN  # noqa: PLC0415
+
+    from logstash_spark.sources.tableio import write_bucketed  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.groupBy("user_id").agg(
+        FN.count("*").alias("n_events"),
+        FN.min("event_id").alias("first_event"),
+        FN.max("event_id").alias("last_event"),
+    )
+    b = (
+        ev.where(FN.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            FN.count("*").alias("n_errors"),
+            FN.max("event_id").alias("last_error"),
+        )
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/bucketed_{tag}"
+    ta = write_bucketed(
+        a, f"bkt_user_stats_{tag}", f"{root}/a", buckets=8, key="user_id"
+    )
+    tb = write_bucketed(
+        b, f"bkt_user_errors_{tag}", f"{root}/b", buckets=8, key="user_id"
+    )
+    return ta.hint("merge").join(tb.hint("merge"), "user_id").select(
+        "user_id", "n_events", "first_event", "last_event",
+        "n_errors", "last_error",
+    )

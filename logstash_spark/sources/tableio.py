@@ -437,3 +437,53 @@ def open_table(
     if fmt not in ("auto", "snapshot"):
         raise ValueError(f"unknown table format {fmt!r}")
     return SnapshotTable(root)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    *,
+    buckets: int,
+    key: str | list[str],
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Hash-bucketed external parquet table — the CO-LOCATED-JOIN seam.
+
+    Two tables bucketed by the same key with the same bucket count join
+    with ZERO Exchange on either side (plan-pinned in
+    tests/test_plan_shape.py): Spark's storage-bucketing contract says
+    each bucket file holds exactly the rows whose
+    `hash(key) mod buckets` matches, so a sort-merge join can zip bucket
+    i against bucket i directly. At 100 TB this is THE repeated-join
+    amortization: pay one shuffle at write time (here: an explicit
+    `repartition(buckets, key)` so each bucket lands in ONE file instead
+    of one-file-per-task-per-bucket small-file spray), then every
+    downstream join/groupBy on that key is exchange-free. The same
+    declaration maps to Iceberg's `bucket(N, key)` partition transform +
+    storage-partitioned joins on a real cluster; this sandbox uses the
+    session catalog (in-memory), so bucket METADATA is per-session while
+    the parquet files themselves are durable at `path` — re-register in
+    a new session by calling this again or `CREATE TABLE ... USING
+    parquet CLUSTERED BY`.
+
+    `sort=True` additionally sorts within buckets by the key, letting
+    the merge join skip its Sort when files-per-bucket is 1.
+
+    Returns the registered table (read back through the catalog so the
+    scan carries the bucketing spec)."""
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    writer = (
+        df.repartition(buckets, *[F.col(k) for k in keys])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(buckets, keys[0], *keys[1:])
+    )
+    if sort:
+        writer = writer.sortBy(keys[0], *keys[1:])
+    writer.option("path", os.path.abspath(path)).saveAsTable(name)
+    return spark.table(name)

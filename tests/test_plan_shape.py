@@ -427,3 +427,17 @@ def test_pmi_phrases_dfcut_before_vocab_joins(spark):
     assert min(depth(f) for f in filt) > max(depth(j) for j in joins)
     # top-k is TakeOrdered, never a global Sort+Limit
     assert "TakeOrderedAndProject" in plan_of(out)
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """write_bucketed pays the shuffle once at write time: the
+    sort-merge join of two tables bucketed on the join key has ZERO
+    Exchange on either side, and both scans carry the bucketing spec."""
+    from logstash_spark.queries import QUERIES
+
+    df = QUERIES["bucketed_join_colocated"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
