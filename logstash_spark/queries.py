@@ -901,6 +901,11 @@ _DRIVER_PRIORITY = [
     "snapshot_cdc_diff",
     "packing_position_ids",
     "chat_loss_mask",
+    # streaming-runtime + storage-bucketing gates (round 3, late)
+    "streaming_metrics_windows",
+    "streaming_sessions_gap",
+    "streaming_dedupe_keys",
+    "bucketed_join_colocated",
 ]
 
 
