@@ -490,7 +490,7 @@ def bench_packing_scale(spark) -> float:
     return _time_best(lambda: agg, spark)
 
 
-def bench_streaming_flagship(spark) -> float:
+def bench_streaming_flagship(spark, layout: str = "per-sink") -> float:
     """The RESUMABLE shape of the flagship: the same
     parse→enrich→route→aggregate transform driven by Structured
     Streaming (file source → foreachBatch fan-out with exactly-once
@@ -499,7 +499,10 @@ def bench_streaming_flagship(spark) -> float:
     end-to-end per drain with a FRESH checkpoint each rep (best-of-2;
     a warm drain would be a no-op). Measures what the batch flagship
     number cannot: per-micro-batch planning overhead, checkpoint I/O,
-    and real parquet sink writes."""
+    and real parquet sink writes. Run for BOTH sink layouts: `per-sink`
+    (K filtered write jobs per batch — independent per-output tables)
+    vs `unified` (one explode + one (sink,_batch_id)-partitioned write
+    per batch — scheduling overhead independent of sink count)."""
     import shutil
     import tempfile
 
@@ -533,6 +536,7 @@ def bench_streaming_flagship(spark) -> float:
             sinks_root,
             ckpt,
             drop_before_write=("raw",),
+            layout=layout,
         )
         q.awaitTermination()
         best = min(best, time.perf_counter() - t0)
@@ -568,6 +572,9 @@ def main() -> None:
     timings["netflow_decode_scale"] = round(bench_netflow_scale(spark), 3)
     timings["packing_scale"] = round(bench_packing_scale(spark), 3)
     timings["streaming_flagship"] = round(bench_streaming_flagship(spark), 3)
+    timings["streaming_flagship_unified"] = round(
+        bench_streaming_flagship(spark, layout="unified"), 3
+    )
 
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)

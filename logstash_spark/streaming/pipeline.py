@@ -149,21 +149,55 @@ def run_streaming_fanout(
     routes_col: str = "routes",
     available_now: bool = True,
     drop_before_write: Sequence[str] = (),
+    layout: str = "per-sink",
 ):
     """Multi-sink conditional fan-out over a stream.
 
     foreachBatch gets the micro-batch as a plain DataFrame: apply the
-    batch transform once, persist, then one filtered parquet write per
-    sink — the exact persist-before-fanout rule the batch path uses
-    (SURVEY.md §4). Exactly-once: each sink write is partitioned by
-    `_batch_id` with DYNAMIC partition overwrite, so a batch replayed
-    after a mid-fan-out crash overwrites its own partition in every sink
+    batch transform once, then write every sink exactly-once. Two sink
+    layouts, same routing semantics (a row lands in every sink its
+    `routes` array names):
+
+    * `layout="per-sink"` (default): persist the routed frame, then one
+      filtered parquet write per sink directory — the batch runner's
+      layout, one independent table per output (read back as
+      `{sinks_root}/{sink}`). K write JOBS per micro-batch and K passes
+      over the cached frame.
+    * `layout="unified"`: ONE `explode(routes)` and ONE write per
+      micro-batch, partitioned by (sink, _batch_id) — per-sink dirs
+      become Hive partitions (read back as `{sinks_root}/sink={name}`).
+      Same bytes written (multi-route rows duplicate in the explode
+      exactly as they do across filtered writes) but a single data pass
+      and a single job, so per-micro-batch scheduling overhead stops
+      scaling with sink count (bench `streaming_flagship` measures both
+      layouts). The scale choice; per-sink remains for layout parity
+      with independent per-output tables.
+
+    Exactly-once either way: writes are partitioned by `_batch_id` with
+    DYNAMIC partition overwrite, so a batch replayed after a
+    mid-fan-out crash overwrites its own partition in every sink
     instead of appending duplicates (foreachBatch alone is only
     at-least-once).
     """
+    if layout not in ("per-sink", "unified"):
+        raise ValueError(f"unknown layout {layout!r}")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         routed = transform(batch_df)
+        if layout == "unified":
+            (
+                routed.select(
+                    "*", F.explode(F.col(routes_col)).alias("sink")
+                )
+                .where(F.col("sink").isin(list(sinks)))
+                .drop(routes_col, *drop_before_write)
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("sink", "_batch_id")
+                .parquet(sinks_root)
+            )
+            return
         routed = routed.persist()
         try:
             for sink in sinks:

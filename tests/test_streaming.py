@@ -96,6 +96,39 @@ def test_streaming_fanout_replay_is_exactly_once(spark, landing, tmp_path):
         assert got == expected, f"{sink}: replay duplicated rows ({got} != {expected})"
 
 
+def test_streaming_fanout_unified_layout(spark, landing, tmp_path):
+    """layout='unified': one explode + one (sink,_batch_id)-partitioned
+    write per micro-batch. Same routing semantics as per-sink filtered
+    writes (per-sink counts match batch), token arrays byte-identical,
+    and a fresh-checkpoint replay overwrites its own partitions instead
+    of duplicating (dynamic overwrite exactly-once)."""
+    path, schema = landing
+    sinks_root = str(tmp_path / "sinks")
+    for ckpt in ("ckpt_a", "ckpt_b"):  # second run = crash-replay analog
+        stream = file_stream_source(spark, path, schema, max_files_per_trigger=3)
+        q = run_streaming_fanout(
+            stream,
+            build_flagship,
+            SINKS,
+            sinks_root,
+            str(tmp_path / ckpt),
+            drop_before_write=("raw",),
+            layout="unified",
+        )
+        q.awaitTermination(120)
+
+    out = spark.read.parquet(sinks_root)
+    batch_routed = build_flagship(spark.read.schema(schema).parquet(path))
+    for sink in SINKS:
+        expected = batch_routed.where(F.array_contains("routes", sink)).count()
+        got = out.where(F.col("sink") == sink).count()
+        assert got == expected, f"{sink}: unified {got} != batch {expected}"
+
+    src = spark.read.schema(schema).parquet(path).select("doc_id", "tokens")
+    edge = out.where(F.col("sink") == "sink_edge").select("doc_id", "tokens")
+    assert edge.join(src, ["doc_id", "tokens"], "left_anti").count() == 0
+
+
 def test_streaming_metrics_incremental(spark, landing, tmp_path):
     path, schema = landing
     stream = file_stream_source(spark, path, schema)
