@@ -3888,3 +3888,145 @@ def skew_report(
         "total",
         "n_keys",
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+    mutual: bool = True,
+    candidates: DataFrame | None = None,
+    broadcast_src: bool = True,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, ACL — the
+    LASER/CCMatrix parallel-corpus recipe): mine translation pairs from
+    two monolingual embedding spaces by the RATIO margin
+
+        margin(x, y) = sim(x, y) / (avgk(x→T)/2 + avgk(y→S)/2)
+
+    where avgk is the mean similarity to the k nearest neighbours in
+    the OTHER language. A raw nearest neighbour is kept only when it
+    beats its neighbourhood (margin > threshold) and — with
+    ``mutual=True`` — when x and y pick each other (the paper's
+    *intersection* strategy), which kills hub vectors that are
+    "closest" to everything.
+
+    Determinism device (cross-engine bit-exactness, cf. the kmeans /
+    pagerank offset trick): similarities are shifted to the
+    non-negative integer grid ``sim_u = round((1 + cos) * 1e6)`` —
+    rank-equivalent to cosine, so kNN sets and argmaxes are unchanged —
+    and the margin becomes one integer division
+
+        margin_ppm = sim_u * 2*k_s*k_t * 1e6  DIV  (sk_s*k_t + sk_t*k_s)
+
+    (``sk_*`` = integer top-k sim sums, ``k_*`` = actual neighbour
+    counts ≤ k, so short candidate lists use their true mean). All
+    terms are non-negative int64 (≤ 2.6e14 before the division), so
+    Spark ``DIV`` ≡ DuckDB ``//`` and the oracle replays bit-for-bit.
+
+    Scale shape: with ``candidates=None`` the full bipartite score set
+    |S|×|T| is materialized with the smaller side broadcast
+    (``broadcast_src``) — the exact-mining topology for probe-sized S
+    (eval sets, low-resource languages). At corpus scale pass
+    ``candidates`` (s_id, t_id shortlists from `ann_lsh_bucketed` /
+    `ann_ivf` both directions, as CCMatrix does with FAISS): margins
+    are then computed WITHIN the shortlist — the standard
+    approximation — and nothing quadratic is ever scheduled. Either
+    way the scored table takes exactly three Exchanges (s_id → t_id →
+    s_id): each window family reuses its predecessor's partitioning
+    (rank + conditional top-k sum share one sort per key).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    s = src.select(
+        F.col(id_col).alias("s_id"), F.col(vec_col).alias("s_vec")
+    ).withColumn("_sn", l2norm(F.col("s_vec")))
+    t = tgt.select(
+        F.col(id_col).alias("t_id"), F.col(vec_col).alias("t_vec")
+    ).withColumn("_tn", l2norm(F.col("t_vec")))
+
+    if candidates is not None:
+        pairs = (
+            candidates.select("s_id", "t_id")
+            .join(F.broadcast(s) if broadcast_src else s, "s_id")
+            .join(t, "t_id")
+        )
+    else:
+        pairs = t.join(F.broadcast(s) if broadcast_src else s, F.lit(True))
+
+    scored = pairs.select(
+        "s_id",
+        "t_id",
+        F.round(
+            (
+                F.lit(1.0)
+                + dot(F.col("s_vec"), F.col("t_vec"))
+                / (F.col("_sn") * F.col("_tn"))
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("sim_u"),
+    )
+
+    # Exchange 1 (s_id): forward kNN rank + top-k sum/count reuse one sort.
+    w_fs = Window.partitionBy("s_id").orderBy(F.col("sim_u").desc(), "t_id")
+    w_s = Window.partitionBy("s_id")
+    scored = scored.withColumn("_rf", F.row_number().over(w_fs))
+    scored = scored.withColumn(
+        "_sk_s",
+        F.sum(F.when(F.col("_rf") <= k, F.col("sim_u")).otherwise(0)).over(w_s),
+    ).withColumn(
+        "_k_s",
+        F.sum(F.when(F.col("_rf") <= k, 1).otherwise(0)).over(w_s).cast("long"),
+    )
+    # Exchange 2 (t_id): backward kNN sums, then margin + backward-best
+    # rank over the same key.
+    w_ft = Window.partitionBy("t_id").orderBy(F.col("sim_u").desc(), "s_id")
+    w_t = Window.partitionBy("t_id")
+    scored = scored.withColumn("_rb", F.row_number().over(w_ft))
+    scored = scored.withColumn(
+        "_sk_t",
+        F.sum(F.when(F.col("_rb") <= k, F.col("sim_u")).otherwise(0)).over(w_t),
+    ).withColumn(
+        "_k_t",
+        F.sum(F.when(F.col("_rb") <= k, 1).otherwise(0)).over(w_t).cast("long"),
+    )
+    denom = F.col("_sk_s") * F.col("_k_t") + F.col("_sk_t") * F.col("_k_s")
+    scored = scored.withColumn(
+        "margin_ppm",
+        F.when(denom > 0, F.expr(
+            "CAST(sim_u * 2 * _k_s * _k_t * 1000000 DIV "
+            "(_sk_s * _k_t + _sk_t * _k_s) AS BIGINT)"
+        )).otherwise(F.lit(0)),
+    )
+    w_mb = Window.partitionBy("t_id").orderBy(
+        F.col("margin_ppm").desc(), "s_id"
+    )
+    scored = scored.withColumn("_mb", F.row_number().over(w_mb))
+    # Exchange 3 (s_id): forward best-by-margin.
+    w_mf = Window.partitionBy("s_id").orderBy(
+        F.col("margin_ppm").desc(), "t_id"
+    )
+    out = (
+        scored.withColumn("_mf", F.row_number().over(w_mf))
+        .where(
+            (F.col("_mf") == 1)
+            & (F.col("margin_ppm") >= margin_threshold_ppm)
+        )
+        .select(
+            "s_id",
+            "t_id",
+            "sim_u",
+            "margin_ppm",
+            (F.col("_mb") == 1).cast("int").alias("mutual"),
+        )
+    )
+    if mutual:
+        out = out.where(F.col("mutual") == 1)
+    return out

@@ -906,6 +906,7 @@ _DRIVER_PRIORITY = [
     "streaming_sessions_gap",
     "streaming_dedupe_keys",
     "bucketed_join_colocated",
+    "bitext_mining",
 ]
 
 

@@ -1351,3 +1351,70 @@ def host_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = D.host_blocklist_filter(u, block, url_col="url")
     return D.host_stats(kept, url_col="url")
+
+
+@query(
+    "bitext_mining",
+    f"""
+    WITH s AS (SELECT vec_id AS s_id, embedding AS s_vec
+               FROM embeddings WHERE vec_id < 25),
+    t AS (SELECT vec_id AS t_id, embedding AS t_vec
+          FROM embeddings WHERE vec_id >= 25 AND vec_id < 325),
+    sc AS (
+      SELECT s_id, t_id,
+             CAST(round((1 + {_cos_sql('s_vec', 't_vec')}) * 1000000, 0)
+                  AS BIGINT) AS sim_u
+      FROM s, t
+    ),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY s_id ORDER BY sim_u DESC, t_id) AS rf,
+        row_number() OVER (PARTITION BY t_id ORDER BY sim_u DESC, s_id) AS rb
+      FROM sc
+    ),
+    kk AS (
+      SELECT *,
+        CAST(SUM(CASE WHEN rf <= 4 THEN sim_u ELSE 0 END)
+             OVER (PARTITION BY s_id) AS BIGINT) AS sk_s,
+        CAST(SUM(CASE WHEN rf <= 4 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY s_id) AS BIGINT) AS k_s,
+        CAST(SUM(CASE WHEN rb <= 4 THEN sim_u ELSE 0 END)
+             OVER (PARTITION BY t_id) AS BIGINT) AS sk_t,
+        CAST(SUM(CASE WHEN rb <= 4 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY t_id) AS BIGINT) AS k_t
+      FROM r
+    ),
+    m AS (
+      SELECT s_id, t_id, sim_u,
+        CAST(CASE WHEN sk_s * k_t + sk_t * k_s > 0
+             THEN sim_u * 2 * k_s * k_t * 1000000
+                  // (sk_s * k_t + sk_t * k_s)
+             ELSE 0 END AS BIGINT) AS margin_ppm
+      FROM kk
+    ),
+    b AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY s_id
+                           ORDER BY margin_ppm DESC, t_id) AS mf,
+        row_number() OVER (PARTITION BY t_id
+                           ORDER BY margin_ppm DESC, s_id) AS mb
+      FROM m
+    )
+    SELECT s_id, t_id, sim_u, margin_ppm,
+           CAST(CASE WHEN mb = 1 THEN 1 ELSE 0 END AS INTEGER) AS mutual
+    FROM b WHERE mf = 1 AND margin_ppm >= 1050000
+    """,
+)
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin,
+    the LASER/CCMatrix recipe): probe set vec_id<25 mined against the
+    25..325 corpus slice as the other "language"; forward-best pairs
+    above margin 1.05 with the mutual (intersection-strategy) flag.
+    Integer-grid similarities make every margin an exact int64 division
+    replayed bit-for-bit by the oracle."""
+    em = _embs(spark, sf_dir)
+    src = em.where(F.col("vec_id") < 25)
+    tgt = em.where((F.col("vec_id") >= 25) & (F.col("vec_id") < 325))
+    return D.bitext_mine(
+        src, tgt, k=4, margin_threshold_ppm=1_050_000, mutual=False
+    )
