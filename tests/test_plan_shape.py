@@ -441,3 +441,26 @@ def test_bucketed_join_zero_exchange(spark):
     assert "Exchange" not in plan
     assert plan.count("Bucketed: true") == 2
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_bitext_mine_three_exchanges_broadcast_src(spark):
+    """bitext_mine's scored table takes exactly three Exchanges
+    (s_id -> t_id -> s_id): each window family (rank + conditional
+    top-k sum, then best-by-margin) reuses its key's partitioning, and
+    the probe-side src set is broadcast — the corpus side never
+    shuffles before scoring."""
+    from logstash_spark.operators.dataprep import bitext_mine
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = bitext_mine(
+        em.where(F.col("vec_id") < 10),
+        em.where(F.col("vec_id") >= 10),
+        k=4,
+        margin_threshold_ppm=0,
+        mutual=False,
+    )
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 3, f"expected 3 key Exchanges, saw {n_exchanges}"
+    assert "SortMergeJoin" not in plan
