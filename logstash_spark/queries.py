@@ -770,6 +770,7 @@ from logstash_spark import queries_dataprep11 as _qdp11  # noqa: E402,F401
 from logstash_spark import queries_dataprep12 as _qdp12  # noqa: E402,F401
 from logstash_spark import queries_dataprep13 as _qdp13  # noqa: E402,F401
 from logstash_spark import queries_logstash12 as _ql12  # noqa: E402,F401
+from logstash_spark import queries_multimodal as _qmm  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -907,6 +908,11 @@ _DRIVER_PRIORITY = [
     "streaming_dedupe_keys",
     "bucketed_join_colocated",
     "bitext_mining",
+    # multimodal binary layer (round 3, late)
+    "image_header_meta",
+    "video_frame_sample",
+    "frame_block_features",
+    "audio_pcm_stats",
 ]
 
 
