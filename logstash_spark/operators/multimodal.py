@@ -40,6 +40,7 @@ __all__ = [
     "le_uint",
     "sniff_format",
     "image_meta",
+    "image_ahash",
     "frame_sample",
     "frame_features",
     "pcm_stats",
@@ -299,6 +300,58 @@ def pcm_stats(
         F.aggregate(samples, zero, lambda acc, x: acc + F.abs(x)).alias("sum_abs"),
         F.array_max(F.transform(samples, F.abs)).alias("peak"),
         F.aggregate(samples, zero, lambda acc, x: acc + x * x).alias("sum_sq"),
+    )
+
+
+def image_ahash(payload: Column, *, blocks: int = 32, max_bytes: int = 256) -> Column:
+    """Average-hash (aHash) perceptual fingerprint of raw image/frame
+    bytes as ONE pure column expression: the first `min(n, max_bytes)`
+    bytes are split into `blocks` contiguous slices (block j = bytes
+    [j·m/blocks, (j+1)·m/blocks)), and bit j is set when block j's mean
+    byte ≥ the global mean. The comparison is division-free
+    (`sum_j · m ≥ total · len_j`) so the fingerprint is integer-exact in
+    any engine. Returns a `long` with `blocks` significant bits.
+
+    This is the LAION-style image-dedup primitive: near-identical images
+    produce fingerprints within a few bits, so `dataprep.simhash_pairs`
+    (band join + star guard + exact-Hamming verify) runs unchanged over
+    the output via its `fp_table` seam — image near-dup inherits the
+    text pipeline's full scale topology. In production the decode/resize
+    UDF (8×8 grayscale downsample) runs FIRST and this op fingerprints
+    the 64 thumbnail bytes; `max_bytes` bounds expression cost when it
+    is pointed at raw payloads instead. Zero shuffle, zero UDF.
+    """
+    if blocks < 1 or blocks > 62:
+        raise ValueError(f"blocks must be in [1, 62], got {blocks}")
+    h = F.hex(payload)
+    n = F.octet_length(payload)
+    m = F.least(n, F.lit(max_bytes)).cast("long")
+    byte_at = lambda j: F.conv(  # noqa: E731
+        h.substr((j * 2 + 1).cast("int"), F.lit(2)), 16, 10
+    ).cast("long")
+    bvals = F.transform(
+        F.sequence(F.lit(0).cast("long"), m - 1), byte_at
+    )
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(bvals, zero, lambda a, x: a + x)
+    # exact in double: j, m bounded so j*m <= 62 * max_bytes << 2^53
+    start = lambda j: F.floor(j * m / blocks).cast("long")  # noqa: E731
+
+    def term(j: Column) -> Column:
+        s, e = start(j), start(j + 1)
+        ln = e - s
+        sm = F.aggregate(F.slice(bvals, (s + 1).cast("int"), ln.cast("int")), zero, lambda a, x: a + x)
+        bit = (ln > 0) & (sm * m >= total * ln)
+        w = F.pow(F.lit(2.0), j.cast("double")).cast("long")
+        return F.when(bit, w).otherwise(zero)
+
+    return F.when(
+        n > 0,
+        F.aggregate(
+            F.sequence(F.lit(0).cast("long"), F.lit(blocks - 1).cast("long")),
+            zero,
+            lambda acc, j: acc + term(j),
+        ),
     )
 
 

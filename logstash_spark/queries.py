@@ -913,6 +913,8 @@ _DRIVER_PRIORITY = [
     "video_frame_sample",
     "frame_block_features",
     "audio_pcm_stats",
+    "streaming_enrich_fanout",
+    "image_ahash_neardup",
 ]
 
 

@@ -103,3 +103,88 @@ def streaming_dedupe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_available_now(deduped, output_mode="append").select(
         "user_id", "event_type"
     )
+
+
+@query(
+    "streaming_enrich_fanout",
+    """
+    WITH enriched AS (
+      SELECT *,
+             CASE event_type WHEN 'error' THEN 'sev'
+                             WHEN 'purchase' THEN 'rev'
+                             ELSE 'other' END AS category
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 's_alert' AS sink, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+        FROM enriched WHERE category = 'sev'
+      UNION ALL
+      SELECT 's_money', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+        FROM enriched WHERE value > 120
+      UNION ALL
+      SELECT 's_rest', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+        FROM enriched WHERE category != 'sev' AND value <= 120
+    ) WHERE cnt > 0
+    """,
+)
+def streaming_enrich_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING gate for the FULL enrich → route → fan-out →
+    per-sink aggregate path (the north rule's pipeline shape, incremental
+    form): events replayed through a real readStream file source, each
+    micro-batch translate-enriched (broadcast dict join) and conditionally
+    routed by LSCL condition strings, written through the unified fan-out
+    layout (ONE explode + ONE partitioned write per micro-batch, dynamic
+    `_batch_id` partition overwrite = exactly-once), then per-sink counts
+    + exact integer value sums read back from the sink table. The oracle
+    recomputes all three sinks from the batch table — incremental must
+    equal batch. Multi-route rows (error AND value>120) land in BOTH
+    sinks, exercising graph semantics through the streaming writer."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from logstash_spark.operators.enrich import translate  # noqa: PLC0415
+    from logstash_spark.operators.route import add_routes  # noqa: PLC0415
+    from logstash_spark.streaming.pipeline import (  # noqa: PLC0415
+        replay_table_stream,
+        run_streaming_fanout,
+    )
+
+    cat_dict = {"error": "sev", "purchase": "rev"}
+
+    def transform(df: DataFrame) -> DataFrame:
+        enriched = translate(df, "event_type", "category", cat_dict, fallback="other")
+        return add_routes(
+            enriched,
+            {"s_alert": '[category] == "sev"', "s_money": "[value] > 120"},
+            else_sink="s_rest",
+        )
+
+    work = tempfile.mkdtemp(prefix="stream_fanout_gate_")
+    try:
+        src = replay_table_stream(spark, sf_dir, "events", ts_col="ts")
+        q = run_streaming_fanout(
+            src,
+            transform,
+            sinks=["s_alert", "s_money", "s_rest"],
+            sinks_root=f"{work}/sinks",
+            checkpoint_dir=f"{work}/ckpt",
+            layout="unified",
+        )
+        q.awaitTermination()
+        written = spark.read.parquet(f"{work}/sinks")
+        out = (
+            written.groupBy("sink")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.floor("value").cast("long")).alias("sum_floor_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "sink string, cnt bigint, sum_floor_value bigint"
+    )

@@ -265,3 +265,98 @@ def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.unhex(F.concat(header, body))
     built = docs.select("doc_id", payload.alias("payload"))
     return M.pcm_stats(built, "payload", max_samples=64)
+
+
+# ---------------------------------------------------------------------------
+# image_ahash_neardup — perceptual-hash image dedup through the text
+# pipeline's banding machinery
+# ---------------------------------------------------------------------------
+
+@query(
+    "image_ahash_neardup",
+    """
+    WITH px AS (
+      SELECT doc_id, doc_id % 64 AS p,
+             upper(md5('img' || CAST(doc_id % 40 AS VARCHAR) || '_0')
+                || md5('img' || CAST(doc_id % 40 AS VARCHAR) || '_1')
+                || md5('img' || CAST(doc_id % 40 AS VARCHAR) || '_2')
+                || md5('img' || CAST(doc_id % 40 AS VARCHAR) || '_3')) AS hx0,
+             upper(lpad(hex(doc_id % 256), 2, '0')) AS pb
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             substr(hx0, 1, CAST(2*p AS INT)) || pb
+               || substr(hx0, CAST(2*p + 3 AS INT)) AS hx
+      FROM px
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               k -> CAST('0x' || substr(hx, CAST(2*k + 1 AS INT), 2) AS BIGINT)
+             ) AS bv
+      FROM hx
+    ),
+    t AS (SELECT doc_id, bv, list_sum(bv) AS tot FROM b),
+    -- 64 bytes / 32 blocks = exactly 2 bytes per block; bit j set when
+    -- block mean >= global mean  <=>  (bv[2j+1]+bv[2j+2]) * 32 >= tot
+    fp AS (
+      SELECT t.doc_id,
+             CAST(sum(CASE WHEN (bv[CAST(2*js.j + 1 AS INT)]
+                                 + bv[CAST(2*js.j + 2 AS INT)]) * 32 >= tot
+                           THEN CAST(power(2, js.j) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM t, (SELECT unnest(range(0, 32)) AS j) js
+      GROUP BY t.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND (  (a.fp % 256) = (b.fp % 256)
+         OR ((a.fp // 256) % 256) = ((b.fp // 256) % 256)
+         OR ((a.fp // 65536) % 256) = ((b.fp // 65536) % 256)
+         OR ((a.fp // 16777216) % 256) = ((b.fp // 16777216) % 256))
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual average-hash: each doc gets a 64-byte
+    synthetic 'thumbnail' shared within its group (doc_id % 40) except one
+    perturbed byte, `multimodal.image_ahash` fingerprints the BYTES (the
+    gate builds real binary and the op reads it back), and
+    `dataprep.simhash_pairs` runs UNCHANGED over the fingerprints via its
+    `fp_table` seam — image dedup inherits the text pipeline's band join
+    + star guard + exact-Hamming verify topology. Star guard disabled here
+    (max_bucket > corpus) so the all-pairs oracle stays valid, exactly
+    like the simhash_pairs gate. The oracle derives block bits by the
+    even-split shortcut (2 bytes/block) while the op computes the general
+    division-free form — independent derivations must agree bit-for-bit."""
+    from logstash_spark.operators import dataprep as D
+
+    docs = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 40).cast("string")
+    hx0 = F.upper(
+        F.concat(
+            *[F.md5(F.concat(F.lit("img"), g, F.lit(f"_{k}"))) for k in range(4)]
+        )
+    )
+    p2 = ((F.col("doc_id") % 64) * 2).cast("int")
+    pb = F.upper(F.lpad(F.hex(F.col("doc_id") % 256), 2, "0"))
+    hx = F.concat(
+        hx0.substr(F.lit(1), p2), pb, hx0.substr(p2 + 3, F.lit(128))
+    )
+    built = docs.select("doc_id", F.unhex(hx).alias("payload"))
+    fp = built.select(
+        "doc_id", M.image_ahash(F.col("payload"), blocks=32).alias("simhash")
+    )
+    return D.simhash_pairs(
+        built,
+        "doc_id",
+        "doc_id",
+        bits=32,
+        bands=4,
+        max_hamming=2,
+        max_bucket=10_000_000,
+        fp_table=fp,
+    )

@@ -168,3 +168,59 @@ def test_image_and_frame_plans_are_shuffle_free(spark):
         M.frame_sample(vdf, "payload")._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan2
+
+
+def test_image_ahash_matches_reference(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def ref_ahash(b, blocks=32, cap=256):
+        b = b[:cap]
+        m = len(b)
+        tot = sum(b)
+        fp = 0
+        for j in range(blocks):
+            s, e = (j * m) // blocks, ((j + 1) * m) // blocks
+            bl = b[s:e]
+            if len(bl) > 0 and sum(bl) * m >= tot * len(bl):
+                fp |= 1 << j
+        return fp
+
+    rows = [(i, hashlib.md5(f"img{i}".encode()).digest() * 4) for i in range(12)]
+    rows += [(90, b"\x05"), (91, b""), (92, None)]  # tiny / empty / null
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", M.image_ahash(F.col("payload")).alias("fp")
+        ).collect()
+    }
+    for i, payload in rows[:12]:
+        assert got[i] == ref_ahash(payload), i
+    assert got[90] == ref_ahash(b"\x05")  # 1 byte: block 0 set, rest empty
+    assert got[91] is None and got[92] is None
+
+
+def test_image_ahash_near_identical_images_are_close(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    base = bytearray(hashlib.md5(b"base").digest() * 4)
+    tweaked = bytearray(base)
+    tweaked[10] = (tweaked[10] + 1) % 256  # one-byte perturbation
+    other = hashlib.md5(b"unrelated").digest() * 4
+    df = spark.createDataFrame(
+        [(1, bytes(base)), (2, bytes(tweaked)), (3, bytes(other))],
+        "doc_id long, payload binary",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", M.image_ahash(F.col("payload")).alias("fp")
+        ).collect()
+    }
+    near = bin(fps[1] ^ fps[2]).count("1")
+    far = bin(fps[1] ^ fps[3]).count("1")
+    assert near <= 2 < far
