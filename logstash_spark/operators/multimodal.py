@@ -41,6 +41,7 @@ __all__ = [
     "sniff_format",
     "image_meta",
     "image_ahash",
+    "image_resize_nearest",
     "frame_sample",
     "frame_features",
     "pcm_stats",
@@ -353,6 +354,53 @@ def image_ahash(payload: Column, *, blocks: int = 32, max_bytes: int = 256) -> C
             lambda acc, j: acc + term(j),
         ),
     )
+
+
+def image_resize_nearest(
+    payload: Column,
+    src_w: Column,
+    src_h: Column,
+    dst_w: int,
+    dst_h: int,
+) -> Column:
+    """Nearest-neighbor downsample of a raw row-major grayscale image
+    (one byte per pixel) to `dst_w`×`dst_h`, as pure column algebra:
+    output pixel (r, c) = input byte at row ⌊r·src_h/dst_h⌋, col
+    ⌊c·src_w/dst_w⌋ — the standard nearest-neighbor index map, exact in
+    integer arithmetic so any engine reproduces the same thumbnail.
+    Returns the resized image as `binary` (dst_w·dst_h bytes); null when
+    the payload is null or shorter than src_w·src_h.
+
+    This is the resize stage of the image-dedup recipe (decode →
+    RESIZE to a fixed thumbnail → `image_ahash` → banded pairs): the
+    fingerprint becomes resolution-invariant because every source size
+    maps onto the same dst grid first. Zero shuffle, zero UDF; cost is
+    O(dst pixels) per row, independent of source size. A production
+    bilinear/Lanczos resize drops into the same seam as a Pandas UDF —
+    nearest-neighbor is the exact-arithmetic variant that keeps the
+    cross-engine oracle bit-true.
+    """
+    if dst_w < 1 or dst_h < 1:
+        raise ValueError(f"dst dims must be >= 1, got {dst_w}x{dst_h}")
+    h = F.hex(payload)
+    n = F.octet_length(payload)
+    ok = payload.isNotNull() & (n >= src_w * src_h) & (src_w > 0) & (src_h > 0)
+    npix = dst_w * dst_h
+
+    def src_pixel_hex(i: Column) -> Column:
+        # exact for realistic dims: products stay far below 2^53, and a
+        # correctly-rounded double quotient of ints this size floors to
+        # the true integer quotient
+        src_r = F.floor(F.floor(i / dst_w) * src_h / dst_h).cast("long")
+        src_c = F.floor((i % dst_w) * src_w / dst_w).cast("long")
+        off = (src_r * src_w + src_c) * 2 + 1
+        return h.substr(off.cast("int"), F.lit(2))
+
+    pix = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(npix - 1).cast("long")),
+        src_pixel_hex,
+    )
+    return F.when(ok, F.unhex(F.array_join(pix, "")))
 
 
 def le_uint_dyn(hex_col: Column, byte_off: Column) -> Column:

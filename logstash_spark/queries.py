@@ -915,6 +915,7 @@ _DRIVER_PRIORITY = [
     "audio_pcm_stats",
     "streaming_enrich_fanout",
     "image_ahash_neardup",
+    "image_resize_dedup",
 ]
 
 

@@ -360,3 +360,128 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=10_000_000,
         fp_table=fp,
     )
+
+
+# ---------------------------------------------------------------------------
+# image_resize_dedup — resolution-invariant image dedup end-to-end:
+# decode(synth) → resize → ahash → banded pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "image_resize_dedup",
+    """
+    WITH px AS (
+      SELECT doc_id, doc_id % 64 AS p,
+             upper(md5('rz' || CAST(doc_id % 30 AS VARCHAR) || '_0')
+                || md5('rz' || CAST(doc_id % 30 AS VARCHAR) || '_1')
+                || md5('rz' || CAST(doc_id % 30 AS VARCHAR) || '_2')
+                || md5('rz' || CAST(doc_id % 30 AS VARCHAR) || '_3')) AS hx0,
+             upper(lpad(hex(doc_id % 256), 2, '0')) AS pb
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             substr(hx0, 1, CAST(2*p AS INT)) || pb
+               || substr(hx0, CAST(2*p + 3 AS INT)) AS hx
+      FROM px
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               k -> CAST('0x' || substr(hx, CAST(2*k + 1 AS INT), 2) AS BIGINT)
+             ) AS bv
+      FROM hx
+    ),
+    t AS (SELECT doc_id, bv, list_sum(bv) AS tot FROM b),
+    fp AS (
+      SELECT t.doc_id,
+             CAST(sum(CASE WHEN (bv[CAST(2*js.j + 1 AS INT)]
+                                 + bv[CAST(2*js.j + 2 AS INT)]) * 32 >= tot
+                           THEN CAST(power(2, js.j) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM t, (SELECT unnest(range(0, 32)) AS j) js
+      GROUP BY t.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND (  (a.fp % 256) = (b.fp % 256)
+         OR ((a.fp // 256) % 256) = ((b.fp // 256) % 256)
+         OR ((a.fp // 65536) % 256) = ((b.fp // 65536) % 256)
+         OR ((a.fp // 16777216) % 256) = ((b.fp // 16777216) % 256))
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    """,
+)
+def image_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-invariant image dedup END-TO-END: each doc renders its
+    group's 8x8 pattern (one perturbed pixel) at a doc-specific scale
+    (8/16/24 px — exact k-times nearest-neighbor upscale), then the
+    Spark side must RESIZE back to the 8x8 thumbnail
+    (`multimodal.image_resize_nearest`, pure index algebra), fingerprint
+    it (`image_ahash`), and band-join near-dups — so duplicates are
+    found ACROSS resolutions, the LAION dedup recipe. The oracle states
+    ground truth from the 8x8 base directly (nearest-neighbor inverts an
+    exact upscale by construction): any resize/ahash defect breaks the
+    hash match. Star guard disabled for oracle validity as in the other
+    pair gates."""
+    from logstash_spark.operators import dataprep as D
+
+    docs = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 30).cast("string")
+    hx0 = F.upper(
+        F.concat(*[F.md5(F.concat(F.lit("rz"), g, F.lit(f"_{k}"))) for k in range(4)])
+    )
+    p2 = ((F.col("doc_id") % 64) * 2).cast("int")
+    pb = F.upper(F.lpad(F.hex(F.col("doc_id") % 256), 2, "0"))
+    basehex = F.concat(hx0.substr(F.lit(1), p2), pb, hx0.substr(p2 + 3, F.lit(128)))
+    k = (1 + F.col("doc_id") % 3).cast("long")
+    side = 8 * k
+    img_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), side * side - 1),
+            lambda i: basehex.substr(
+                (
+                    (
+                        F.floor(F.floor(i / side) / k).cast("long") * 8
+                        + F.floor((i % side) / k).cast("long")
+                    )
+                    * 2
+                    + 1
+                ).cast("int"),
+                F.lit(2),
+            ),
+        ),
+        "",
+    )
+    built = docs.select(
+        "doc_id",
+        side.cast("int").alias("side"),
+        F.unhex(img_hex).alias("payload"),
+    )
+    thumb = built.select(
+        "doc_id",
+        M.image_resize_nearest(
+            F.col("payload"), F.col("side"), F.col("side"), 8, 8
+        ).alias("thumb"),
+    )
+    # Materialize the fingerprint table before the pair join:
+    # simhash_pairs re-aliases fp_table across banding + two verify
+    # joins, and re-planning the deeply nested build->resize->ahash HOF
+    # tree per alias blows up Catalyst optimization time (observed:
+    # minutes at 500 rows). The checkpoint IS the production shape —
+    # simhash_pairs' own contract recommends a persisted signature
+    # table so the fingerprint pass runs once.
+    fp = thumb.select(
+        "doc_id", M.image_ahash(F.col("thumb"), blocks=32).alias("simhash")
+    ).localCheckpoint(eager=True)
+    return D.simhash_pairs(
+        built,
+        "doc_id",
+        "doc_id",
+        bits=32,
+        bands=4,
+        max_hamming=2,
+        max_bucket=10_000_000,
+        fp_table=fp,
+    )

@@ -224,3 +224,55 @@ def test_image_ahash_near_identical_images_are_close(spark):
     near = bin(fps[1] ^ fps[2]).count("1")
     far = bin(fps[1] ^ fps[3]).count("1")
     assert near <= 2 < far
+
+
+def test_image_resize_nearest_matches_reference(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def ref_resize(b, sw, sh, dw, dh):
+        return bytes(
+            b[((r * sh) // dh) * sw + (c * sw) // dw]
+            for r in range(dh)
+            for c in range(dw)
+        )
+
+    rows = []
+    for i in range(6):
+        sw, sh = 10 + i, 6 + i
+        img = (hashlib.md5(f"p{i}".encode()).digest() * 50)[: sw * sh]
+        rows.append((i, sw, sh, img))
+    rows += [(90, 4, 4, b"abc"), (91, 4, 4, None)]  # too short / null
+    df = spark.createDataFrame(rows, "doc_id long, sw int, sh int, payload binary")
+    got = {
+        r["doc_id"]: bytes(r["th"]) if r["th"] is not None else None
+        for r in df.select(
+            "doc_id",
+            M.image_resize_nearest(
+                F.col("payload"), F.col("sw"), F.col("sh"), 8, 8
+            ).alias("th"),
+        ).collect()
+    }
+    for i, sw, sh, img in rows[:6]:
+        assert got[i] == ref_resize(img, sw, sh, 8, 8), i
+    assert got[90] is None and got[91] is None
+
+
+def test_image_resize_inverts_exact_upscale(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    base = hashlib.md5(b"thumb").digest() * 4  # 64 bytes = 8x8
+    k = 3
+    up = bytes(
+        base[(r // k) * 8 + (c // k)] for r in range(8 * k) for c in range(8 * k)
+    )
+    df = spark.createDataFrame([(1, up)], "doc_id long, payload binary")
+    r = df.select(
+        M.image_resize_nearest(
+            F.col("payload"), F.lit(8 * k), F.lit(8 * k), 8, 8
+        ).alias("th")
+    ).collect()[0]
+    assert bytes(r["th"]) == base
