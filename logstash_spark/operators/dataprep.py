@@ -4030,3 +4030,165 @@ def bitext_mine(
     if mutual:
         out = out.where(F.col("mutual") == 1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# K-wise ranking -> pairwise preference expansion (InstructGPT recipe)
+# ---------------------------------------------------------------------------
+
+def kwise_pairs(
+    df: DataFrame,
+    *,
+    group_col: str = "prompt_id",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    min_margin: int = 1,
+    max_pairs_per_group: int | None = None,
+) -> DataFrame:
+    """Expand a K-wise ranked candidate list into ALL pairwise
+    preferences (Ouyang et al. 2022 SS3.1 / Stiennon et al. 2020: a
+    labeler ranks K responses per prompt, training consumes the
+    K-choose-2 comparisons; `dpo_pairs` is the special case that keeps
+    only the extreme pair). Emits one row per (chosen, rejected) pair
+    with score margin >= `min_margin`, ordered best-first, optionally
+    capped at `max_pairs_per_group`.
+
+    Determinism: candidates sort by (score DESC, id DESC) -- a total
+    order since ids are unique -- so pair_rank, the cap cutoff, and the
+    whole output are engine-replayable.
+
+    Scale topology: ONE shuffle (the groupBy); the K-choose-2 expansion
+    is ARRAY-LOCAL inside the grouped row (sort_array + nested
+    transform over index pairs), so no self-join is ever scheduled and
+    the shuffle carries K rows per prompt, not K^2. K is generations
+    per prompt (single to low double digits in every published recipe);
+    the O(K^2) pair array is bounded per row and the per-group cap
+    is applied by array slice BEFORE the explode, so the exploded
+    row count is exactly the output size.
+    """
+    s, i = F.col(score_col).cast("long"), F.col(id_col).cast("long")
+    g = (
+        df.where(s.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(s.alias("s"), i.alias("i"))),
+                asc=False,
+            ).alias("_c")
+        )
+    )
+    c = F.col("_c")
+    n = F.size(c)
+
+    def pairs_for(a: Column) -> Column:
+        # all (chosen=a, rejected=b) with b after a in the sorted array
+        # (indices 1-based for element_at: chosen = a+1, rejected = b)
+        return F.transform(
+            F.sequence(a + 2, n.cast("long")),
+            lambda b: F.struct(
+                F.element_at(c, a.cast("int") + 1).alias("ch"),
+                F.element_at(c, b.cast("int")).alias("rj"),
+            ),
+        )
+
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(F.sequence(F.lit(0).cast("long"), (n - 2).cast("long")), pairs_for)
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<ch:struct<s:long,i:long>,rj:struct<s:long,i:long>>>"
+        )
+    )
+    g = g.select(
+        group_col,
+        n.alias("n_candidates"),
+        F.filter(
+            pairs, lambda p: p["ch"]["s"] - p["rj"]["s"] >= min_margin
+        ).alias("_p"),
+    )
+    if max_pairs_per_group is not None:
+        g = g.withColumn("_p", F.slice("_p", 1, max_pairs_per_group))
+    ex = g.select(
+        group_col,
+        "n_candidates",
+        F.posexplode("_p").alias("_k", "_pair"),
+    )
+    return ex.select(
+        group_col,
+        F.col("_pair.ch.i").alias("chosen_id"),
+        F.col("_pair.rj.i").alias("rejected_id"),
+        F.col("_pair.ch.s").alias("chosen_score"),
+        F.col("_pair.rj.s").alias("rejected_score"),
+        (F.col("_pair.ch.s") - F.col("_pair.rj.s")).alias("margin"),
+        (F.col("_k") + 1).alias("pair_rank"),
+        "n_candidates",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus paragraph dedup (CCNet step 1: global, keep-first)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs_global(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_len: int = 0,
+) -> DataFrame:
+    """Corpus-WIDE paragraph dedup, first occurrence wins (Wenzek et
+    al. 2020 SS3.1 -- CCNet hashes every paragraph and drops repeats
+    across the whole shard; `dedup_paragraphs` is the zero-shuffle
+    intra-document special case). A paragraph survives iff it is the
+    globally first occurrence of its hash, ordered by (doc id,
+    paragraph index); paragraphs shorter than `min_len` chars never
+    participate (boilerplate connectives repeat legitimately) and are
+    always kept. Documents are reassembled in original paragraph
+    order; returns (id_col, text_col [deduped], n_paras, n_kept).
+
+    Scale topology -- TWO keyed shuffles, both skew-immune:
+      1. groupBy(hash) with min(struct(doc,idx)) -- partial-aggregated
+         map-side, so the million-fold repeated paragraph (the empty
+         string, a nav bar) arrives at the reducer as one row per map
+         partition, never as a hot partition of raw rows. The winner
+         set then joins back on the hash -- AQE reuses the groupBy's
+         exchange on the probe side.
+      2. groupBy(doc) to reassemble -- bounded by paragraphs/doc.
+    The window-over-hash alternative (row_number, keep rank 1) is the
+    classic skew trap this avoids: ALL copies of a hot paragraph would
+    land in one task.
+    """
+    import re as _re  # noqa: PLC0415
+
+    d, t = F.col(id_col), F.col(text_col)
+    paras = df.select(
+        d.alias("_d"),
+        F.posexplode(F.split(t, _re.escape(sep))).alias("_ix", "_p"),
+    )
+    parts = paras.withColumn("_h", portable_hash32(F.col("_p"))).withColumn(
+        "_dedup", F.length("_p") >= min_len
+    )
+    firsts = (
+        parts.where("_dedup")
+        .groupBy("_h")
+        .agg(F.min(F.struct("_d", "_ix")).alias("_w"))
+        .select("_h", F.col("_w._d").alias("_wd"), F.col("_w._ix").alias("_wix"))
+    )
+    kept = parts.join(firsts, "_h", "left").where(
+        (~F.col("_dedup"))
+        | ((F.col("_d") == F.col("_wd")) & (F.col("_ix") == F.col("_wix")))
+    )
+    out = kept.groupBy("_d").agg(
+        F.concat_ws(
+            sep, F.transform(F.sort_array(F.collect_list(F.struct("_ix", "_p"))), lambda x: x["_p"])
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = paras.groupBy("_d").agg(F.count(F.lit(1)).cast("long").alias("n_paras"))
+    return (
+        out.join(totals, "_d")
+        .select(F.col("_d").alias(id_col), text_col, "n_paras", "n_kept")
+    )

@@ -466,3 +466,101 @@ def anchor_stats(
         .filter(F.col("_rn") == 1)
         .select("href", "n_refs", F.col("text").alias("top_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text cleanup (the corpus normalizer)
+# ---------------------------------------------------------------------------
+
+#: Exotic line separators -> \n. Applied FIRST so VT/FF survive as
+#: structure instead of being dropped with the other controls.
+#: (NEL U+0085, LS U+2028, PS U+2029 as literal chars; VT/FF via \x
+#: escapes -- two-digit \xhh parses identically in Java regex and RE2.)
+_CLEAN_NL_RX = "[\\x0b\\x0c\u0085\u2028\u2029]"
+
+#: Dropped outright: C0 controls except \t\n (VT/FF already converted),
+#: DEL, zero-width space/non-joiner/joiner, word joiner, BOM/ZWNBSP,
+#: soft hyphen. The classic invisible-junk set that breaks exact dedup,
+#: token counting, and downstream regexes.
+_CLEAN_DROP_RX = (
+    "[\\x00-\\x08\\x0e-\\x1f\\x7f"
+    "\u200b\u200c\u200d\u2060\ufeff\u00ad]"
+)
+
+#: Unicode space variants -> ASCII space: NBSP, OGHAM SPACE MARK, EN
+#: QUAD..HAIR SPACE (U+2000-200A as a literal-char range), NNBSP, MMSP,
+#: IDEOGRAPHIC SPACE.
+_CLEAN_SPACE_RX = "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]"
+
+#: Typographic punctuation -> ASCII canonical forms (literal replaces,
+#: order-free). The quote/dash folding CCNet-family pipelines apply
+#: before hashing, so smart-quote re-renderings of the same sentence
+#: dedup together.
+CLEAN_PUNCT: tuple[tuple[str, str], ...] = (
+    ("\u2018", "'"), ("\u2019", "'"), ("\u201a", "'"), ("\u201b", "'"),
+    ("\u2039", "'"), ("\u203a", "'"),
+    ("\u201c", '"'), ("\u201d", '"'), ("\u201e", '"'), ("\u201f", '"'),
+    ("\u00ab", '"'), ("\u00bb", '"'),
+    ("\u2010", "-"), ("\u2011", "-"), ("\u2012", "-"), ("\u2013", "-"),
+    ("\u2014", "-"), ("\u2015", "-"), ("\u2212", "-"),
+    ("\u2026", "..."),
+)
+
+#: Whitespace collapse, applied LAST (all exotic spaces are ASCII by
+#: now, so plain ASCII classes are exact in both engines).
+_CLEAN_COLLAPSE_STEPS: tuple[tuple[str, str], ...] = (
+    ("[ \\t]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n{3,}", "\n\n"),
+    ("^[ \\n]+|[ \\n]+$", ""),
+)
+
+
+def clean_text(col: Column | str, *, collapse: bool = True) -> Column:
+    """Unicode text cleanup -- the normalizer every web-corpus pipeline
+    runs between extraction and quality/dedup (CCNet/C4/Dolma all ship
+    one; the reference stack's analog is the mutate-gsub chains users
+    hand-roll, reference logstash-filter-mutate §gsub):
+
+    1. exotic line separators (NEL/LS/PS/VT/FF) and CRLF/CR -> ``\\n``;
+    2. C0 controls (except tab/newline), DEL, zero-width characters,
+       BOM, soft hyphen -> dropped;
+    3. Unicode space variants (NBSP .. IDEOGRAPHIC SPACE) -> ASCII space;
+    4. curly quotes/guillemets -> ``'``/``"``, the dash family -> ``-``,
+       ellipsis -> ``...``;
+    5. (``collapse=True``) horizontal runs -> one space, spaces trimmed
+       around line breaks, >=3 breaks -> paragraph break, edges stripped.
+
+    Pure fixed-chain column algebra: zero shuffle, zero UDF, fuses into
+    the scan at 100 TB. Every pattern is RE2+Java-common (literal chars
+    / two-digit ``\\x`` escapes only), so `clean_text_sql` replays it
+    bit-for-bit in the DuckDB oracle -- which is exactly the property
+    that makes the cleaned text safe to HASH for dedup.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = _chain_replace(c, (("\r\n", "\n"), ("\r", "\n")))
+    c = F.regexp_replace(c, _CLEAN_NL_RX, "\n")
+    c = F.regexp_replace(c, _CLEAN_DROP_RX, "")
+    c = F.regexp_replace(c, _CLEAN_SPACE_RX, " ")
+    c = _chain_replace(c, CLEAN_PUNCT)
+    if collapse:
+        for pat, rep in _CLEAN_COLLAPSE_STEPS:
+            c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def clean_text_sql(expr: str, *, collapse: bool = True) -> str:
+    """DuckDB expression replaying `clean_text(expr)` exactly."""
+    e = _sql_replace_chain(expr, (("\r\n", "\n"), ("\r", "\n")))
+    e = _sql_regexp_chain(
+        e,
+        [
+            (_CLEAN_NL_RX, "\n"),
+            (_CLEAN_DROP_RX, ""),
+            (_CLEAN_SPACE_RX, " "),
+        ],
+    )
+    e = _sql_replace_chain(e, CLEAN_PUNCT)
+    if collapse:
+        e = _sql_regexp_chain(e, _CLEAN_COLLAPSE_STEPS)
+    return e

@@ -771,6 +771,7 @@ from logstash_spark import queries_dataprep12 as _qdp12  # noqa: E402,F401
 from logstash_spark import queries_dataprep13 as _qdp13  # noqa: E402,F401
 from logstash_spark import queries_logstash12 as _ql12  # noqa: E402,F401
 from logstash_spark import queries_multimodal as _qmm  # noqa: E402,F401
+from logstash_spark import queries_dataprep14 as _qdp14  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -916,6 +917,9 @@ _DRIVER_PRIORITY = [
     "streaming_enrich_fanout",
     "image_ahash_neardup",
     "image_resize_dedup",
+    "text_clean_normalize",
+    "kwise_pref_pairs",
+    "paragraph_dedup_global",
 ]
 
 
