@@ -4192,3 +4192,169 @@ def dedup_paragraphs_global(
         out.join(totals, "_d")
         .select(F.col("_d").alias(id_col), text_col, "n_paras", "n_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal (gibberish / compressibility filter)
+# ---------------------------------------------------------------------------
+
+def char_entropy_features(
+    text: Column, *, max_chars: int = 512
+) -> dict[str, Column]:
+    """Quantized Shannon entropy of the character distribution — the
+    classic gibberish / binary-junk / keyboard-mash detector in
+    web-corpus quality stacks (low entropy = repeated-char spam, high
+    entropy + high distinct ratio = random bytes; natural language sits
+    in a stable band).
+
+    Exact integer arithmetic, zero float: each character's surprise is
+    quantized to floor(log2(n / count)) computed as bit-length
+    (`length(bin(n div c)) - 1` — the same no-float discipline as the
+    length buckets), and the per-doc sum weights it by count:
+
+        entropy_q    = sum_i c_i * floor(log2(n / c_i))   [integer bits]
+        entropy_cb   = entropy_q * 100 div n              [centibits/char]
+
+    Always within 1 bit/char of true Shannon entropy, monotone in the
+    distribution skew, and bit-reproducible in any engine.
+
+    Cost: O(distinct_chars * min(len, max_chars)) ARRAY-LOCAL work per
+    row (alphabet is bounded ~10^2), zero shuffle — the bounded-prefix
+    cap is the same triage discipline as `pcm_stats`. Emits n_sampled /
+    n_distinct_chars / entropy_q / entropy_cb.
+    """
+    s = F.substring(text, 1, max_chars)
+    n = F.length(s).cast("long")
+    chars = F.split(s, "")
+    uniq = F.array_distinct(chars)
+    counts = F.transform(
+        uniq, lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("long")
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + c * (F.length(F.bin(F.floor(n / c).cast("long"))) - 1),
+    )
+    zero = n == 0
+    return {
+        "n_sampled": n,
+        "n_distinct_chars": F.when(zero, F.lit(0)).otherwise(F.size(uniq)).cast("long"),
+        "entropy_q": F.when(zero, F.lit(0)).otherwise(ent).cast("long"),
+        "entropy_cb": F.when(zero, F.lit(0))
+        .otherwise(F.floor(ent * 100 / n))
+        .cast("long"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# N-gram overlap scoring (distillation / synthetic-data leakage filter)
+# ---------------------------------------------------------------------------
+
+def word_ngrams_distinct(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams of `text` as strings (array<string>);
+    empty array when the text has fewer than n words."""
+    w = words_of(text)
+    count = F.size(w) - (n - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_overlap_features(
+    a: Column, b: Column, *, n: int = 2
+) -> dict[str, Column]:
+    """Distinct-n-gram overlap between two text columns in integer basis
+    points — ROUGE-N (set variant) precision/recall/F1. The standard
+    filter for distillation and synthetic-data pipelines: score a
+    generated text against its source to drop verbatim regurgitation
+    (overlap too high) or hallucinated drift (overlap too low); also the
+    doc-vs-doc leak check between a training shard and an eval set.
+
+    precision = |A ∩ B| / |A|, recall = |A ∩ B| / |B|, f1 = 2PR/(P+R),
+    all as `x * 10000 div y` non-negative integer division (Spark `div`
+    ≡ DuckDB `//` — no float to disagree across engines).
+
+    Pure array-local column algebra: zero shuffle, zero UDF; cost
+    O(|A| log + |A∩B| membership) per row. For corpus-vs-EVAL-SET
+    decontamination at scale use `decontaminate`/`bloom_decontaminate`
+    (broadcast eval grams) — this operator is the per-PAIR form where
+    both texts ride in the same row.
+    """
+    ga, gb = word_ngrams_distinct(a, n), word_ngrams_distinct(b, n)
+    inter = F.size(F.array_intersect(ga, gb)).cast("long")
+    na, nb = F.size(ga).cast("long"), F.size(gb).cast("long")
+
+    def bp(num: Column, den: Column) -> Column:
+        return (
+            F.when(den > 0, F.floor(num * 10000 / den)).otherwise(F.lit(0))
+        ).cast("long")
+
+    p, r = bp(inter, na), bp(inter, nb)
+    f1 = (
+        F.when(p + r > 0, F.floor(2 * p * r / (p + r))).otherwise(F.lit(0))
+    ).cast("long")
+    return {
+        "n_grams_a": na,
+        "n_grams_b": nb,
+        "n_overlap": inter,
+        "precision_bp": p,
+        "recall_bp": r,
+        "f1_bp": f1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Chat-template rendering (SFT serialization)
+# ---------------------------------------------------------------------------
+
+def chat_render(
+    messages: Column,
+    *,
+    template: str = "chatml",
+    add_generation_prompt: bool = False,
+) -> Column:
+    """Serialize an `array<struct<role:string, content:string>>`
+    conversation into the single training string an SFT tokenizer
+    consumes — the HuggingFace `apply_chat_template` slot, as pure
+    column algebra (one transform + one array_join, zero shuffle/UDF).
+
+    Templates:
+      * ``chatml``: ``<|im_start|>{role}\\n{content}<|im_end|>\\n`` per
+        message (the OpenAI/Qwen wire format);
+      * ``colon``: ``{role}: {content}\\n`` (the plain-text eval format).
+
+    `add_generation_prompt=True` appends the assistant header so the
+    string ends where generation begins (the inference-time form).
+    Null/empty message arrays render as ''. Pairs with
+    `chat_loss_mask` (span masking) and `sft_loss_mask` downstream.
+    """
+    if template == "chatml":
+        seg = F.transform(
+            messages,
+            lambda m: F.concat(
+                F.lit("<|im_start|>"),
+                m["role"],
+                F.lit("\n"),
+                m["content"],
+                F.lit("<|im_end|>\n"),
+            ),
+        )
+        tail = "<|im_start|>assistant\n"
+    elif template == "colon":
+        seg = F.transform(
+            messages,
+            lambda m: F.concat(m["role"], F.lit(": "), m["content"], F.lit("\n")),
+        )
+        tail = "assistant: "
+    else:
+        raise ValueError(f"unknown chat template: {template!r}")
+    out = F.array_join(seg, "")
+    if add_generation_prompt:
+        out = F.concat(out, F.lit(tail))
+    return F.coalesce(out, F.lit(""))

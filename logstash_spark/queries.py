@@ -772,6 +772,7 @@ from logstash_spark import queries_dataprep13 as _qdp13  # noqa: E402,F401
 from logstash_spark import queries_logstash12 as _ql12  # noqa: E402,F401
 from logstash_spark import queries_multimodal as _qmm  # noqa: E402,F401
 from logstash_spark import queries_dataprep14 as _qdp14  # noqa: E402,F401
+from logstash_spark import queries_dataprep15 as _qdp15  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -920,6 +921,9 @@ _DRIVER_PRIORITY = [
     "text_clean_normalize",
     "kwise_pref_pairs",
     "paragraph_dedup_global",
+    "char_entropy_quality",
+    "ngram_overlap_score",
+    "chat_template_render",
 ]
 
 
