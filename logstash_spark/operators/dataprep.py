@@ -4358,3 +4358,156 @@ def chat_render(
     if add_generation_prompt:
         out = F.concat(out, F.lit(tail))
     return F.coalesce(out, F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# Post-training eval/selection: pass@k, self-consistency, win rates
+# ---------------------------------------------------------------------------
+
+def pass_at_k(
+    df: DataFrame,
+    *,
+    group_col: str = "problem_id",
+    correct_col: str = "correct",
+    ks: Sequence[int] = (1, 2, 4, 8),
+) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021 SS2.1, the HumanEval
+    codegen metric): per problem with n samples of which c are correct,
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - prod_{i=0}^{k-1} (n - c - i) / (n - i)
+
+    emitted in exact ppm: the numerator/denominator products are int64
+    and the single division is `(10^6 * num) div den` — no float, so
+    any engine reproduces the same number. k > n reports the exact
+    all-samples rate (pass@k = [c > 0] by convention). Output: one row
+    per (problem, k) with n_samples, n_correct, pass_ppm.
+
+    Bounds for int64 exactness: 10^6 * n^k < 2^63, i.e. n <= 40 at
+    k <= 8 (n=40,k=8 -> 6.6*10^18) — comfortably past every published
+    eval recipe (n in 16..200 with k <= 2 also fits: 10^6*200^2).
+
+    Scale topology: ONE shuffle (groupBy problem, count + conditional
+    count with map-side partials), then a literal k-array posexplode —
+    output rows = problems * |ks|, never samples * |ks|.
+    """
+    ks = list(ks)
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be >= 1, got {ks!r}")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col(correct_col).cast("long")).cast("long").alias("n_correct"),
+    )
+    ex = g.select(
+        group_col,
+        "n_samples",
+        "n_correct",
+        F.explode(F.array(*[F.lit(k).cast("long") for k in ks])).alias("k"),
+    )
+    n, c, k = F.col("n_samples"), F.col("n_correct"), F.col("k")
+    kk = F.least(k, n)  # k > n: product over all n samples
+    prod = lambda top: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0).cast("long"), kk - 1),
+        F.lit(1).cast("long"),
+        lambda acc, i: acc * (top - i),
+    )
+    ex = ex.withColumn("_num", prod(n - c)).withColumn("_den", prod(n))
+    # exact int64 division (Spark `div` ≡ DuckDB `//`) — floor(double/)
+    # would round above 2^53
+    ppm = F.lit(1_000_000).cast("long") - F.expr(
+        "(1000000 * _num) div _den"
+    )
+    return ex.select(
+        group_col,
+        "n_samples",
+        "n_correct",
+        k.alias("k"),
+        F.when(n == 0, F.lit(0).cast("long")).otherwise(ppm).alias("pass_ppm"),
+    )
+
+
+def majority_vote(
+    df: DataFrame,
+    *,
+    group_col: str = "prompt_id",
+    answer_col: str = "answer",
+) -> DataFrame:
+    """Self-consistency answer selection (Wang et al. 2023: sample many
+    chains, keep the plurality answer). Per group: the most-voted
+    answer, ties broken by answer ASC (total, engine-replayable), with
+    vote counts and the winner's share in exact ppm.
+
+    Scale topology: groupBy(group, answer) to count — map-side partials
+    absorb the repeated-answer skew — then groupBy(group) where the
+    winner is picked with one min(struct(-votes, answer)) (no window,
+    no self-join) and totals ride the same aggregate. TWO shuffles,
+    second one on strictly fewer rows (distinct answers per group).
+    """
+    counted = df.groupBy(group_col, answer_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_v")
+    )
+    win = F.min(
+        F.struct((-F.col("_v")).alias("nv"), F.col(answer_col).alias("a"))
+    )
+    agg = counted.groupBy(group_col).agg(
+        win.alias("_w"),
+        F.sum("_v").cast("long").alias("n_votes"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_answers"),
+    )
+    votes = (-F.col("_w.nv")).cast("long")
+    return agg.select(
+        group_col,
+        F.col("_w.a").alias("majority_answer"),
+        votes.alias("majority_votes"),
+        "n_votes",
+        "n_distinct_answers",
+        F.expr("((0 - _w.nv) * 1000000) div n_votes").alias("share_ppm"),
+    )
+
+
+def win_rate_matrix(
+    df: DataFrame,
+    *,
+    model_a_col: str = "model_a",
+    model_b_col: str = "model_b",
+    winner_col: str = "winner",
+) -> DataFrame:
+    """Pairwise win-rate matrix from head-to-head comparisons (the
+    chatbot-arena / reward-model eval table): `winner` is 'a', 'b', or
+    'tie'. Pairs are canonicalized to (min, max) model order so A-vs-B
+    and B-vs-A land in the same cell; ties count half a win each,
+    tracked in integer HALF-wins so the rate stays exact:
+
+        win_rate_a_ppm = (2*wins_a + ties) * 10^6 div (2 * games)
+
+    ONE shuffle (groupBy pair with map-side partials); output is one
+    row per unordered model pair.
+    """
+    a, b, w = F.col(model_a_col), F.col(model_b_col), F.col(winner_col)
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    lo_won = ((w == "a") & (a == lo)) | ((w == "b") & (b == lo))
+    hi_won = ((w == "a") & (a == hi)) | ((w == "b") & (b == hi))
+    canon = df.select(
+        lo.alias("model_lo"),
+        hi.alias("model_hi"),
+        lo_won.cast("long").alias("_lo"),
+        hi_won.cast("long").alias("_hi"),
+        (w == "tie").cast("long").alias("_t"),
+    )
+    g = canon.groupBy("model_lo", "model_hi").agg(
+        F.sum("_lo").cast("long").alias("wins_lo"),
+        F.sum("_hi").cast("long").alias("wins_hi"),
+        F.sum("_t").cast("long").alias("ties"),
+        F.count(F.lit(1)).cast("long").alias("games"),
+    )
+    return g.select(
+        "model_lo",
+        "model_hi",
+        "wins_lo",
+        "wins_hi",
+        "ties",
+        "games",
+        F.expr(
+            "((2 * wins_lo + ties) * 1000000) div (2 * games)"
+        ).alias("lo_win_ppm"),
+    )

@@ -773,6 +773,7 @@ from logstash_spark import queries_logstash12 as _ql12  # noqa: E402,F401
 from logstash_spark import queries_multimodal as _qmm  # noqa: E402,F401
 from logstash_spark import queries_dataprep14 as _qdp14  # noqa: E402,F401
 from logstash_spark import queries_dataprep15 as _qdp15  # noqa: E402,F401
+from logstash_spark import queries_dataprep16 as _qdp16  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -924,6 +925,9 @@ _DRIVER_PRIORITY = [
     "char_entropy_quality",
     "ngram_overlap_score",
     "chat_template_render",
+    "pass_at_k_estimator",
+    "majority_vote_answers",
+    "pairwise_win_rates",
 ]
 
 
