@@ -4511,3 +4511,146 @@ def win_rate_matrix(
             "((2 * wins_lo + ties) * 1000000) div (2 * games)"
         ).alias("lo_win_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation + sentence-aware chunking (RAG ingest)
+# ---------------------------------------------------------------------------
+
+#: sentence boundary: terminal punctuation + optional closing
+#: quotes/brackets, whitespace, next sentence starting uppercase/digit.
+#: Deliberately RE2+Java-common (capture groups, no lookaround) — the
+#: deterministic 95%; abbreviation-aware splitting ("J. Smith") is a
+#: model problem, not a regex problem, and slots in as a Pandas UDF.
+_SENT_RX = "([.!?][\"')\\]]*) +([A-Z0-9])"
+_SENT_MARK = "\x1f"  # unit separator: never survives clean_text input
+
+
+def sentence_split(text: Column | str) -> Column:
+    """Split `text` into sentences (array<string>) with one
+    regexp_replace (insert a marker at each boundary) + one split —
+    zero shuffle/UDF, whole-stage codegen. Inter-sentence runs of
+    spaces are consumed by the boundary. Lowercase continuations
+    ("Dr. smith") do NOT split — the capital-start rule is the
+    classic cheap guard."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.regexp_replace(c, _SENT_RX, "$1" + _SENT_MARK + "$2"), _SENT_MARK)
+
+
+def sentence_split_sql(expr: str) -> str:
+    """DuckDB expression replaying `sentence_split` (RE2 rewrite \\1)."""
+    return (
+        f"string_split(regexp_replace({expr}, "
+        f"'([.!?][\"'')\\]]*) +([A-Z0-9])', '\\1' || chr(31) || '\\2', 'g'),"
+        f" chr(31))"
+    )
+
+
+def chunk_sentences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 1000,
+    overlap_sentences: int = 0,
+) -> DataFrame:
+    """Sentence-aware sliding chunker — the RAG / embedding-ingest
+    counterpart of `chunk_tokens`: documents are split into sentences,
+    each sentence is assigned to the chunk where its cumulative char
+    offset falls (`cum_before div chunk_chars` — sentences never split
+    mid-way, so chunks are meaning-preserving and slightly elastic
+    around `chunk_chars`), and `overlap_sentences` trailing sentences
+    of the previous chunk are prepended for retrieval continuity.
+
+    Output: one row per (id, chunk_id) with the chunk text (sentences
+    joined by one space), n_sentences (own, excluding overlap), and
+    n_chars of the own span.
+
+    Scale: ZERO shuffle — the explode is map-side, work is array-local.
+    Prefix sums use the O(S²) aggregate-over-slice form (Spark HOFs
+    have no scan primitive); S = sentences/doc ≈ 10², bounded per row.
+    """
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    d, t = F.col(id_col), F.col(text_col)
+    base = df.select(d.alias("_id"), sentence_split(t).alias("_s"))
+    s = F.col("_s")
+    n = F.size(s)
+    # cum chars BEFORE sentence i (1-based): sum of lengths 0..i-1
+    cum = lambda i: F.aggregate(  # noqa: E731
+        F.slice(s, 1, i - 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    cids = F.transform(F.sequence(F.lit(1), n), lambda i: F.floor(cum(i) / chunk_chars).cast("long"))
+    base = base.select("_id", "_s", cids.alias("_c"))
+    c = F.col("_c")
+    max_c = F.element_at(c, -1)  # cids are monotone
+    own = lambda k: F.filter(s, lambda x, i: F.element_at(c, i + 1) == k)  # noqa: E731
+
+    def prev_tail(k: Column) -> Column:
+        # clamp the tail length to the previous chunk's size — Spark's
+        # slice() returns [] outright when |start| exceeds the array
+        prev = F.filter(s, lambda x, i: F.element_at(c, i + 1) == k - 1)
+        m = F.least(F.lit(overlap_sentences), F.size(prev))
+        return F.when(m > 0, F.slice(prev, -m, m)).otherwise(
+            F.array().cast("array<string>")
+        )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), max_c),
+        lambda k: F.struct(
+            (
+                F.concat_ws(" ", prev_tail(k), own(k))
+                if overlap_sentences
+                else F.concat_ws(" ", own(k))
+            ).alias("txt"),
+            F.size(own(k)).cast("long").alias("n_sent"),
+            F.aggregate(
+                own(k), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).alias("n_chars"),
+        ),
+    )
+    ex = base.select("_id", F.posexplode(chunks).alias("chunk_id", "_ch"))
+    return ex.select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_ch.txt").alias("chunk_text"),
+        F.col("_ch.n_sent").alias("n_sentences"),
+        F.col("_ch.n_chars").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON key census (schema-on-read triage)
+# ---------------------------------------------------------------------------
+
+def json_key_census(
+    df: DataFrame, field: str = "message"
+) -> DataFrame:
+    """Top-level key census over a JSON-string column — the
+    schema-on-read triage every raw-feed onboarding starts with: which
+    keys exist, in how many events, with what coverage (exact ppm).
+    Corrupt / non-object payloads contribute no keys but count in the
+    denominator, so coverage reflects the REAL feed.
+
+    Scale: ONE shuffle (groupBy key, map-side partials; distinct keys
+    are schema-bounded ~10²). The total-docs scalar joins back via
+    broadcast crossJoin — no second shuffle. Values are never
+    materialized: the map parse is pruned to `map_keys` by Catalyst.
+    """
+    j = F.from_json(F.col(field), "map<string,string>")
+    keys = df.select(F.explode(F.map_keys(j)).alias("key"))
+    counts = keys.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with_key")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_docs_with_key",
+            F.expr("(n_docs_with_key * 1000000) div _total").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
