@@ -4654,3 +4654,120 @@ def json_key_census(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability metrics (education-quality features)
+# ---------------------------------------------------------------------------
+
+def readability_features(text: Column) -> dict[str, Column]:
+    """Flesch-Kincaid-family readability in exact scaled integers — the
+    education/quality prior (FineWeb-Edu-style classifiers lean on
+    exactly these counts before any model scoring):
+
+      * words         — whitespace-run tokens
+      * sentences     — `sentence_split` boundaries (min 1)
+      * syllables     — vowel-group heuristic `[aeiouy]+` over the
+                        lowercased text (the classic cheap estimator)
+      * fk_grade_cb   — Flesch-Kincaid grade level in CENTI-grades:
+                        (39·W) div S + (1180·Syl) div W − 1559
+                        (0.39·W/S + 11.8·Syl/W − 15.59, scaled ×100;
+                        each division exact int64 `div`)
+      * digit_ratio_bp— digits per char in basis points (the
+                        data-dump / table-scrape detector)
+
+    Zero shuffle, zero UDF — three regexp_counts + one split; fuses
+    into the scan. Negative centi-grades clamp at the formula value
+    (no artificial floor), matching the published formula.
+    """
+    t = F.coalesce(text, F.lit(""))
+    words = F.size(F.split(t, r"\s+"))
+    sents = F.greatest(F.size(sentence_split(t)), F.lit(1))
+    syl = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    digits = F.regexp_count(t, F.lit("[0-9]")).cast("long")
+    chars = F.greatest(F.length(t), F.lit(1)).cast("long")
+    w = F.greatest(words, F.lit(1)).cast("long")
+    s = sents.cast("long")
+    return {
+        "n_words": words.cast("long"),
+        "n_sentences": s,
+        "n_syllables": syl,
+        "fk_grade_cb": (
+            _idiv(39 * w, s) + _idiv(1180 * syl, w) - F.lit(1559)
+        ).cast("long"),
+        "digit_ratio_bp": _idiv(digits * 10000, chars),
+    }
+
+
+def _idiv(num: Column, den: Column) -> Column:
+    """Exact non-negative int64 floor division (Spark `div` ≡ DuckDB
+    `//`) as a column expression: num - (num % den) is a multiple of
+    den, and a double quotient of an exact multiple below 2^53 is
+    exact. For magnitudes beyond 2^53 use F.expr('a div b') on named
+    columns instead."""
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Keyword-taxonomy tagging (domain-mix reporting)
+# ---------------------------------------------------------------------------
+
+def taxonomy_tags(
+    df: DataFrame,
+    taxonomy: dict[str, Sequence[str]],
+    *,
+    text_col: str = "text",
+    prefix: str = "tax_",
+) -> DataFrame:
+    """Multi-category keyword census — the cheap domain-mix / topic
+    prior (the reporting layer a curation pipeline runs before any
+    model classifier): for each category, the count of DISTINCT
+    taxonomy words present (whole-word, case-folded — the
+    `keyword_blocklist` matching rule), plus the dominant category
+    (most distinct hits, ties broken by category name ASC; '' when
+    nothing matches anywhere).
+
+    Plan-time literal arrays, one array_intersect per category over the
+    SAME tokenized array (Catalyst subexpression-eliminates the split):
+    zero shuffle, zero UDF, scan-fused. Categories are schema-bounded
+    (10¹-10²); huge per-category lists go the broadcast-join route of
+    `host_blocklist_filter` instead.
+    """
+    if not taxonomy:
+        raise ValueError("taxonomy must have at least one category")
+    w = F.array_distinct(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), F.lower
+        )
+    )
+    cats = sorted(taxonomy)
+    counts = {
+        c: F.size(
+            F.array_intersect(
+                w,
+                F.array(
+                    *[F.lit(x) for x in sorted({s.lower() for s in taxonomy[c]})]
+                ),
+            )
+        ).cast("long")
+        for c in cats
+    }
+    out = df
+    for c in cats:
+        out = out.withColumn(prefix + c, counts[c])
+    # dominant: min over (-count, name) structs — total order
+    pick = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(prefix + c)).alias("nc"), F.lit(c).alias("cat")
+                )
+                for c in cats
+            ]
+        )
+    )
+    total = sum(F.col(prefix + c) for c in cats)
+    return out.withColumn(
+        "tax_dominant",
+        F.when(total > 0, pick["cat"]).otherwise(F.lit("")),
+    ).withColumn("tax_total", total.cast("long"))

@@ -775,6 +775,7 @@ from logstash_spark import queries_dataprep14 as _qdp14  # noqa: E402,F401
 from logstash_spark import queries_dataprep15 as _qdp15  # noqa: E402,F401
 from logstash_spark import queries_dataprep16 as _qdp16  # noqa: E402,F401
 from logstash_spark import queries_dataprep17 as _qdp17  # noqa: E402,F401
+from logstash_spark import queries_dataprep18 as _qdp18  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -931,6 +932,8 @@ _DRIVER_PRIORITY = [
     "pairwise_win_rates",
     "sentence_chunking",
     "json_key_census",
+    "readability_metrics",
+    "taxonomy_tagging",
 ]
 
 
