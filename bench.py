@@ -490,6 +490,36 @@ def bench_packing_scale(spark) -> float:
     return _time_best(lambda: agg, spark)
 
 
+def bench_normalize_scale(spark) -> float:
+    """Unicode normalizer + readability over BENCH_N/4 synthetic messy
+    strings — the newest map-only family under the perf record: the
+    whole job is scan → regexp/replace chains → counts, zero shuffle,
+    so it measures whole-stage-codegen throughput of the fixed-chain
+    string ops."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.dataprep import readability_features
+    from logstash_spark.operators.webtext import clean_text
+
+    n = max(BENCH_N // 4, 1000)
+    i = F.col("id")
+    messy = F.concat(
+        F.lit("Intro one. “Quote” text no "),
+        (i % 997).cast("string"),
+        F.lit(" mid–dash\r\nLine two. Tail … ends "),
+        (i % 31).cast("string"),
+        F.lit("."),
+    )
+    df = spark.range(0, n, 1, CPUS * 4).select(clean_text(messy).alias("t"))
+    feats = readability_features(F.col("t"))
+    out = df.select(*[v.alias(k) for k, v in feats.items()]).groupBy().agg(
+        F.sum("fk_grade_cb").alias("s_fk"),
+        F.sum("n_syllables").alias("s_syl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return _time_best(lambda: out, spark)
+
+
 def bench_streaming_flagship(spark, layout: str = "per-sink") -> float:
     """The RESUMABLE shape of the flagship: the same
     parse→enrich→route→aggregate transform driven by Structured
@@ -571,6 +601,7 @@ def main() -> None:
     timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
     timings["netflow_decode_scale"] = round(bench_netflow_scale(spark), 3)
     timings["packing_scale"] = round(bench_packing_scale(spark), 3)
+    timings["normalize_scale"] = round(bench_normalize_scale(spark), 3)
     timings["streaming_flagship"] = round(bench_streaming_flagship(spark), 3)
     timings["streaming_flagship_unified"] = round(
         bench_streaming_flagship(spark, layout="unified"), 3
