@@ -4771,3 +4771,71 @@ def taxonomy_tags(
         "tax_dominant",
         F.when(total > 0, pick["cat"]).otherwise(F.lit("")),
     ).withColumn("tax_total", total.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Special-token scrubbing (tokenizer-injection guard)
+# ---------------------------------------------------------------------------
+
+#: the control sequences every major chat tokenizer reserves — raw
+#: corpus text containing them would silently inject turn boundaries /
+#: EOS into training (the classic token-confusion bug).
+SPECIAL_TOKENS: tuple[str, ...] = (
+    "<|im_start|>", "<|im_end|>", "<|endoftext|>",
+    "<s>", "</s>", "[INST]", "[/INST]", "<|assistant|>", "<|user|>",
+)
+
+
+def special_token_scrub(
+    text: Column,
+    *,
+    tokens: Sequence[str] = SPECIAL_TOKENS,
+    mode: str = "strip",
+) -> dict[str, Column]:
+    """Detect and neutralize tokenizer special tokens in raw corpus
+    text — the injection guard run before any chat-template assembly
+    (otherwise a crawled page containing ``<|im_end|>`` forges a turn
+    boundary at train time).
+
+    modes: ``strip`` removes the sequence; ``break`` inserts a space
+    after the first char (``< |im_end|>``) so the text stays readable
+    but can never tokenize to the special id.
+
+    Occurrences are counted EXACTLY with pure length algebra —
+    ``(len(t) − len(replace(t, tok, ''))) / len(tok)`` per token, no
+    regex — so the count replays in any engine. Zero shuffle; the
+    whole op is a fixed literal replace chain + integer arithmetic.
+    Emits {scrubbed, n_special}.
+    """
+    if mode not in ("strip", "break"):
+        raise ValueError(f"mode must be strip|break, got {mode!r}")
+    t = F.coalesce(text, F.lit(""))
+    n = F.lit(0).cast("long")
+    for tok in tokens:
+        n = n + (
+            (F.length(t) - F.length(F.replace(t, F.lit(tok), F.lit(""))))
+            / F.lit(len(tok))
+        ).cast("long")
+    out = t
+    for tok in tokens:
+        rep = "" if mode == "strip" else tok[0] + " " + tok[1:]
+        out = F.replace(out, F.lit(tok), F.lit(rep))
+    return {"scrubbed": out, "n_special": n}
+
+
+def dedup_key_text(text: Column) -> Column:
+    """Canonical exact-dedup key (the Dolma/FineWeb 'fuzzy exact'
+    normalization): lowercase, strip everything but ASCII alnum and
+    whitespace, collapse whitespace runs to one space, trim — so
+    punctuation/casing/spacing re-renderings of the same sentence hash
+    to the SAME key. Unicode text should pass through `clean_text` (and
+    optionally `transliterate`) first; this key is deliberately
+    ASCII-lossy, it is a GROUPING key, not a display form.
+
+    Zero shuffle — two regexp_replace + lower + trim, RE2+Java-common,
+    feeds `portable_hash32`/`dedupe` directly.
+    """
+    k = F.lower(F.coalesce(text, F.lit("")))
+    k = F.regexp_replace(k, "[^a-z0-9 \\t\\n]", "")
+    k = F.regexp_replace(k, "[ \\t\\n]+", " ")
+    return F.trim(k)
