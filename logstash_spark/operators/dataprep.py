@@ -4839,3 +4839,151 @@ def dedup_key_text(text: Column) -> Column:
     k = F.regexp_replace(k, "[^a-z0-9 \\t\\n]", "")
     k = F.regexp_replace(k, "[ \\t\\n]+", " ")
     return F.trim(k)
+
+
+# ---------------------------------------------------------------------------
+# URL language-variant pairing (bitext seed alignment, ParaCrawl recipe)
+# ---------------------------------------------------------------------------
+
+#: leading path segment that is a 2-letter lang code, optionally with a
+#: region ("/en/", "/pt-br/") — the dominant multilingual-site layout.
+_URL_LANG_RX = r"^(https?://[^/]+)/([a-z]{2})(?:-[a-z]{2})?(/.*)?$"
+
+
+def url_lang_variants(text: Column | str) -> dict[str, Column]:
+    """Extract (lang, canonical-url) from a language-variant URL layout
+    — the ParaCrawl/WMT SEED step for parallel-corpus mining: pages of
+    the same site whose URLs differ only by a /xx/ path segment are
+    translation candidates long before any content model runs.
+    `lang` is '' when the URL has no leading lang segment; `canon` is
+    the URL with the segment removed (the pairing key).
+    Zero shuffle — two regexp extracts."""
+    c = F.col(text) if isinstance(text, str) else text
+    lang = F.regexp_extract(c, _URL_LANG_RX, 2)
+    canon = F.when(
+        lang != "",
+        F.concat(
+            F.regexp_extract(c, _URL_LANG_RX, 1),
+            F.regexp_extract(c, _URL_LANG_RX, 3),
+        ),
+    ).otherwise(c)
+    return {"lang": lang, "canon": canon}
+
+
+def url_lang_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    max_variants: int = 32,
+) -> DataFrame:
+    """Pair documents that are language variants of the SAME canonical
+    URL — the alignment-seed table `bitext_mine(candidates=…)` consumes.
+    Emits one row per unordered (doc_a, doc_b) pair with distinct langs
+    sharing a canon; deterministic order inside the pair (lang ASC, id
+    ASC). Groups capped at `max_variants` docs (a canon with hundreds
+    of "langs" is a crawler artifact, not a multilingual page — the
+    same hot-bucket discipline as the LSH star guard, applied by
+    quality rank = (lang, id) so the cap is deterministic).
+
+    Scale: ONE shuffle (groupBy canon); the pair expansion is
+    array-local over ≤ max_variants entries.
+    """
+    v = url_lang_variants(F.col(url_col))
+    base = df.select(
+        F.col(id_col).alias("_id"), v["lang"].alias("_lang"), v["canon"].alias("_canon")
+    ).where(v["lang"] != "")
+    g = base.groupBy("_canon").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_lang").alias("l"), F.col("_id").alias("i")))
+            ),
+            1,
+            max_variants,
+        ).alias("_m")
+    )
+    m = F.col("_m")
+    n = F.size(m)
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda a: F.filter(
+                    F.transform(
+                        F.sequence(a + 2, n.cast("long")),
+                        lambda b: F.struct(
+                            F.element_at(m, a.cast("int") + 1).alias("x"),
+                            F.element_at(m, b.cast("int")).alias("y"),
+                        ),
+                    ),
+                    lambda p: p["x"]["l"] != p["y"]["l"],
+                ),
+            )
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<x:struct<l:string,i:long>,y:struct<l:string,i:long>>>"
+        )
+    )
+    ex = g.select(F.col("_canon").alias("canon"), F.explode(pairs).alias("_p"))
+    return ex.select(
+        "canon",
+        F.col("_p.x.l").alias("lang_a"),
+        F.col("_p.x.i").alias("doc_a"),
+        F.col("_p.y.l").alias("lang_b"),
+        F.col("_p.y.i").alias("doc_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted sampling (fresh-data upweighting)
+# ---------------------------------------------------------------------------
+
+def recency_weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    reference_ts: str,
+    half_life_days: int = 30,
+    seed: str = "recency",
+    max_halvings: int = 20,
+) -> DataFrame:
+    """Deterministic time-decay sampling — keep-probability halves every
+    `half_life_days` before `reference_ts` (the fresh-data upweighting
+    recipe for continually-updated corpora): rows in the newest
+    half-life window always survive, each older window keeps half of
+    the previous one's rate.
+
+    Exact integer arithmetic, the `dsir_resample` discipline: the
+    halving count h = floor(age_days / half_life) clamps to
+    `max_halvings`, and keep = portable_hash32(id:seed) % 2^max < 2^(max−h)
+    — pure shifts against an md5 uniform, no float, engine-replayable,
+    independent samples per `seed`. `reference_ts` is an explicit
+    timestamp string (never now()) so runs are reproducible. Zero
+    shuffle; the filter pushes down next to the scan.
+    """
+    ref = F.to_timestamp(F.lit(reference_ts))
+    # parquet timestamps may read as TIMESTAMP_NTZ, which has no direct
+    # BIGINT cast — hop through timestamp (session tz is UTC in get_spark)
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    age_days = F.floor((ref.cast("long") - ts_s) / F.lit(86400)).cast("long")
+    h = F.least(
+        F.greatest(age_days, F.lit(0)).cast("long")
+        / F.lit(int(half_life_days)),
+        F.lit(max_halvings).cast("double"),
+    )
+    h = F.floor(h).cast("int")
+    u = portable_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    ) % F.lit(2**max_halvings).cast("long")
+    out = df.withColumn("_halvings", h.cast("long")).withColumn("_u", u)
+    # SQL shiftleft takes column bit counts (the function form wants a
+    # Python int)
+    return out.withColumn(
+        "_keep",
+        F.expr(
+            f"_u < shiftleft(CAST(1 AS BIGINT), {int(max_halvings)} - _halvings)"
+        ),
+    ).drop("_u")

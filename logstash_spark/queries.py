@@ -777,6 +777,7 @@ from logstash_spark import queries_dataprep16 as _qdp16  # noqa: E402,F401
 from logstash_spark import queries_dataprep17 as _qdp17  # noqa: E402,F401
 from logstash_spark import queries_dataprep18 as _qdp18  # noqa: E402,F401
 from logstash_spark import queries_dataprep19 as _qdp19  # noqa: E402,F401
+from logstash_spark import queries_dataprep20 as _qdp20  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -938,6 +939,8 @@ _DRIVER_PRIORITY = [
     "special_token_guard",
     "dedup_key_canonical",
     "sft_pipeline_e2e",
+    "url_lang_pairing",
+    "recency_sampling",
 ]
 
 
