@@ -4987,3 +4987,51 @@ def recency_weighted_sample(
             f"_u < shiftleft(CAST(1 AS BIGINT), {int(max_halvings)} - _halvings)"
         ),
     ).drop("_u")
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter tuning (driver-side planning helper)
+# ---------------------------------------------------------------------------
+
+def lsh_tuning(
+    n_hashes: int, target_threshold: float
+) -> dict[str, float | int]:
+    """Pick (bands, rows) for MinHash-LSH given a signature budget and a
+    target Jaccard threshold — the standard s-curve analysis (Leskovec
+    et al., Mining of Massive Datasets ch. 3): candidate-pair
+    probability at similarity s is P(s) = 1 − (1 − s^r)^b, and the
+    curve's inflection sits near (1/b)^(1/r).
+
+    Enumerates every factorization b·r = n_hashes and returns the one
+    whose inflection threshold is closest to `target_threshold`, plus
+    the realized threshold and P(s) at the target (how leaky/greedy the
+    chosen banding is AT the design point). Driver-side plan-time
+    arithmetic — this never touches a DataFrame; feed the result into
+    `minhash_lsh_pairs(bands=…)`.
+    """
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if not (0.0 < target_threshold < 1.0):
+        raise ValueError(
+            f"target_threshold must be in (0, 1), got {target_threshold}"
+        )
+    best: dict[str, float | int] | None = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        thr = (1.0 / b) ** (1.0 / r)
+        cand = {
+            "bands": b,
+            "rows_per_band": r,
+            "threshold": round(thr, 6),
+            "p_at_target": round(
+                1.0 - (1.0 - target_threshold**r) ** b, 6
+            ),
+        }
+        if best is None or abs(thr - target_threshold) < abs(
+            float(best["threshold"]) - target_threshold
+        ):
+            best = cand
+    assert best is not None
+    return best
