@@ -5035,3 +5035,59 @@ def lsh_tuning(
             best = cand
     assert best is not None
     return best
+
+
+# ---------------------------------------------------------------------------
+# Char-span -> token-span alignment (annotation bridge)
+# ---------------------------------------------------------------------------
+
+def char_span_to_token_span(
+    text: Column, span_start: Column, span_end: Column
+) -> dict[str, Column]:
+    """Map a character span [start, end) over `text` to the covering
+    whitespace-token span [tok_start, tok_end) — the bridge between
+    char-offset annotations (PII spans, NER labels, quote attributions)
+    and the token-index masks `chat_loss_mask` consumes. A token is
+    covered iff it OVERLAPS the char span; zero-overlap spans (empty,
+    out of range, inverted) yield (0, 0).
+
+    Token i (0-based) starts at cum(i) = Σ_{j<i} (len(word_j) + 1) and
+    ends at cum(i) + len(word_i) — the single-space convention of the
+    whitespace split; runs of whitespace should be collapsed first
+    (`clean_text`). Array-local O(W²) prefix sums (HOFs have no scan),
+    bounded per row; zero shuffle.
+    """
+    t = F.coalesce(text, F.lit(""))
+    w = F.split(t, " ")
+    n = F.size(w)
+    starts = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.slice(w, 1, i - 1),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x) + 1,
+        ),
+    )
+    s, e = span_start.cast("long"), span_end.cast("long")
+    # token i overlaps [s, e) iff start_i < e AND start_i + len_i > s;
+    # the e > s conjunct kills empty/inverted spans outright
+    overlaps = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (e > s)
+        & (F.element_at(starts, i.cast("int")) < e)
+        & (
+            F.element_at(starts, i.cast("int"))
+            + F.length(F.element_at(w, i.cast("int")))
+            > s
+        ),
+    )
+    none = F.size(overlaps) == 0
+    return {
+        "tok_start": F.when(none, F.lit(0))
+        .otherwise(F.element_at(overlaps, 1) - 1)
+        .cast("long"),
+        "tok_end": F.when(none, F.lit(0))
+        .otherwise(F.element_at(overlaps, -1))
+        .cast("long"),
+        "n_tokens": n.cast("long"),
+    }

@@ -778,6 +778,7 @@ from logstash_spark import queries_dataprep17 as _qdp17  # noqa: E402,F401
 from logstash_spark import queries_dataprep18 as _qdp18  # noqa: E402,F401
 from logstash_spark import queries_dataprep19 as _qdp19  # noqa: E402,F401
 from logstash_spark import queries_dataprep20 as _qdp20  # noqa: E402,F401
+from logstash_spark import queries_dataprep21 as _qdp21  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -941,6 +942,8 @@ _DRIVER_PRIORITY = [
     "sft_pipeline_e2e",
     "url_lang_pairing",
     "recency_sampling",
+    "span_token_alignment",
+    "corpus_data_card",
 ]
 
 
