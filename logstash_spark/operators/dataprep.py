@@ -5091,3 +5091,31 @@ def char_span_to_token_span(
         .cast("long"),
         "n_tokens": n.cast("long"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (the ANN storage path)
+# ---------------------------------------------------------------------------
+
+def quantize_embedding_int8(vec: Column) -> dict[str, Column]:
+    """Symmetric per-vector int8 quantization (the FAISS-SQ8 storage
+    recipe): scale = max |x_i|, q_i = floor(x_i · 127 / scale + 0.5) ∈
+    [−127, 127], dequant x̂_i = q_i · scale / 127. Cuts ANN corpus
+    bytes 4× and makes the dot product integer until the final rescale.
+
+    Determinism note: the quantizer is floor(v + 0.5), NOT round() —
+    round() is half-up in Spark and banker's half-even in DuckDB/NumPy,
+    so round() would disagree on exact .5 boundaries; floor(+0.5) is
+    bit-identical everywhere IEEE doubles are. Zero vectors quantize to
+    all-zero with scale 0. Map-only, zero shuffle; q rides as
+    array<int> + one double scale per row.
+    """
+    mx = F.aggregate(
+        F.transform(vec, F.abs),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    q = F.when(mx > 0, F.transform(
+        vec, lambda x: F.floor(x * 127.0 / mx + 0.5).cast("int")
+    )).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    return {"q": q, "scale": mx, "n_dim": F.size(vec).cast("long")}

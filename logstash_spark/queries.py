@@ -779,6 +779,7 @@ from logstash_spark import queries_dataprep18 as _qdp18  # noqa: E402,F401
 from logstash_spark import queries_dataprep19 as _qdp19  # noqa: E402,F401
 from logstash_spark import queries_dataprep20 as _qdp20  # noqa: E402,F401
 from logstash_spark import queries_dataprep21 as _qdp21  # noqa: E402,F401
+from logstash_spark import queries_dataprep22 as _qdp22  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -944,6 +945,7 @@ _DRIVER_PRIORITY = [
     "recency_sampling",
     "span_token_alignment",
     "corpus_data_card",
+    "embedding_int8_quant",
 ]
 
 
