@@ -5119,3 +5119,119 @@ def quantize_embedding_int8(vec: Column) -> dict[str, Column]:
         vec, lambda x: F.floor(x * 127.0 / mx + 0.5).cast("int")
     )).otherwise(F.transform(vec, lambda x: F.lit(0)))
     return {"q": q, "scale": mx, "n_dim": F.size(vec).cast("long")}
+
+
+def ann_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k over INT8-quantized vectors — the
+    compressed-corpus variant of `ann_topk_bruteforce` (4× fewer bytes
+    scanned; the hot loop is an integer dot product). Key identity: the
+    symmetric per-vector scales CANCEL in the cosine,
+
+        cos(x̂, ŷ) = dot(qx, qy) / sqrt(|qx|² · |qy|²),
+
+    so the score is a pure function of int64 terms — deterministic and
+    engine-replayable (one double sqrt of an exact integer at the end;
+    ranked on the value rounded to 6 dp with id tie-breaks, the same
+    convention as the float ANN gates).
+
+    Same topology as the float path: quantization is map-side on both
+    sides, the query side broadcasts with its codes, the corpus never
+    shuffles; only per-query top-k rows move.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        qz = quantize_embedding_int8(F.col(vec_col))["q"]
+        out = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), qz.alias(f"{prefix}_q")
+        )
+        n2 = F.aggregate(
+            F.col(f"{prefix}_q"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long") * x.cast("long"),
+        )
+        return out.withColumn(f"{prefix}_n2", n2).where(
+            F.col(f"{prefix}_n2") > 0
+        )
+
+    q = prep(queries, "q")
+    c = prep(corpus, "c")
+    join_cond = (
+        F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), join_cond).withColumn(
+        "cos_q6",
+        F.round(
+            dot / F.sqrt((F.col("q_n2") * F.col("c_n2")).cast("double")), 6
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_q6").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_q6", F.col("rank").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field-coverage profile (per-column data-quality triage)
+# ---------------------------------------------------------------------------
+
+def field_coverage_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column data-quality profile — the triage table every feed
+    onboarding runs next to `json_key_census`: for each named column,
+    null count, blank count (trimmed-empty string form), distinct
+    non-null values, and non-null coverage in exact ppm.
+
+    ONE pass: each row explodes to |cols| (name, value) pairs map-side,
+    then a single groupBy(name) with partial aggregates; the profile
+    output is |cols| rows regardless of table size. Values are compared
+    in their string form (profiling semantics, not type semantics).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in cols
+        ]
+    )
+    ex = df.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.col").alias("col"), F.col("_p.v").alias("v")
+    )
+    g = ex.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).cast("long").alias("n_null"),
+        F.sum((F.trim(F.coalesce(F.col("v"), F.lit("x"))) == "").cast("long"))
+        .cast("long")
+        .alias("n_blank"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+    )
+    return g.select(
+        "col",
+        "n_rows",
+        "n_null",
+        "n_blank",
+        "n_distinct",
+        F.expr("((n_rows - n_null) * 1000000) div n_rows").alias(
+            "coverage_ppm"
+        ),
+    )

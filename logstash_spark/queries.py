@@ -780,6 +780,7 @@ from logstash_spark import queries_dataprep19 as _qdp19  # noqa: E402,F401
 from logstash_spark import queries_dataprep20 as _qdp20  # noqa: E402,F401
 from logstash_spark import queries_dataprep21 as _qdp21  # noqa: E402,F401
 from logstash_spark import queries_dataprep22 as _qdp22  # noqa: E402,F401
+from logstash_spark import queries_dataprep23 as _qdp23  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -946,6 +947,8 @@ _DRIVER_PRIORITY = [
     "span_token_alignment",
     "corpus_data_card",
     "embedding_int8_quant",
+    "ann_cosine_topk_int8",
+    "field_coverage",
 ]
 
 
