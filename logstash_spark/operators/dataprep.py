@@ -5235,3 +5235,50 @@ def field_coverage_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             "coverage_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware split assignment (eval-leakage guard)
+# ---------------------------------------------------------------------------
+
+def grouped_split(
+    df: DataFrame,
+    *,
+    group_col: str,
+    fractions: Sequence[tuple[str, int]] = (
+        ("train", 900_000),
+        ("val", 50_000),
+        ("test", 50_000),
+    ),
+    seed: str = "split",
+    target: str = "split",
+) -> DataFrame:
+    """Assign train/val/test splits BY GROUP, not by row — the eval-
+    leakage guard: when near-duplicates share a group key (a dedup
+    cluster id from `connected_components`, a registered domain, a
+    source shard), hashing the GROUP guarantees the whole family lands
+    in one split, so no eval example has a train-set twin.
+
+    `fractions` are (name, ppm) pairs summing to 1,000,000, applied as
+    cumulative integer thresholds over the md5 uniform
+    `portable_hash32(group:seed) % 10^6` — exact, engine-replayable,
+    independent assignment per `seed`. Zero shuffle: the assignment is
+    a pure column expression over the group VALUE (no groupBy needed),
+    so it composes with scan pruning and costs nothing at 10^12 rows.
+    """
+    total = sum(p for _, p in fractions)
+    if total != 1_000_000:
+        raise ValueError(f"fractions must sum to 1000000 ppm, got {total}")
+    u = portable_hash32(
+        F.concat(F.col(group_col).cast("string"), F.lit(":" + seed))
+    ) % F.lit(1_000_000).cast("long")
+    expr: Column | None = None
+    cum = 0
+    for name, ppm in fractions:
+        cum += ppm
+        cond = u < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    assert expr is not None
+    return df.withColumn(target, expr)
