@@ -5282,3 +5282,144 @@ def grouped_split(
         )
     assert expr is not None
     return df.withColumn(target, expr)
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lambda_ppm: int = 700_000,
+    shortlist: int = 32,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the dedup-aware retrieval selector: greedily pick
+    the candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected, so near-duplicate hits can't crowd the result
+    list (the RAG-context and eval-set-construction staple).
+
+    All scoring is engine-exact: vectors are int8-quantized (scales
+    cancel in cosines — see `ann_topk_int8`), relevance and pairwise
+    similarities are floor(cos·10⁶) int64 micro-units, and the MMR
+    objective is pure integer arithmetic (λ in ppm). Selection
+    tie-breaks: score DESC, then relevance DESC, then candidate id ASC
+    — total and replayable.
+
+    Topology: the float-ANN broadcast shape builds a per-query
+    shortlist (rel DESC, id ASC, capped at `shortlist`) in ONE groupBy;
+    the greedy loop then runs ARRAY-LOCALLY inside the grouped row via
+    an aggregate over k steps — no joins, no extra shuffle. Cost per
+    query row: O(k · shortlist · dim) integer ops. Output: (q_id, rank,
+    c_id, rel_u).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    if not (0 <= lambda_ppm <= 1_000_000):
+        raise ValueError(f"lambda_ppm must be in [0, 1e6], got {lambda_ppm}")
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        qz = quantize_embedding_int8(F.col(vec_col))["q"]
+        out = df.select(F.col(id_col).alias(f"{p}_id"), qz.alias(f"{p}_q"))
+        n2 = F.aggregate(
+            F.col(f"{p}_q"),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long") * x.cast("long"),
+        )
+        return out.withColumn(f"{p}_n2", n2).where(F.col(f"{p}_n2") > 0)
+
+    qd, cd = prep(queries, "q"), prep(corpus, "c")
+    join_cond = (
+        F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_q"), F.col("c_q"), lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = cd.join(F.broadcast(qd), join_cond).withColumn(
+        "rel_u",
+        F.floor(
+            dot / F.sqrt((F.col("q_n2") * F.col("c_n2")).cast("double")) * 1e6
+        ).cast("long"),
+    )
+    cand = scored.groupBy("q_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("rel_u")).alias("nr"),
+                        F.col("c_id").alias("i"),
+                        F.col("c_q").alias("qv"),
+                        F.col("c_n2").alias("n2"),
+                    )
+                )
+            ),
+            1,
+            shortlist,
+        ).alias("_c")
+    )
+    c = F.col("_c")
+    n = F.size(c)
+
+    def sim_u(i: Column, j: Column) -> Column:
+        a, b = F.element_at(c, i), F.element_at(c, j)
+        d = F.aggregate(
+            F.zip_with(
+                a["qv"], b["qv"], lambda x, y: x.cast("long") * y.cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.floor(
+            d / F.sqrt((a["n2"] * b["n2"]).cast("double")) * 1e6
+        ).cast("long")
+
+    def step(sel: Column, _unused: Column) -> Column:
+        def score(i: Column) -> Column:
+            rel = -F.element_at(c, i)["nr"]
+            maxsim = F.when(
+                F.size(sel) == 0, F.lit(0).cast("long")
+            ).otherwise(F.array_max(F.transform(sel, lambda j: sim_u(i, j))))
+            return F.lit(lambda_ppm) * rel - F.lit(1_000_000 - lambda_ppm) * maxsim
+
+        # argmax over unselected candidates; already-selected collapse
+        # to a null-score struct, which sorts below every real score.
+        # Tie order inside the struct: score, then -index (index order
+        # IS rel DESC, id ASC), so max() realizes the documented breaks.
+        picked = F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.when(
+                    F.array_contains(sel, i.cast("int")),
+                    F.struct(
+                        F.lit(None).cast("long").alias("s"),
+                        F.lit(0).alias("mi"),
+                    ),
+                ).otherwise(
+                    F.struct(score(i).alias("s"), (-i).cast("int").alias("mi"))
+                ),
+            )
+        )
+        return F.concat(sel, F.array((-picked["mi"]).cast("int")))
+
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(k))),
+        F.array().cast("array<int>"),
+        step,
+    )
+    # groups with fewer than k candidates repeat-pick index 0 (the null
+    # branch) — drop those sentinel slots after the explode.
+    out = cand.select("q_id", "_c", F.posexplode(sel).alias("_r0", "_ix")).where(
+        F.col("_ix") >= 1
+    )
+    return out.select(
+        "q_id",
+        (F.col("_r0") + 1).cast("int").alias("rank"),
+        F.element_at(F.col("_c"), F.col("_ix"))["i"].alias("c_id"),
+        (-F.element_at(F.col("_c"), F.col("_ix"))["nr"]).alias("rel_u"),
+    )
