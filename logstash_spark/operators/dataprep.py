@@ -5423,3 +5423,78 @@ def mmr_topk(
         F.element_at(F.col("_c"), F.col("_ix"))["i"].alias("c_id"),
         (-F.element_at(F.col("_c"), F.col("_ix"))["nr"]).alias("rel_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canary injection / detection (memorization measurement)
+# ---------------------------------------------------------------------------
+
+def inject_canaries(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_ppm: int = 1000,
+    seed: str = "canary",
+) -> DataFrame:
+    """Plant unique canary strings into a deterministic sample of
+    documents — the memorization probe (Carlini et al. 2019 'secret
+    sharer' recipe, also the provenance watermark): each selected doc
+    gets a doc-unique 12-hex canary appended, and the (doc, canary)
+    registry is the `canary` column itself. After training, feeding
+    model samples to `detect_canaries` measures extraction/memorization
+    rate; finding YOUR canaries in someone else's corpus measures
+    dataset provenance.
+
+    Selection is the md5-uniform threshold (`rate_ppm`), the canary
+    body is md5-derived from (id, seed) — both exact and replayable;
+    per-`seed` injections are independent. Zero shuffle; `canary` is
+    null on unselected rows (the registry is `WHERE canary IS NOT
+    NULL`).
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    pick = portable_hash32(key) % F.lit(1_000_000).cast("long") < rate_ppm
+    canary = F.concat(
+        F.lit("CANARY-"), F.substring(F.md5(F.concat(key, F.lit(":c"))), 1, 12)
+    )
+    return df.withColumn("canary", F.when(pick, canary)).withColumn(
+        text_col,
+        F.when(
+            pick, F.concat(F.col(text_col), F.lit(" "), canary)
+        ).otherwise(F.col(text_col)),
+    )
+
+
+def detect_canaries(
+    samples: DataFrame,
+    registry: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scan generated/suspect text for planted canaries and join back
+    against the registry: one row per registry canary with its hit
+    count (0 = never emitted). Extraction rate = hits>0 / registry.
+
+    Scale: one regexp_extract_all + explode over the sample side, a
+    groupBy(canary) partial-count, then a join against the (small)
+    registry — broadcastable by construction, since the registry is
+    rate_ppm of the corpus. The sample corpus never shuffles beyond
+    its extracted canary rows.
+    """
+    found = (
+        samples.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit("(CANARY-[0-9a-f]{12})"), 1
+                )
+            ).alias("canary")
+        )
+        .groupBy("canary")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    reg = registry.where(F.col("canary").isNotNull()).select("canary").distinct()
+    return reg.join(found, "canary", "left").select(
+        "canary",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("extracted"),
+    )
