@@ -5498,3 +5498,136 @@ def detect_canaries(
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("extracted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer AUC (classifier/reward-model evaluation)
+# ---------------------------------------------------------------------------
+
+def auc_binary(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """ROC-AUC of an integer-scored binary classifier, EXACT: AUC is
+    the Mann-Whitney statistic (P(score⁺ > score⁻) + ½·P(=)), computed
+    from doubled midranks so ties never produce a float —
+
+        auc_ppm = (2·R⁺ − n⁺(n⁺+1)) · 10⁶ div (2 · n⁺ · n⁻)
+
+    where 2·R⁺ = Σ over distinct scores of pos_cnt·(lo+hi) rank bounds.
+    The quality-classifier / reward-model eval that pairs with
+    `quality_classifier` (its logit output is already an integer).
+
+    Scale: ONE groupBy(score) with map-side partials (distinct scores ≤
+    score-grid size, not rows), one window over that SMALL table for
+    cumulative rank bounds, one final single-row aggregate. The corpus
+    never shuffles raw rows by anything finer than score. Returns one
+    row: (n_pos, n_neg, auc_ppm); degenerate inputs (single class)
+    yield auc_ppm null.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    s = F.col(score_col).cast("long")
+    pos = F.col(label_col).cast("long")
+    g = df.groupBy(s.alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum(pos).cast("long").alias("_pos"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+    # doubled midrank sum for positives at this score: pos·(lo + hi)
+    two_r = F.sum(
+        F.col("_pos") * (2 * F.col("_before") + F.col("_cnt") + 1)
+    ).cast("long")
+    agg = g.agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        (F.sum("_cnt") - F.sum("_pos")).cast("long").alias("n_neg"),
+        two_r.alias("_2r"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "((_2r - n_pos * (n_pos + 1)) * 1000000)"
+                " div (2 * n_pos * n_neg)"
+            ),
+        ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling (word2vec unigram^{3/4} table)
+# ---------------------------------------------------------------------------
+
+def negative_sampling_table(
+    vocab: DataFrame,
+    *,
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Build the word2vec negative-sampling table (Mikolov et al. 2013:
+    negatives drawn ∝ count^{3/4}): weight = isqrt(isqrt(count³)) —
+    exact integer x^{3/4} via two floor-sqrts (floor(sqrt(double)) is
+    correctly rounded IEEE, the `temperature_mix` discipline) — with
+    cumulative [lo, hi) ranges ordered by (count DESC, word ASC) for a
+    total, engine-replayable layout. The table is vocab-sized (bounded)
+    and broadcasts.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    c = F.col(count_col).cast("double")
+    wgt = F.floor(F.sqrt(F.floor(F.sqrt(c * c * c)))).cast("long")
+    t = vocab.select(
+        F.col(word_col).alias("word"),
+        F.col(count_col).cast("long").alias("cnt"),
+        wgt.alias("w"),
+    ).where(F.col("w") > 0)
+    win = Window.orderBy(F.col("cnt").desc(), F.col("word").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = t.withColumn("lo", F.coalesce(F.sum("w").over(win), F.lit(0)))
+    return t.select("word", "cnt", "w", "lo", (F.col("lo") + F.col("w")).alias("hi"))
+
+
+def sample_negatives(
+    pairs: DataFrame,
+    table: DataFrame,
+    *,
+    id_col: str = "pair_id",
+    k: int = 5,
+    seed: str = "neg",
+) -> DataFrame:
+    """Draw `k` deterministic negatives per positive pair from a
+    `negative_sampling_table`: slot j's uniform is the md5 hash of
+    (pair id, j, seed) modulo the total weight, resolved by a range
+    join against the broadcast table ([lo, hi) buckets). One row per
+    (pair, slot) with the sampled word.
+
+    Scale: the table is vocab-bounded and BROADCAST, so the range join
+    never shuffles the pair stream; output is exactly k× the input.
+    (At 10⁶-word vocabs the range join is a broadcast nested loop —
+    prefer bucketizing the table into equal-width segments first if the
+    vocab outgrows the broadcast budget; documented, not needed below
+    10⁶ entries.)
+    """
+    total = table.agg(F.sum("w").cast("long").alias("_tw"))
+    slots = pairs.select(
+        F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("slot")
+    ).crossJoin(F.broadcast(total))
+    u = portable_hash32(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("slot").cast("string"),
+            F.lit(":" + seed),
+        )
+    ) % F.col("_tw")
+    slots = slots.withColumn("_u", u)
+    return slots.join(
+        F.broadcast(table),
+        (F.col("_u") >= F.col("lo")) & (F.col("_u") < F.col("hi")),
+    ).select(id_col, "slot", F.col("word").alias("negative"))

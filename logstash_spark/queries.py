@@ -784,6 +784,7 @@ from logstash_spark import queries_dataprep23 as _qdp23  # noqa: E402,F401
 from logstash_spark import queries_dataprep24 as _qdp24  # noqa: E402,F401
 from logstash_spark import queries_dataprep25 as _qdp25  # noqa: E402,F401
 from logstash_spark import queries_dataprep26 as _qdp26  # noqa: E402,F401
+from logstash_spark import queries_dataprep27 as _qdp27  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -955,6 +956,8 @@ _DRIVER_PRIORITY = [
     "leakage_safe_split",
     "mmr_diverse_topk",
     "canary_extraction",
+    "auc_exact",
+    "negative_sampling",
 ]
 
 
