@@ -5631,3 +5631,103 @@ def sample_negatives(
         F.broadcast(table),
         (F.col("_u") >= F.col("lo")) & (F.col("_u") < F.col("hi")),
     ).select(id_col, "slot", F.col("word").alias("negative"))
+
+
+def pr_curve(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 at every decision threshold of an integer
+    score grid (predict positive iff score >= t) — the operating-point
+    sweep that pairs with `auc_binary` when a keep/drop cutoff must be
+    CHOSEN, not just ranked. All ratios exact ppm.
+
+    Same topology as `auc_binary`: ONE groupBy(score) with map-side
+    partials, one window over the small score-grid table for suffix
+    counts, pure integer arithmetic out. One row per distinct score =
+    one candidate threshold.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    s = F.col(score_col).cast("long")
+    pos = F.col(label_col).cast("long")
+    g = df.groupBy(s.alias("threshold")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum(pos).cast("long").alias("_pos"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    g = (
+        g.withColumn("tp", F.sum("_pos").over(w).cast("long"))
+        .withColumn("predicted_pos", F.sum("_cnt").over(w).cast("long"))
+        .withColumn("n_pos", F.sum("_pos").over(tot).cast("long"))
+    )
+    return g.select(
+        "threshold",
+        "tp",
+        (F.col("predicted_pos") - F.col("tp")).alias("fp"),
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        F.expr("(tp * 1000000) div predicted_pos").alias("precision_ppm"),
+        F.when(
+            F.col("n_pos") > 0, F.expr("(tp * 1000000) div n_pos")
+        ).otherwise(F.lit(0)).alias("recall_ppm"),
+        F.when(
+            F.col("n_pos") + F.col("predicted_pos") > 0,
+            F.expr("(2 * tp * 1000000) div (n_pos + predicted_pos)"),
+        ).otherwise(F.lit(0)).alias("f1_ppm"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    *,
+    rater_a_col: str = "rater_a",
+    rater_b_col: str = "rater_b",
+) -> DataFrame:
+    """Cohen's kappa for two-rater label agreement — the annotation-QA
+    gate a labeling pipeline runs before trusting human (or LLM-judge)
+    labels. Exact ppm via the all-integer form
+
+        kappa_ppm = (N·agree − Σ_k a_k·b_k) · 10⁶ div (N² − Σ_k a_k·b_k)
+
+    (numerator/denominator are the usual (p_o − p_e) and (1 − p_e)
+    scaled by N²). One groupBy over the label-pair grid plus one
+    single-row aggregate; marginals come from the same tiny table.
+    Degenerate case (p_e = 1: both raters constant and equal) yields
+    null. Output: (n_items, agree_ppm, kappa_ppm).
+    """
+    a, b = F.col(rater_a_col).cast("string"), F.col(rater_b_col).cast("string")
+    g = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    # marginals via two small re-aggregations of the pair grid
+    am = g.groupBy("_a").agg(F.sum("_c").alias("_am"))
+    bm = g.groupBy("_b").agg(F.sum("_c").alias("_bm"))
+    pe_num = (
+        am.join(bm, F.col("_a") == F.col("_b"))
+        .agg(F.sum(F.col("_am") * F.col("_bm")).cast("long").alias("pe"))
+    )
+    agg = g.agg(
+        F.sum("_c").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    j = agg.crossJoin(F.broadcast(pe_num)).withColumn(
+        "pe", F.coalesce(F.col("pe"), F.lit(0)).cast("long")
+    )
+    return j.select(
+        "n_items",
+        F.expr("(agree * 1000000) div n_items").alias("agree_ppm"),
+        F.when(
+            F.col("n_items") * F.col("n_items") - F.col("pe") > 0,
+            F.expr(
+                "((n_items * agree - pe) * 1000000)"
+                " div (n_items * n_items - pe)"
+            ),
+        ).alias("kappa_ppm"),
+    )

@@ -785,6 +785,7 @@ from logstash_spark import queries_dataprep24 as _qdp24  # noqa: E402,F401
 from logstash_spark import queries_dataprep25 as _qdp25  # noqa: E402,F401
 from logstash_spark import queries_dataprep26 as _qdp26  # noqa: E402,F401
 from logstash_spark import queries_dataprep27 as _qdp27  # noqa: E402,F401
+from logstash_spark import queries_dataprep28 as _qdp28  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -958,6 +959,8 @@ _DRIVER_PRIORITY = [
     "canary_extraction",
     "auc_exact",
     "negative_sampling",
+    "pr_threshold_sweep",
+    "annotator_kappa",
 ]
 
 
