@@ -5731,3 +5731,116 @@ def cohens_kappa(
             ),
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking metrics (retrieval evaluation: MRR / recall@k / NDCG@k)
+# ---------------------------------------------------------------------------
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    *,
+    q_col: str = "q_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval metrics over a ranked `run` judged by
+    `qrels` — the eval loop closing the BM25/ANN/MMR retrieval story:
+
+      * mrr_ppm      — 10⁶ div first-relevant rank (0 if none in top-k);
+                       exact integer.
+      * recall_k_ppm — relevant retrieved in top-k ÷ total relevant
+                       for the query (from qrels, including never-
+                       retrieved docs); exact integer.
+      * ndcg_k_ppm   — graded: DCG = Σ (2^rel − 1)/log2(i+1) folded
+                       LEFT-TO-RIGHT in rank order, IDCG likewise over
+                       the qrels' best-possible ordering. The fold
+                       order is fixed on both engines (sequential
+                       aggregate / list_reduce), so the double sums are
+                       bit-identical; the only rounding is the final
+                       floor(·10⁶).
+
+    Topology: run⋈qrels is a left join on (q, doc) — qrels are
+    eval-sized and broadcast; then ONE groupBy(q) collects the top-k
+    (rank-ordered, array-local fold). Total-relevant counts reuse the
+    qrels side alone.
+    """
+    q, d, r = F.col(q_col), F.col(doc_col), F.col(rank_col)
+    judged = (
+        run.where(r <= k)
+        .join(
+            F.broadcast(
+                qrels.select(
+                    q.alias("_qq"), d.alias("_qd"), F.col(rel_col).alias("_rel")
+                )
+            ),
+            (q == F.col("_qq")) & (d == F.col("_qd")),
+            "left",
+        )
+        .select(q.alias("_q"), r.alias("_r"), F.coalesce(F.col("_rel"), F.lit(0)).alias("_g"))
+    )
+    per_q = judged.groupBy("_q").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_r").alias("r"), F.col("_g").alias("g")))
+        ).alias("_l")
+    )
+    lst = F.col("_l")
+    first_rel = F.filter(lst, lambda x: x["g"] > 0)
+    mrr_ppm = F.when(
+        F.size(first_rel) > 0,
+        F.floor(F.lit(1_000_000) / F.element_at(first_rel, 1)["r"].cast("double")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    hits = F.size(F.filter(lst, lambda x: x["g"] > 0)).cast("long")
+    dcg = F.aggregate(
+        lst,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (F.pow(F.lit(2.0), x["g"].cast("double")) - 1.0)
+        / F.log2(x["r"].cast("double") + 1.0),
+    )
+    # totals + ideal ordering from the qrels side alone
+    ideal = qrels.where(F.col(rel_col) > 0).groupBy(q.alias("_q")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"),
+        F.slice(
+            F.sort_array(F.collect_list(F.col(rel_col).cast("long")), asc=False),
+            1,
+            k,
+        ).alias("_ideal"),
+    )
+    idcg = F.aggregate(
+        F.col("_ideal"),
+        F.struct(F.lit(0.0).alias("s"), F.lit(1).alias("i")),
+        lambda acc, g: F.struct(
+            (
+                acc["s"]
+                + (F.pow(F.lit(2.0), g.cast("double")) - 1.0)
+                / F.log2(acc["i"].cast("double") + 1.0)
+            ).alias("s"),
+            (acc["i"] + 1).alias("i"),
+        ),
+        lambda acc: acc["s"],
+    )
+    out = per_q.join(ideal, "_q", "left").select(
+        F.col("_q").alias(q_col),
+        mrr_ppm.alias("mrr_ppm"),
+        hits.alias("_hits"),
+        F.coalesce(F.col("n_rel"), F.lit(0).cast("long")).alias("n_rel"),
+        dcg.alias("_dcg"),
+        F.coalesce(idcg, F.lit(0.0)).alias("_idcg"),
+    )
+    return out.select(
+        q_col,
+        "mrr_ppm",
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr("(_hits * 1000000) div n_rel"),
+        ).otherwise(F.lit(0).cast("long")).alias("recall_k_ppm"),
+        F.when(
+            F.col("_idcg") > 0,
+            F.floor(F.col("_dcg") / F.col("_idcg") * 1e6).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("ndcg_k_ppm"),
+        "n_rel",
+    )

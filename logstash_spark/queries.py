@@ -786,6 +786,7 @@ from logstash_spark import queries_dataprep25 as _qdp25  # noqa: E402,F401
 from logstash_spark import queries_dataprep26 as _qdp26  # noqa: E402,F401
 from logstash_spark import queries_dataprep27 as _qdp27  # noqa: E402,F401
 from logstash_spark import queries_dataprep28 as _qdp28  # noqa: E402,F401
+from logstash_spark import queries_dataprep29 as _qdp29  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -961,6 +962,7 @@ _DRIVER_PRIORITY = [
     "negative_sampling",
     "pr_threshold_sweep",
     "annotator_kappa",
+    "retrieval_ranking_metrics",
 ]
 
 
