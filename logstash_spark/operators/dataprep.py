@@ -5844,3 +5844,131 @@ def ranking_metrics(
         ).otherwise(F.lit(0).cast("long")).alias("ndcg_k_ppm"),
         "n_rel",
     )
+
+
+# ---------------------------------------------------------------------------
+# RL post-training: group-relative advantage (GRPO-style)
+# ---------------------------------------------------------------------------
+
+def grpo_advantage(
+    df: DataFrame,
+    *,
+    group_col: str = "group_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Group-relative advantage over sampled completions — the reward
+    normalization step of GRPO-style RL post-training (Shao et al.
+    2024: advantage = (r − mean(group)) / std(group), the group being
+    the K completions sampled for one prompt).
+
+    Outputs per row: `n` (group size), `adv_mean_ppm` (mean-centered
+    reward), `adv_z_ppm` (z-score; 0 when the group is constant —
+    the standard GRPO degenerate-group convention).
+
+    Cross-engine exactness: rewards are integers, so every group
+    moment is exact (S=Σr, Q=Σr² as int64). Centered numerators can be
+    NEGATIVE, where Spark `div` (truncate) and DuckDB `//` (floor)
+    disagree — so both ppm outputs go through ONE `floor()` of a
+    double that is exactly representable (|r·n − S|·10⁶ ≪ 2⁵³ for
+    any sane reward scale), giving floor semantics on both engines:
+
+      adv_mean_ppm = floor((r·n − S) · 10⁶ / n)
+      adv_z_ppm    = floor((r·n − S) · 10⁶ / sqrt(n·Q − S²))
+
+    (n·Q − S² = n²·var ≥ 0 exactly; IEEE sqrt of an exactly-
+    representable int is deterministic on both engines.)
+
+    Topology: ONE window over `group_col` — a single keyed shuffle,
+    map-side partial aggregation, no join. Groups are K≈4-64 samples
+    per prompt, so no skew risk by construction.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col)
+    r = F.col(reward_col).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(r).over(w)
+    q = F.sum(r * r).over(w)
+    num = (r * n - s).cast("double") * F.lit(1_000_000.0)
+    disc = (n * q - s * s).cast("double")
+    return df.select(
+        *df.columns,
+        n.alias("n"),
+        F.floor(num / n.cast("double")).cast("long").alias("adv_mean_ppm"),
+        F.when(
+            disc > 0, F.floor(num / F.sqrt(disc)).cast("long")
+        ).otherwise(F.lit(0).cast("long")).alias("adv_z_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generation eval: exact match / edit similarity / token F1
+# ---------------------------------------------------------------------------
+
+def _eval_norm_tokens(col):
+    """SQuAD-style normalization to a token array: lowercase, strip
+    non-alphanumerics to spaces, drop English articles (a/an/the)."""
+    toks = F.split(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " ")
+    return F.filter(
+        toks, lambda x: (x != "") & ~x.isin("a", "an", "the")
+    )
+
+
+def eval_text_match(
+    df: DataFrame,
+    *,
+    pred_col: str = "pred",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """Per-row generation-eval triple against a reference answer — the
+    SQuAD/triviaqa-style scoring pass over model outputs:
+
+      * exact_match   — 1 iff the normalized token sequences are equal.
+      * lev_sim_ppm   — 10⁶·(1 − levenshtein/maxlen) over the
+                        normalized strings; exact integer
+                        ((maxlen − d)·10⁶ div maxlen, operands ≥ 0);
+                        both-empty ⇒ 10⁶.
+      * token_f1_ppm  — SQuAD token F1: overlap = Σ_tok min(count in
+                        pred, count in ref) over the pred's DISTINCT
+                        tokens; F1 = 2·overlap/(|pred|+|ref|); exact
+                        integer (2·overlap·10⁶ div (np+nr)).
+
+    Normalization (lowercase → non-alnum→space → drop a/an/the) and
+    every metric are pure column algebra — token counting is an
+    array-local nested filter (O(distinct·len) per row, rows are
+    short), so the operator is ZERO-shuffle and scales linearly.
+    `levenshtein` is the built-in unit-cost edit distance on both
+    engines.
+    """
+    pt, rt = _eval_norm_tokens(F.col(pred_col)), _eval_norm_tokens(F.col(ref_col))
+    ps, rs = F.array_join(pt, " "), F.array_join(rt, " ")
+    lev = F.levenshtein(ps, rs).cast("long")
+    maxlen = F.greatest(F.length(ps), F.length(rs)).cast("long")
+    np_, nr = F.size(pt).cast("long"), F.size(rt).cast("long")
+    overlap = F.aggregate(
+        F.array_distinct(pt),
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc
+        + F.least(
+            F.size(F.filter(pt, lambda x: x == tok)),
+            F.size(F.filter(rt, lambda x: x == tok)),
+        ).cast("long"),
+    )
+    staged = df.select(
+        *df.columns,
+        (ps == rs).cast("int").alias("exact_match"),
+        ((maxlen - lev) * F.lit(1_000_000)).alias("_lev_num"),
+        maxlen.alias("_lev_den"),
+        (overlap * 2 * F.lit(1_000_000)).alias("_f1_num"),
+        (np_ + nr).alias("_f1_den"),
+    )
+    return staged.select(
+        *df.columns,
+        "exact_match",
+        F.when(
+            F.col("_lev_den") > 0, F.expr("_lev_num div _lev_den")
+        ).otherwise(F.lit(1_000_000).cast("long")).alias("lev_sim_ppm"),
+        F.when(
+            F.col("_f1_den") > 0, F.expr("_f1_num div _f1_den")
+        ).otherwise(F.lit(1_000_000).cast("long")).alias("token_f1_ppm"),
+    )

@@ -787,6 +787,7 @@ from logstash_spark import queries_dataprep26 as _qdp26  # noqa: E402,F401
 from logstash_spark import queries_dataprep27 as _qdp27  # noqa: E402,F401
 from logstash_spark import queries_dataprep28 as _qdp28  # noqa: E402,F401
 from logstash_spark import queries_dataprep29 as _qdp29  # noqa: E402,F401
+from logstash_spark import queries_dataprep30 as _qdp30  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -963,6 +964,8 @@ _DRIVER_PRIORITY = [
     "pr_threshold_sweep",
     "annotator_kappa",
     "retrieval_ranking_metrics",
+    "grpo_group_advantage",
+    "eval_em_f1",
 ]
 
 
