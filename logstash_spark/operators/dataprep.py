@@ -5972,3 +5972,201 @@ def eval_text_match(
             F.col("_f1_den") > 0, F.expr("_f1_num div _f1_den")
         ).otherwise(F.lit(1_000_000).cast("long")).alias("token_f1_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chat-tree flattening: conversation paths (OpenAssistant-style SFT mining)
+# ---------------------------------------------------------------------------
+
+def conversation_paths(
+    msgs: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    id_col: str = "msg_id",
+    parent_col: str = "parent_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    rounds: int = 4,
+) -> DataFrame:
+    """Flatten a message TREE (OpenAssistant-style: each prompt may have
+    several replies, each reply several follow-ups) into one training
+    sample per message: the root→message ancestor path rendered as a
+    transcript. SFT mining then filters `role == 'assistant'` rows and
+    splits the last turn off as the target.
+
+    Pointer-DOUBLING assembly: each message starts holding the 1-chain
+    [self]; every round joins chains to the chain their head pointer
+    refers to, concatenating arrays and inheriting the head's pointer —
+    so covered depth doubles per round (depth ≤ 2^rounds after
+    `rounds` self-joins, e.g. 4 rounds ⇒ depth 16). That is log(depth)
+    keyed shuffles instead of depth — the classic parallel
+    list-ranking trick, same scaling story as `connected_components`.
+    Rows whose pointer is still non-null after the last round get
+    `truncated = true` (their prefix is missing) instead of silently
+    wrong output.
+
+    Output: conv, msg_id, role, depth (path length), truncated, and
+    `context` — the 'role: text' lines of the full path joined by
+    newlines. Everything is array algebra after the joins; no window,
+    no driver state.
+    """
+    node = msgs.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(id_col).alias("_id"),
+        F.col(parent_col).alias("_ptr"),
+        F.col(role_col).alias("_role"),
+        F.array(
+            F.struct(
+                F.col(role_col).alias("role"), F.col(text_col).alias("text")
+            )
+        ).alias("_path"),
+    )
+    # static lookup side: every message's (chain, next pointer), keyed by id
+    chains = node.select("_id", "_ptr", "_path")
+    cur = node
+    for _ in range(max(0, rounds)):
+        up = chains.select(
+            F.col("_id").alias("_uid"),
+            F.col("_ptr").alias("_uptr"),
+            F.col("_path").alias("_upath"),
+        )
+        cur = (
+            cur.join(up, cur["_ptr"] == up["_uid"], "left")
+            .select(
+                "_conv",
+                "_id",
+                F.when(F.col("_uid").isNull(), F.col("_ptr"))
+                .otherwise(F.col("_uptr"))
+                .alias("_ptr"),
+                "_role",
+                F.when(
+                    F.col("_uid").isNull(), F.col("_path")
+                ).otherwise(F.concat(F.col("_upath"), F.col("_path")))
+                .alias("_path"),
+            )
+        )
+        chains = cur.select("_id", "_ptr", "_path")
+    return cur.select(
+        F.col("_conv").alias(conv_col),
+        F.col("_id").alias(id_col),
+        F.col("_role").alias(role_col),
+        F.size("_path").alias("depth"),
+        F.col("_ptr").isNotNull().alias("truncated"),
+        F.array_join(
+            F.transform(
+                F.col("_path"), lambda x: F.concat(x["role"], F.lit(": "), x["text"])
+            ),
+            "\n",
+        ).alias("context"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-battle leaderboard: Bradley-Terry ratings (fixed-point MM)
+# ---------------------------------------------------------------------------
+
+def bradley_terry(
+    battles: DataFrame,
+    *,
+    a_col: str = "model_a",
+    b_col: str = "model_b",
+    winner_col: str = "winner",
+    iters: int = 3,
+    anchor: object = None,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from raw pairwise battles — the
+    arena-style leaderboard reducer over `winner ∈ {'a','b','tie'}`
+    rows (ties count as half a win each; doubled win counts keep the
+    tallies exact integers).
+
+    Fixed `iters` rounds of Hunter's MM update
+    p_i ← W_i / Σ_j n_ij/(p_i + p_j), then ONE anchor normalization
+    (rating of `anchor`, default the smallest model id, ≡ 1.0) — the
+    update is scale-covariant, so anchoring once at the end is exact.
+
+    Determinism: the heavy reduction (battles → directed pair tallies)
+    is integer; each MM round folds its denominator LEFT-TO-RIGHT over
+    the opponent list sorted by j on both engines, so every double is
+    bit-identical; `rating_ppm` floors once at the end.
+
+    Topology: ONE keyed shuffle over the raw battles (groupBy directed
+    pair, map-side partial). Everything after runs on the tiny
+    model×model table: per round, two broadcast joins against the
+    ratings + one groupBy(model) fold. Models-with-zero-battles are
+    absent from the output; a zero-win model decays to rating 0.
+    """
+    a, b, w = F.col(a_col), F.col(b_col), F.col(winner_col)
+    directed = battles.select(
+        a.alias("_i"),
+        b.alias("_j"),
+        (
+            F.when(w == "a", F.lit(2)).when(w == "tie", F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("_w2"),
+    ).unionByName(
+        battles.select(
+            b.alias("_i"),
+            a.alias("_j"),
+            (
+                F.when(w == "b", F.lit(2)).when(w == "tie", F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("_w2"),
+        )
+    )
+    pairs = directed.groupBy("_i", "_j").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_w2").alias("_w2"),
+    )
+    wsum = pairs.groupBy("_i").agg(
+        F.sum("_w2").alias("_W2"), F.sum("_n").alias("_nb")
+    )
+    ratings = wsum.select(F.col("_i").alias("_m"), F.lit(1.0).alias("_p"))
+    for _ in range(max(1, iters)):
+        joined = (
+            pairs.join(
+                F.broadcast(ratings.select(F.col("_m").alias("_i"), F.col("_p").alias("_pi"))),
+                "_i",
+            )
+            .join(
+                F.broadcast(ratings.select(F.col("_m").alias("_j"), F.col("_p").alias("_pj"))),
+                "_j",
+            )
+        )
+        den = joined.groupBy("_i").agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_j").alias("j"),
+                            (
+                                F.col("_n").cast("double")
+                                / (F.col("_pi") + F.col("_pj"))
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("_den")
+        )
+        ratings = den.join(wsum, "_i").select(
+            F.col("_i").alias("_m"),
+            (F.col("_W2").cast("double") / (F.lit(2.0) * F.col("_den"))).alias("_p"),
+        )
+    if anchor is None:
+        anchor_row = ratings.groupBy().agg(F.min("_m").alias("_am"))
+    else:
+        anchor_row = ratings.sparkSession.range(1).select(F.lit(anchor).alias("_am"))
+    anchored = ratings.join(
+        F.broadcast(
+            ratings.join(
+                F.broadcast(anchor_row), ratings["_m"] == F.col("_am")
+            ).select(F.col("_p").alias("_pa"))
+        )
+    )
+    return anchored.join(wsum.select(F.col("_i").alias("_m"), "_W2", "_nb"), "_m").select(
+        F.col("_m").alias("model"),
+        F.floor(F.col("_p") / F.col("_pa") * F.lit(1_000_000.0)).cast("long").alias(
+            "rating_ppm"
+        ),
+        F.col("_nb").alias("n_battles"),
+        F.col("_W2").alias("wins2"),
+    )

@@ -788,6 +788,7 @@ from logstash_spark import queries_dataprep27 as _qdp27  # noqa: E402,F401
 from logstash_spark import queries_dataprep28 as _qdp28  # noqa: E402,F401
 from logstash_spark import queries_dataprep29 as _qdp29  # noqa: E402,F401
 from logstash_spark import queries_dataprep30 as _qdp30  # noqa: E402,F401
+from logstash_spark import queries_dataprep31 as _qdp31  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -966,6 +967,8 @@ _DRIVER_PRIORITY = [
     "retrieval_ranking_metrics",
     "grpo_group_advantage",
     "eval_em_f1",
+    "conversation_tree_sft",
+    "bradley_terry_ratings",
 ]
 
 
