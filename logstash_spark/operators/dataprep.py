@@ -6170,3 +6170,165 @@ def bradley_terry(
         F.col("_nb").alias("n_battles"),
         F.col("_W2").alias("wins2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-cluster Naive-Bayes text classifier: train + apply (CCNet/fastText slot)
+# ---------------------------------------------------------------------------
+
+def _ln_q(k: Column) -> Column:
+    """floor(10^6 · ln(k)) for an INTEGER column k ≥ 1 — the quantized
+    log-space unit every NB score term uses. Both engines evaluate ln of
+    the same exact integer, so the micro-unit floor agrees (a collision
+    needs 10⁶·ln(k) within ~1e-10 of an integer)."""
+    return F.floor(F.log(k.cast("double")) * F.lit(1_000_000.0)).cast("long")
+
+
+def nb_tokens(text: Column) -> Column:
+    """Shared NB tokenization: split on single spaces, drop empties.
+    Deliberately the corpus's native word stream (documents.text is
+    space-joined) — swap in `_eval_norm_tokens`-style normalization
+    upstream for raw text."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def nb_train(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a multinomial Naive-Bayes text classifier IN-CLUSTER — the
+    trained counterpart of `quality_classifier` (which ships offline
+    weights as literals). This is the CCNet / DCLM recipe's training
+    half: label a seed slice (reference-domain vs random crawl), count
+    token occurrences per class, and apply the model corpus-wide with
+    `nb_classify`.
+
+    Returns (token_counts, class_stats, vocab):
+      * token_counts — (label, token, cnt): multinomial occurrence
+        counts. ONE explode + groupBy shuffle over the TRAINING slice
+        (which is small by construction — the corpus-sized pass is
+        classify, not train); map-side partial aggregation absorbs
+        token skew (stopwords).
+      * class_stats — (label, n_docs, n_tokens): per-class doc and
+        token totals; |labels| rows.
+      * vocab — 1-row (vocab_size): distinct training tokens, the
+        Laplace-smoothing denominator term. Kept as a DataFrame (no
+        driver action) — classify cross-broadcasts it.
+
+    Everything is exact BIGINT counting — the model is reproducible
+    bit-for-bit on any engine, which is what makes the trained
+    classifier oracle-checkable end to end.
+    """
+    toks = df.select(
+        F.col(label_col).alias("label"), nb_tokens(F.col(text_col)).alias("_t")
+    )
+    ex = toks.select("label", F.explode("_t").alias("token"))
+    token_counts = ex.groupBy("label", "token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    class_stats = toks.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("_t")).cast("long").alias("n_tokens"),
+    )
+    vocab = ex.agg(F.countDistinct("token").cast("long").alias("vocab_size"))
+    return token_counts, class_stats, vocab
+
+
+def nb_classify(
+    df: DataFrame,
+    token_counts: DataFrame,
+    class_stats: DataFrame,
+    vocab: DataFrame,
+    labels: Sequence[str],
+    *,
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Apply a `nb_train` model to a corpus: per-row quantized log-score
+    for every label plus the argmax `nb_label`.
+
+    Score (Laplace-smoothed multinomial NB, all terms L(k) :=
+    floor(10⁶·ln k) of exact integers):
+
+        score_q(l) = L(n_docs_l) − L(N)                      # log prior
+                   + Σ_t L(cnt_{t,l} + 1)                     # matched
+                   − n_tok · L(n_tokens_l + V)                # denominator
+
+    Unmatched tokens contribute L(0+1) = 0, so only model hits are
+    summed. Topology: ONE explode + broadcast hash join against the
+    long-form model (token_counts is vocab-sized — MBs, exactly what a
+    deployed fastText-style model is) + ONE groupBy(id) with plan-time
+    per-label conditional sums; class_stats and vocab ride in as
+    broadcast one-row cross joins. `broadcast_model=False` switches to
+    a keyed shuffle join for beyond-broadcast vocabularies. The corpus
+    is never shuffled wider than its own id — the same single-shuffle
+    budget as `token_counts` aggregation.
+
+    Ties break to the lexicographically smallest label (sort_array over
+    (−score, label) structs — total order, engine-reproducible).
+    Requires every label in `labels` to appear in the training slice.
+    """
+    labels = list(labels)
+    cs = class_stats.groupBy().agg(
+        F.sum("n_docs").cast("long").alias("_N"),
+        *[
+            F.sum(F.when(F.col("label") == l, F.col("n_docs")))
+            .cast("long").alias(f"_nd_{i}")
+            for i, l in enumerate(labels)
+        ],
+        *[
+            F.sum(F.when(F.col("label") == l, F.col("n_tokens")))
+            .cast("long").alias(f"_nt_{i}")
+            for i, l in enumerate(labels)
+        ],
+    )
+    base = df.select(*df.columns, nb_tokens(F.col(text_col)).alias("_toks"))
+    spine = base.select(*df.columns, F.size("_toks").cast("long").alias("n_tok"))
+    # row key: the caller's first column, which must be unique per row
+    # (doc_id in every gate) — NOT monotonically_increasing_id, which is
+    # partition-layout dependent and would break engine reproducibility.
+    id_col = df.columns[0]
+    ex = base.select(F.col(id_col).alias("_rid"), F.explode("_toks").alias("token"))
+    model = F.broadcast(token_counts) if broadcast_model else token_counts
+    j = ex.join(model, "token", "left")
+    ms = j.groupBy("_rid").agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("label") == l, _ln_q(F.col("cnt") + 1))
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"_ms_{i}")
+            for i, l in enumerate(labels)
+        ]
+    )
+    out = (
+        spine.join(ms, spine[id_col] == ms["_rid"], "left")
+        .drop("_rid")
+        .crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(vocab))
+    )
+    score_cols = []
+    for i, l in enumerate(labels):
+        s = (
+            _ln_q(F.col(f"_nd_{i}"))
+            - _ln_q(F.col("_N"))
+            + F.coalesce(F.col(f"_ms_{i}"), F.lit(0))
+            - F.col("n_tok") * _ln_q(F.col(f"_nt_{i}") + F.col("vocab_size"))
+        ).alias(f"nb_score_{l}_q")
+        score_cols.append(s)
+    scored = out.select(*df.columns, "n_tok", *score_cols)
+    pick = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"nb_score_{l}_q")).alias("s"),
+                    F.lit(l).alias("label"),
+                )
+                for l in labels
+            ]
+        )
+    )[0]["label"]
+    return scored.withColumn("nb_label", pick)

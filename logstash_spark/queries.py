@@ -789,6 +789,7 @@ from logstash_spark import queries_dataprep28 as _qdp28  # noqa: E402,F401
 from logstash_spark import queries_dataprep29 as _qdp29  # noqa: E402,F401
 from logstash_spark import queries_dataprep30 as _qdp30  # noqa: E402,F401
 from logstash_spark import queries_dataprep31 as _qdp31  # noqa: E402,F401
+from logstash_spark import queries_dataprep32 as _qdp32  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -969,6 +970,8 @@ _DRIVER_PRIORITY = [
     "eval_em_f1",
     "conversation_tree_sft",
     "bradley_terry_ratings",
+    # dataprep batch 32 (round 3)
+    "nb_classifier_train",
 ]
 
 
