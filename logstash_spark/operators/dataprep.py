@@ -6332,3 +6332,158 @@ def nb_classify(
         )
     )[0]["label"]
     return scored.withColumn("nb_label", pick)
+
+
+# ---------------------------------------------------------------------------
+# Calibration report: ECE + Brier score (classifier/reward-model eval)
+# ---------------------------------------------------------------------------
+
+def calibration_report(
+    df: DataFrame,
+    *,
+    conf_col: str = "conf_ppm",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + expected calibration error + Brier
+    score for a binary classifier whose confidence is an integer in
+    ppm (0..10⁶) — the eval pass run over a quality/reward model's
+    scores before its threshold is trusted corpus-wide. Completes the
+    eval family next to `auc_binary` and `pr_curve`.
+
+    Per bin b (bin = min(n_bins−1, conf_ppm·n_bins div 10⁶) — the
+    standard equal-width grid with 10⁶ folded into the top bin):
+      n, acc_ppm = 10⁶·Σlabel div n, avg_conf_ppm = Σconf div n,
+      gap_ppm = |acc − conf̄| (computed on the pre-division integer
+      numerators so the divisions can't disagree).
+    Attached to every row (broadcast one-row cross join):
+      ece_ppm   = Σ_b |10⁶·Σlabel_b − Σconf_b| div N
+      brier_ppm = Σ_i (conf_i − 10⁶·label_i)² div (10⁶·N)
+    Both are EXACT integer arithmetic end to end; the squared sums run
+    in DECIMAL(38,0) so 10¹²-row corpora cannot overflow int64.
+
+    Topology: ONE groupBy shuffle onto ≤ n_bins reducers with map-side
+    partial aggregation (the corpus never moves — only per-partition
+    partials), then a broadcast of the tiny bin table. Row count of the
+    result is n_bins regardless of corpus size.
+    """
+    conf = F.col(conf_col).cast("long")
+    lab = F.col(label_col).cast("long")
+    d = conf - lab * F.lit(1_000_000)
+    binned = df.select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"({conf_col} * {n_bins}) div 1000000").cast("int"),
+        ).alias("bin"),
+        conf.alias("_c"),
+        lab.alias("_l"),
+        (d.cast("decimal(38,0)") * d.cast("decimal(38,0)")).alias("_d2"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_c").cast("decimal(38,0)").alias("_sc"),
+        F.sum("_l").cast("long").alias("_sl"),
+        F.sum("_d2").alias("_sd2"),
+    )
+    tot = bins.groupBy().agg(
+        F.sum("n").cast("long").alias("_N"),
+        F.sum(
+            F.abs(F.col("_sl").cast("decimal(38,0)") * 1_000_000 - F.col("_sc"))
+        ).alias("_ece_num"),
+        F.sum("_sd2").alias("_bri_num"),
+    )
+    out = bins.crossJoin(F.broadcast(tot))
+    return out.select(
+        "bin",
+        "n",
+        F.expr("CAST(_sl * 1000000 div n AS LONG)").alias("acc_ppm"),
+        F.expr("CAST(_sc div n AS LONG)").alias("avg_conf_ppm"),
+        F.expr(
+            "CAST(abs(CAST(_sl AS DECIMAL(38,0)) * 1000000 - _sc) div n AS LONG)"
+        ).alias("gap_ppm"),
+        F.expr("CAST(_ece_num div _N AS LONG)").alias("ece_ppm"),
+        F.expr("CAST(_bri_num div (CAST(1000000 AS DECIMAL(38,0)) * _N) AS LONG)").alias(
+            "brier_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L: longest-common-subsequence generation eval (array-local DP)
+# ---------------------------------------------------------------------------
+
+def rouge_l(
+    df: DataFrame,
+    *,
+    pred_col: str = "pred_toks",
+    ref_col: str = "ref_toks",
+) -> DataFrame:
+    """ROUGE-L over token ARRAYS (caller tokenizes — pair with
+    `_eval_norm_tokens` / `nb_tokens`): per-row token-level LCS length
+    plus precision / recall / F1 in exact integer ppm. Completes the
+    generation-eval family next to `eval_text_match` (EM / edit
+    similarity / token F1) with the one metric that is order-aware but
+    gap-tolerant.
+
+    The LCS table is evaluated ARRAY-LOCALLY as a nested fold — the
+    classic one-row DP: the outer `aggregate` walks the prediction
+    carrying the previous DP row (array<long>, |ref|+1 wide); the inner
+    fold over ref positions builds the next row from the three-way
+    recurrence max(skip-pred, skip-ref, diagonal+match). ZERO shuffle,
+    no UDF, no join: cost is O(|pred|·|ref|²) per row (the inner
+    concat re-copies the growing row), which is the right trade for
+    eval-sized answers (tens of tokens); for long-document LCS move
+    the fold into a Pandas-UDF seam, same topology.
+
+    Empty prediction or reference ⇒ lcs = 0, metrics 0 (never
+    null/div-by-zero). LCS length (an integer) is the ONLY value the
+    metrics derive from, so every output is engine-exact.
+    """
+    p, r = F.col(pred_col), F.col(ref_col)
+    m = F.size(r)
+    init = F.array_repeat(F.lit(0).cast("long"), m + 1)
+    dp = F.aggregate(
+        p,
+        init,
+        lambda prev, c: F.aggregate(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            F.array(F.lit(0).cast("long")),
+            lambda acc, j: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.element_at(prev, j + F.lit(1)),
+                        F.element_at(acc, j),
+                        F.when(
+                            F.element_at(r, j) == c,
+                            F.element_at(prev, j) + 1,
+                        ).otherwise(F.lit(0).cast("long")),
+                    )
+                ),
+            ),
+        ),
+    )
+    lcs = F.when(
+        (F.size(p) > 0) & (m > 0), F.element_at(dp, -1)
+    ).otherwise(F.lit(0).cast("long"))
+    np_, nr = F.size(p).cast("long"), m.cast("long")
+    staged = df.select(
+        *df.columns,
+        lcs.alias("lcs"),
+        np_.alias("np"),
+        nr.alias("nr"),
+    )
+    return staged.select(
+        *df.columns,
+        "lcs",
+        "np",
+        "nr",
+        F.when(F.col("np") > 0, F.expr("lcs * 1000000 div np"))
+        .otherwise(F.lit(0).cast("long")).alias("rouge_l_p_ppm"),
+        F.when(F.col("nr") > 0, F.expr("lcs * 1000000 div nr"))
+        .otherwise(F.lit(0).cast("long")).alias("rouge_l_r_ppm"),
+        F.when(
+            F.col("np") + F.col("nr") > 0,
+            F.expr("2 * lcs * 1000000 div (np + nr)"),
+        ).otherwise(F.lit(0).cast("long")).alias("rouge_l_f_ppm"),
+    )

@@ -972,6 +972,8 @@ _DRIVER_PRIORITY = [
     "bradley_terry_ratings",
     # dataprep batch 32 (round 3)
     "nb_classifier_train",
+    "calibration_report",
+    "rouge_l_eval",
 ]
 
 

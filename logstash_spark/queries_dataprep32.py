@@ -100,3 +100,131 @@ def nb_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.nb_classify(
         test, token_counts, class_stats, vocab, ["neg", "pos"]
     ).select("doc_id", "n_tok", "nb_score_pos_q", "nb_score_neg_q", "nb_label")
+
+
+@query(
+    "calibration_report",
+    f"""
+    WITH base AS (
+      SELECT {_H32.format(s="doc_id || ':cf'")} % 1000001 AS conf_ppm,
+             CASE WHEN {_H32.format(s="doc_id || ':lb'")} % 1000000
+                       < {_H32.format(s="doc_id || ':cf'")} % 1000001
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    binned AS (
+      SELECT least(9, (conf_ppm * 10) // 1000000) AS bin, conf_ppm, label,
+             (conf_ppm - label * 1000000) AS d
+      FROM base
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             sum(conf_ppm) AS sc, sum(label) AS sl,
+             sum(CAST(d AS HUGEINT) * d) AS sd2
+      FROM binned GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             sum(abs(CAST(sl AS HUGEINT) * 1000000 - sc)) AS ece_num,
+             sum(sd2) AS bri_num
+      FROM bins
+    )
+    SELECT CAST(bin AS INT) AS bin, n,
+           CAST(sl * 1000000 // n AS BIGINT) AS acc_ppm,
+           CAST(sc // n AS BIGINT) AS avg_conf_ppm,
+           CAST(abs(CAST(sl AS HUGEINT) * 1000000 - sc) // n AS BIGINT)
+             AS gap_ppm,
+           CAST(ece_num // nn AS BIGINT) AS ece_ppm,
+           CAST(bri_num // (CAST(1000000 AS HUGEINT) * nn) AS BIGINT)
+             AS brier_ppm
+    FROM bins, tot
+    """,
+)
+def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration gate (`dataprep.calibration_report`): hash-derived
+    ppm confidences with labels drawn so P(label=1) = conf (a
+    near-calibrated model — bins land close to the diagonal but the
+    finite-sample gaps are nonzero and exact). ECE, Brier, and every
+    per-bin statistic are integer arithmetic on both engines."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    conf = D.portable_hash32(F.concat(i, F.lit(":cf"))) % 1000001
+    lab = (
+        D.portable_hash32(F.concat(i, F.lit(":lb"))) % 1000000 < conf
+    ).cast("long")
+    base = docs.select(conf.alias("conf_ppm"), lab.alias("label"))
+    return D.calibration_report(base, n_bins=10)
+
+
+@query(
+    "rouge_l_eval",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS n,
+             doc_id % 4 AS mode
+      FROM documents
+    ),
+    derived AS (
+      SELECT doc_id, n, mode,
+             CASE mode WHEN 2 THEN n - n // 4 ELSE n END AS np,
+             CASE mode
+               WHEN 0 THEN n
+               WHEN 1 THEN n - n // 3
+               WHEN 2 THEN n - n // 4
+               ELSE n - n // 2 END AS lcs
+      FROM base
+    )
+    SELECT doc_id, CAST(lcs AS BIGINT) AS lcs,
+           CAST(np AS BIGINT) AS np, CAST(n AS BIGINT) AS nr,
+           CAST(lcs * 1000000 // np AS BIGINT) AS rouge_l_p_ppm,
+           CAST(lcs * 1000000 // n AS BIGINT) AS rouge_l_r_ppm,
+           CAST(2 * lcs * 1000000 // (np + n) AS BIGINT) AS rouge_l_f_ppm
+    FROM derived
+    """,
+)
+def rouge_l_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L gate (`dataprep.rouge_l`): references are n distinct
+    synthetic tokens (n = 8 + doc_id%9); predictions are hash-free
+    deterministic corruptions whose LCS is known in CLOSED FORM —
+    identical copy (lcs=n), every-3rd token replaced by unique junk
+    (lcs=n−⌊n/3⌋), every-4th dropped (lcs=n−⌊n/4⌋), and a half
+    rotation (lcs=n−⌊n/2⌋ — the case that separates true LCS from
+    order-blind token overlap, which would score n). The oracle states
+    the outcome arithmetically and never runs the DP, so the two
+    derivations are fully independent."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (F.lit(8) + F.col("doc_id") % 9).cast("int")
+    mode = F.col("doc_id") % 4
+    seq = F.sequence(F.lit(1), n)
+    tok = lambda i: F.concat(  # noqa: E731
+        F.lit("w"), F.col("doc_id").cast("string"), F.lit("_"), i.cast("string")
+    )
+    toks = F.transform(seq, tok)
+    junked = F.transform(
+        seq,
+        lambda i: F.when(
+            i % 3 == 0,
+            F.concat(F.lit("j"), F.col("doc_id").cast("string"), F.lit("_"), i.cast("string")),
+        ).otherwise(tok(i)),
+    )
+    dropped = F.filter(toks, lambda x, i: (i + 1) % 4 != 0)
+    h = (n / 2).cast("int")
+    rotated = F.concat(F.slice(toks, h + 1, n - h), F.slice(toks, F.lit(1), h))
+    base = docs.select(
+        "doc_id",
+        toks.alias("ref_toks"),
+        F.when(mode == 0, toks)
+        .when(mode == 1, junked)
+        .when(mode == 2, dropped)
+        .otherwise(rotated)
+        .alias("pred_toks"),
+    )
+    return D.rouge_l(base).select(
+        "doc_id", "lcs", "np", "nr",
+        "rouge_l_p_ppm", "rouge_l_r_ppm", "rouge_l_f_ppm",
+    )

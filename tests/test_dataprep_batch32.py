@@ -104,3 +104,95 @@ class TestNaiveBayes:
         plan = D.nb_classify(test, tc, cs, v, ["ham", "spam"])._jdf.queryExecution().executedPlan().toString()
         # the model join must be broadcast, not a shuffle join
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestCalibrationReport:
+    def test_hand_computed_two_bins(self, spark):
+        # bin 0: conf .05 .09 (ppm 50000, 90000), labels 0, 1
+        # bin 9: conf 1.0 (ppm 1000000) folded into top bin, label 1
+        rows = [(50_000, 0), (90_000, 1), (1_000_000, 1)]
+        df = spark.createDataFrame(rows, "conf_ppm long, label long")
+        got = {r.bin: r for r in D.calibration_report(df, n_bins=10).collect()}
+        assert set(got) == {0, 9}
+        b0, b9 = got[0], got[9]
+        assert (b0.n, b0.acc_ppm, b0.avg_conf_ppm) == (2, 500_000, 70_000)
+        assert b0.gap_ppm == (1_000_000 - 140_000) // 2
+        assert (b9.n, b9.acc_ppm, b9.avg_conf_ppm, b9.gap_ppm) == (
+            1, 1_000_000, 1_000_000, 0,
+        )
+        # ECE = (|1e6·1 - 140000| + 0) / 3
+        assert b0.ece_ppm == 860_000 // 3 == b9.ece_ppm
+        # Brier = (50000² + 910000² + 0²) / (3·1e6)
+        assert b0.brier_ppm == (50_000**2 + 910_000**2) // 3_000_000
+
+    def test_perfectly_calibrated_sharp_model(self, spark):
+        rows = [(0, 0)] * 5 + [(1_000_000, 1)] * 5
+        df = spark.createDataFrame(rows, "conf_ppm long, label long")
+        out = D.calibration_report(df).collect()
+        assert all(r.gap_ppm == 0 for r in out)
+        assert all(r.ece_ppm == 0 and r.brier_ppm == 0 for r in out)
+
+    def test_single_shuffle_plan(self, spark):
+        df = spark.range(1000).select(
+            (F.col("id") * 997 % 1_000_001).alias("conf_ppm"),
+            (F.col("id") % 2).alias("label"),
+        )
+        plan = D.calibration_report(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def _py_lcs(a, b):
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(max(prev[j], cur[j - 1], prev[j - 1] + 1 if x == y else 0))
+        prev = cur
+    return prev[-1]
+
+
+class TestRougeL:
+    def _run(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(i, p, r) for i, (p, r) in enumerate(pairs)],
+            "doc_id long, pred_toks array<string>, ref_toks array<string>",
+        )
+        return {r.doc_id: r for r in D.rouge_l(df).collect()}
+
+    def test_matches_python_dp_including_duplicates(self, spark):
+        pairs = [
+            ("a b a b".split(), "b a b a".split()),      # dup-heavy, LCS=3
+            ("a b c d".split(), "d c b a".split()),      # reversal, LCS=1
+            ("x y z".split(), "x y z".split()),          # identical
+            ("p q".split(), "a p b q c".split()),        # gapped, LCS=2
+            ("m".split(), "n".split()),                  # disjoint
+        ]
+        got = self._run(spark, pairs)
+        for i, (p, r) in enumerate(pairs):
+            assert got[i].lcs == _py_lcs(p, r), (p, r)
+        assert got[0].lcs == 3 and got[1].lcs == 1
+
+    def test_metrics_and_empties(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("a b".split(), "a b c d".split()),
+                ([], "a b".split()),
+                ("a b".split(), []),
+            ],
+        )
+        r0 = got[0]
+        assert (r0.lcs, r0.np, r0.nr) == (2, 2, 4)
+        assert r0.rouge_l_p_ppm == 1_000_000
+        assert r0.rouge_l_r_ppm == 500_000
+        assert r0.rouge_l_f_ppm == 2 * 2 * 1_000_000 // 6
+        assert (got[1].lcs, got[1].rouge_l_f_ppm) == (0, 0)
+        assert (got[2].lcs, got[2].rouge_l_f_ppm) == (0, 0)
+
+    def test_zero_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a"], ["a"])],
+            "doc_id long, pred_toks array<string>, ref_toks array<string>",
+        )
+        plan = D.rouge_l(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
