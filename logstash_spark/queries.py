@@ -974,6 +974,7 @@ _DRIVER_PRIORITY = [
     "nb_classifier_train",
     "calibration_report",
     "rouge_l_eval",
+    "mad_outlier_flags",
 ]
 
 

@@ -228,3 +228,42 @@ def rouge_l_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lcs", "np", "nr",
         "rouge_l_p_ppm", "rouge_l_r_ppm", "rouge_l_f_ppm",
     )
+
+
+@query(
+    "mad_outlier_flags",
+    """
+    WITH med AS (
+      SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS abs_dev
+      FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (
+      SELECT source, CAST(quantile_disc(abs_dev, 0.5) AS BIGINT) AS mad
+      FROM dev GROUP BY source
+    )
+    SELECT dev.doc_id, dev.source, dev.n_chars, dev.med,
+           CAST(dev.abs_dev AS BIGINT) AS abs_dev, mad.mad,
+           dev.abs_dev > 3 * mad.mad AS is_outlier
+    FROM dev JOIN mad USING (source)
+    """,
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-outlier gate (`dataprep.mad_outliers`): per-source lower
+    median and MAD of document length, k=3 flags. The oracle uses
+    DuckDB's NATIVE quantile_disc aggregate — an independent order-
+    statistic implementation that must agree with the grid-window
+    derivation exactly."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.mad_outliers(
+        docs.select("doc_id", "source", "n_chars"),
+        value_col="n_chars",
+        group_col="source",
+        k=3,
+    ).select("doc_id", "source", "n_chars", "med", "abs_dev", "mad", "is_outlier")

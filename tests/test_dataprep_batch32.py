@@ -196,3 +196,37 @@ class TestRougeL:
         )
         plan = D.rouge_l(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestMadOutliers:
+    def test_hand_computed_lower_median_and_flags(self, spark):
+        # group g: values 10,12,14,16,1000 -> med=14 (rank (5+1)//2=3)
+        # abs_dev: 4,2,0,2,986 -> mad=2; outlier iff dev > 6
+        rows = [(i, "g", v) for i, v in enumerate([10, 12, 14, 16, 1000])]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        got = {r.doc_id: r for r in D.mad_outliers(df).collect()}
+        assert all(r.med == 14 and r.mad == 2 for r in got.values())
+        assert [got[i].is_outlier for i in range(5)] == [
+            False, False, False, False, True,
+        ]
+
+    def test_even_count_takes_lower_median(self, spark):
+        rows = [(i, "g", v) for i, v in enumerate([1, 2, 3, 4])]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = D.mad_outliers(df).collect()
+        assert all(r.med == 2 for r in out)  # lower median, rank (4+1)//2 = 2
+
+    def test_groups_independent(self, spark):
+        rows = [(1, "a", 5), (2, "a", 5), (3, "b", 100), (4, "b", 100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        got = {r.doc_id: r for r in D.mad_outliers(df).collect()}
+        assert got[1].med == 5 and got[3].med == 100
+        assert all(not r.is_outlier for r in got.values())  # mad=0, dev=0
+
+    def test_grid_topology_broadcasts_stats(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"s{i%3}", i % 17) for i in range(200)],
+            "doc_id long, source string, n_chars long",
+        )
+        plan = D.mad_outliers(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
