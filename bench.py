@@ -408,6 +408,38 @@ def bench_dsir_scale(spark) -> float:
     return _time_best(lambda: out, spark)
 
 
+def bench_nb_classify_scale(spark) -> float:
+    """Naive-Bayes classifier APPLY pass over DEDUP_DOCS synthetic docs:
+    explode + broadcast model join + one groupBy(id). Training runs on a
+    10% slice and is untimed setup (the production shape: a small seed
+    model reused across the corpus); the timed pass is the corpus-wide
+    classify, the thing that scales with data volume."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators import dataprep as D
+
+    docs = synthetic_docs(spark, DEDUP_DOCS)
+    train = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        "text",
+        F.when(F.xxhash64("doc_id") % 2 == 0, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("label"),
+    )
+    tc, cs, v = D.nb_train(train)
+    tc, cs, v = tc.persist(), cs.persist(), v.persist()
+    tc.count(), cs.count(), v.count()  # model build is untimed setup
+
+    def make():
+        return D.nb_classify(docs, tc, cs, v, ["neg", "pos"]).select(
+            "doc_id", "nb_label", "nb_score_pos_q"
+        )
+
+    t = _time_best(make, spark)
+    tc.unpersist(), cs.unpersist(), v.unpersist()
+    return t
+
+
 def bench_netflow_scale(spark) -> float:
     """NetFlow v5 binary decode over NF_PACKETS synthetic export packets
     (id%3+1 flows each, ~2 flows avg): the numpy-vectorized binary
@@ -600,6 +632,7 @@ def main() -> None:
     timings["bm25_scale"] = round(bench_bm25_scale(spark), 3)
     timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
     timings["netflow_decode_scale"] = round(bench_netflow_scale(spark), 3)
+    timings["nb_classify_scale"] = round(bench_nb_classify_scale(spark), 3)
     timings["packing_scale"] = round(bench_packing_scale(spark), 3)
     timings["normalize_scale"] = round(bench_normalize_scale(spark), 3)
     timings["streaming_flagship"] = round(bench_streaming_flagship(spark), 3)
