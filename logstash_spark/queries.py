@@ -975,6 +975,7 @@ _DRIVER_PRIORITY = [
     "calibration_report",
     "rouge_l_eval",
     "mad_outlier_flags",
+    "streaming_interval_join",
 ]
 
 

@@ -188,3 +188,63 @@ def streaming_enrich_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "sink string, cnt bigint, sum_floor_value bigint"
     )
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(floor(r.value) AS BIGINT) AS purchase_floor_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    WHERE l.event_type = 'signup' AND r.event_type = 'purchase'
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING gate for the watermarked stream-stream
+    interval join (`streaming.streaming_interval_join` — the unbounded
+    twin of the batch `elapsed` pairing): signups joined to the same
+    user's purchases within the following 6 hours, both sides replayed
+    through REAL file-stream sources, drained availableNow. Watermarks
+    sit far above the table span so no state evicts mid-replay (the
+    eviction contract is what the time-bound buys at 10¹² scale); with
+    the whole table available the incremental join must equal the batch
+    join, which the oracle recomputes in DuckDB."""
+    from logstash_spark.streaming.pipeline import (  # noqa: PLC0415
+        drain_available_now,
+        replay_table_stream,
+        streaming_interval_join,
+    )
+
+    signups = (
+        replay_table_stream(spark, sf_dir, "events", ts_col="ts")
+        .where(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("signup_ts"))
+    )
+    purchases = (
+        replay_table_stream(spark, sf_dir, "events", ts_col="ts")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = streaming_interval_join(
+        signups,
+        purchases,
+        left_key="user_id",
+        right_key="r_user",
+        left_ts="signup_ts",
+        right_ts="purchase_ts",
+        within="6 hours",
+    )
+    return drain_available_now(joined, output_mode="append").select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.floor("purchase_value").cast("long").alias("purchase_floor_value"),
+    )

@@ -403,3 +403,46 @@ def streaming_sessions(
             "last_ts",
         )
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+    watermark: str = "3650 days",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the unbounded-stream
+    twin of the batch `elapsed` start/end pairing (logstash-filter-
+    elapsed §start_tag/end_tag): pair every right event with the left
+    events of the same key whose timestamp it follows within `within`.
+
+    Both sides carry an event-time watermark and the join condition
+    carries the time bound (right_ts ∈ [left_ts, left_ts + within]),
+    which is exactly what lets Spark EVICT joined state: each side's
+    buffered rows are dropped once the other side's watermark passes
+    their match window, so state is O(events in the interval horizon),
+    not O(stream history). Column names must be disjoint across the two
+    inputs (select/rename before joining) — the condition references
+    them unqualified by design so the OUTPUT schema is flat and
+    sink-ready.
+
+    `how` supports inner plus the time-bounded outer forms
+    (leftOuter/rightOuter/fullOuter) Spark allows when both watermark +
+    time constraint are present — the outer rows emit when the
+    watermark proves no match can arrive, the streaming analog of the
+    elapsed filter's `expired` tag path.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)

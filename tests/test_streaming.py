@@ -312,3 +312,42 @@ def test_file_source_read_mode_deletes_completed(spark, tmp_path):
             break
         _time.sleep(0.5)
     assert len(left) < 3, "cleanSource=delete removed no completed file"
+
+
+class TestStreamingIntervalJoin:
+    def test_time_bound_and_key_matching(self, spark, tmp_path):
+        from logstash_spark.streaming.pipeline import (
+            drain_available_now,
+            streaming_interval_join,
+        )
+
+        left_rows = [
+            (1, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:00:00"),
+        ]
+        right_rows = [
+            (1, "2024-01-01 00:05:00", 10.0),   # in window
+            (1, "2024-01-01 00:20:00", 20.0),   # past 10-minute bound
+            (1, "2023-12-31 23:59:00", 30.0),   # before the start
+            (3, "2024-01-01 00:01:00", 40.0),   # no matching key
+        ]
+        ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+        spark.createDataFrame(left_rows, "k long, l_ts string").withColumn(
+            "l_ts", F.col("l_ts").cast("timestamp")
+        ).write.parquet(ldir)
+        spark.createDataFrame(right_rows, "rk long, r_ts string, v double").withColumn(
+            "r_ts", F.col("r_ts").cast("timestamp")
+        ).write.parquet(rdir)
+        lschema = spark.read.parquet(ldir).schema
+        rschema = spark.read.parquet(rdir).schema
+        lstream = spark.readStream.schema(lschema).parquet(ldir)
+        rstream = spark.readStream.schema(rschema).parquet(rdir)
+        joined = streaming_interval_join(
+            lstream, rstream,
+            left_key="k", right_key="rk",
+            left_ts="l_ts", right_ts="r_ts",
+            within="10 minutes",
+        )
+        got = drain_available_now(joined, output_mode="append").collect()
+        assert len(got) == 1
+        assert got[0].k == 1 and got[0].v == 10.0
