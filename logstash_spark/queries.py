@@ -976,6 +976,7 @@ _DRIVER_PRIORITY = [
     "rouge_l_eval",
     "mad_outlier_flags",
     "streaming_interval_join",
+    "gale_church_align",
 ]
 
 

@@ -267,3 +267,115 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source",
         k=3,
     ).select("doc_id", "source", "n_chars", "med", "abs_dev", "mad", "is_outlier")
+
+
+@query(
+    "gale_church_align",
+    """
+    WITH base AS (
+      SELECT doc_id, 6 + doc_id % 5 AS n, doc_id % 4 AS mode
+      FROM documents
+    ),
+    ops AS (
+      SELECT doc_id, n, mode, unnest(generate_series(0, n - 1)) AS si
+      FROM base
+    ),
+    kept AS (
+      SELECT doc_id, n, mode, si
+      FROM ops
+      WHERE NOT (mode = 1 AND si = 2)
+        AND NOT (mode = 2 AND si IN (2, 4))
+    )
+    SELECT doc_id,
+           CASE WHEN mode IN (1, 2) AND si IN (1, 3)
+                     AND NOT (mode = 1 AND si = 3) THEN '21'
+                WHEN mode = 3 AND si = 1 THEN '12'
+                ELSE '11' END AS op,
+           CAST(si AS INT) AS si,
+           CAST(CASE
+             WHEN mode = 0 THEN si
+             WHEN mode = 1 THEN CASE WHEN si <= 1 THEN si ELSE si - 1 END
+             WHEN mode = 2 THEN CASE WHEN si <= 1 THEN si
+                                     WHEN si <= 3 THEN si - 1
+                                     ELSE si - 2 END
+             ELSE CASE WHEN si <= 1 THEN si ELSE si + 1 END
+           END AS INT) AS ti,
+           CAST(CASE mode WHEN 0 THEN 0 WHEN 1 THEN 5 WHEN 2 THEN 10
+                          ELSE 5 END AS BIGINT) AS align_cost,
+           CAST(n AS BIGINT) AS n_src,
+           CAST(n + CASE mode WHEN 0 THEN 0 WHEN 1 THEN -1 WHEN 2 THEN -2
+                              ELSE 1 END AS BIGINT) AS n_tgt
+    FROM kept
+    """,
+)
+def gale_church_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-alignment gate (`dataprep.gale_church_align`): source
+    docs get n = 6+doc_id%5 sentences with lengths 20+((7·doc_id+13·i)
+    mod 40); targets are built by mode — identical (all 1-1, cost 0),
+    one merge of sentences 1-2 (a 2-1, cost = merge penalty), two
+    merges at 1-2 and 3-4 (two 2-1s), or a split of sentence 1 (a
+    1-2). Each construction's optimal alignment is unique by a ≥8-cost
+    margin (every alternative op chain pays ≥ one |13|-length mismatch
+    or a 20+-length gap), so the oracle can state the FULL alignment —
+    every op row and the total cost — in closed form without running
+    the DP."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    n = (F.lit(6) + d % 5).cast("int")
+    mode = d % 4
+    lens = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (F.lit(20) + F.pmod(d * 7 + i.cast("long") * 13, F.lit(40)))
+        .cast("long"),
+    )
+    a = lambda k0: F.element_at(F.col("src_lens"), k0 + 1)  # noqa: E731
+    base = docs.select("doc_id", lens.alias("src_lens"), n.alias("n"), mode.alias("mode"))
+    tgt = (
+        F.when(F.col("mode") == 0, F.col("src_lens"))
+        .when(
+            F.col("mode") == 1,
+            F.concat(
+                F.slice(F.col("src_lens"), 1, 1),
+                F.array(a(1) + a(2)),
+                F.slice(F.col("src_lens"), 4, F.col("n") - 3),
+            ),
+        )
+        .when(
+            F.col("mode") == 2,
+            F.concat(
+                F.slice(F.col("src_lens"), 1, 1),
+                F.array(a(1) + a(2)),
+                F.array(a(3) + a(4)),
+                F.slice(F.col("src_lens"), 6, F.col("n") - 5),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.slice(F.col("src_lens"), 1, 1),
+                F.array(F.expr("src_lens[1] div 2")),
+                F.array(a(1) - F.expr("src_lens[1] div 2")),
+                F.slice(F.col("src_lens"), 3, F.col("n") - 2),
+            )
+        )
+    )
+    paired = base.withColumn("tgt_lens", tgt)
+    aligned = D.gale_church_align(
+        paired, gap_penalty=50, merge_penalty=5
+    )
+    return aligned.select(
+        "doc_id",
+        F.explode("alignment").alias("_a"),
+        "align_cost",
+        F.size("src_lens").cast("long").alias("n_src"),
+        F.size("tgt_lens").cast("long").alias("n_tgt"),
+    ).select(
+        "doc_id",
+        F.col("_a.op").alias("op"),
+        F.col("_a.si").alias("si"),
+        F.col("_a.ti").alias("ti"),
+        "align_cost",
+        "n_src",
+        "n_tgt",
+    )

@@ -230,3 +230,71 @@ class TestMadOutliers:
         )
         plan = D.mad_outliers(df)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestGaleChurchAlign:
+    def _run(self, spark, pairs, **kw):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "doc_id long, src_lens array<long>, tgt_lens array<long>",
+        )
+        return {r.doc_id: r for r in D.gale_church_align(df, **kw).collect()}
+
+    def test_identity_merge_split(self, spark):
+        got = self._run(
+            spark,
+            [
+                ([20, 33, 26, 39], [20, 33, 26, 39]),   # identity
+                ([20, 33, 26, 39], [20, 59, 39]),        # merge (1,2)
+                ([20, 33, 26, 39], [20, 16, 17, 26, 39]),  # split 1
+            ],
+            gap_penalty=50,
+            merge_penalty=5,
+        )
+        ident = got[0]
+        assert ident.align_cost == 0
+        assert [tuple(o) for o in ident.alignment] == [
+            ("11", 0, 0), ("11", 1, 1), ("11", 2, 2), ("11", 3, 3),
+        ]
+        merged = got[1]
+        assert merged.align_cost == 5
+        assert [tuple(o) for o in merged.alignment] == [
+            ("11", 0, 0), ("21", 1, 1), ("11", 3, 2),
+        ]
+        split = got[2]
+        assert split.align_cost == 5
+        assert [tuple(o) for o in split.alignment] == [
+            ("11", 0, 0), ("12", 1, 1), ("11", 2, 3), ("11", 3, 4),
+        ]
+
+    def test_deletion_insertion_and_empty_sides(self, spark):
+        got = self._run(
+            spark,
+            [
+                ([20, 9, 33], [20, 33]),    # 9 deleted: cost 12 beats merge (14)
+                ([20, 33], [20, 7, 33]),    # 7 inserted
+                ([], [7]),
+                ([5], []),
+                ([], []),
+            ],
+            gap_penalty=3,
+            merge_penalty=5,
+        )
+        assert [tuple(o) for o in got[0].alignment] == [
+            ("11", 0, 0), ("10", 1, 1), ("11", 2, 1),
+        ]
+        assert got[0].align_cost == 9 + 3
+        assert [tuple(o) for o in got[1].alignment] == [
+            ("11", 0, 0), ("01", 1, 1), ("11", 1, 2),
+        ]
+        assert got[1].align_cost == 7 + 3
+        assert [tuple(o) for o in got[2].alignment] == [("01", 0, 0)]
+        assert [tuple(o) for o in got[3].alignment] == [("10", 0, 0)]
+        assert got[4].alignment == [] and got[4].align_cost == 0
+
+    def test_two_two_block(self, spark):
+        # src (10, 30) vs tgt (25, 15): any 1-1 chain costs 15+15=30;
+        # the 2-2 block costs |40-40| + 2*merge = 10
+        got = self._run(spark, [([10, 30], [25, 15])], gap_penalty=50, merge_penalty=5)
+        assert [tuple(o) for o in got[0].alignment] == [("22", 0, 0)]
+        assert got[0].align_cost == 10
