@@ -6673,3 +6673,51 @@ def gale_church_align(
         *df.columns, F.col("_gc.align_cost").alias("align_cost"),
         F.col("_gc.alignment").alias("alignment"),
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    groups: Sequence[str] = ("source",),
+    key_col: str = "doc_id",
+    seed: str = "wres",
+) -> DataFrame:
+    """Exact-k WEIGHTED without-replacement sample per group — the
+    quality/length-weighted companion of `reservoir_sample_k` (uniform):
+    pick k docs per stratum with inclusion probability that scales with
+    an integer weight (quality score, n_chars, dedup-cluster size …),
+    the Efraimidis-Spirakis A-Res scheme with the uniform replaced by a
+    hash so every engine reproduces the identical sample.
+
+    A-Res rank key is u^(1/w) (keep the k largest); monotonically
+    equivalent is ln(u)/w. Quantized deterministic form:
+    ``wres_key_q = floor( (L(u_ppm) − L(10⁶)) / w )`` with L(k) =
+    floor(10⁶·ln k) and u_ppm = hash(key:seed) in [1, 10⁶] — integer
+    numerator, ONE IEEE double division of identical integers on both
+    engines, ONE floor (floor-of-double, never integer `div`, whose
+    negative-operand truncation differs between Spark and DuckDB).
+    Ties break on the key column — total order, reproducible.
+
+    Cost: ONE shuffle on `groups` (same contract and same 100 TB
+    pre-thinning advice as `reservoir_sample_k`). Weights must be ≥ 1
+    integers; rows with null/smaller-than-1 weights are clamped to 1
+    rather than dropped (a sampling pass must not silently lose rows).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    u_ppm = portable_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + seed))
+    ) % 1_000_000 + 1
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("long"), F.lit(1)), F.lit(1))
+    lnu_q = _ln_q(u_ppm) - _ln_q(F.lit(1_000_000))
+    key_q = F.floor(lnu_q.cast("double") / w.cast("double")).cast("long")
+    win = Window.partitionBy(*groups).orderBy(
+        F.col("wres_key_q").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("wres_key_q", key_q)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= k)
+    )

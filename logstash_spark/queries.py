@@ -977,6 +977,7 @@ _DRIVER_PRIORITY = [
     "mad_outlier_flags",
     "streaming_interval_join",
     "gale_church_align",
+    "weighted_sample_k",
 ]
 
 

@@ -379,3 +379,43 @@ def gale_church_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src",
         "n_tgt",
     )
+
+
+@query(
+    "weighted_sample_k",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(floor(
+               CAST(CAST(floor(ln({_H32.format(s="doc_id || ':wres'")}
+                                  % 1000000 + 1) * 1000000) AS BIGINT)
+                    - 13815510 AS DOUBLE)
+               / greatest(n_chars, 1)
+             ) AS BIGINT) AS wres_key_q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY wres_key_q DESC, doc_id ASC) AS INT) AS sample_rank
+      FROM scored
+    )
+    SELECT doc_id, source, n_chars, wres_key_q, sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """,
+)
+def weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sampling gate (`dataprep.weighted_sample_k`): 10 docs
+    per source with inclusion odds ∝ n_chars (the A-Res key with a
+    hash uniform). The oracle replays the quantized key formula —
+    L(10⁶) = 13815510 stated as the literal both engines must agree
+    on — and the full rank."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.weighted_sample_k(
+        docs.select("doc_id", "source", "n_chars"),
+        10,
+        weight_col="n_chars",
+        groups=("source",),
+    ).select("doc_id", "source", "n_chars", "wres_key_q", "sample_rank")

@@ -298,3 +298,38 @@ class TestGaleChurchAlign:
         got = self._run(spark, [([10, 30], [25, 15])], gap_penalty=50, merge_penalty=5)
         assert [tuple(o) for o in got[0].alignment] == [("22", 0, 0)]
         assert got[0].align_cost == 10
+
+
+class TestWeightedSampleK:
+    def test_exact_k_per_group_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"g{i % 4}", 1 + i % 7) for i in range(400)],
+            "doc_id long, source string, n_chars long",
+        )
+        out1 = D.weighted_sample_k(df, 5, weight_col="n_chars").collect()
+        out2 = D.weighted_sample_k(df, 5, weight_col="n_chars").collect()
+        assert len(out1) == 20
+        assert sorted(r.doc_id for r in out1) == sorted(r.doc_id for r in out2)
+        per_group = {}
+        for r in out1:
+            per_group.setdefault(r.source, []).append(r.sample_rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_group.values())
+
+    def test_weight_bias(self, spark):
+        # 100 light rows (w=1) + 100 heavy rows (w=1000): the heavy half
+        # should dominate a k=20 sample by a wide, deterministic margin.
+        rows = [(i, "g", 1) for i in range(100)] + [
+            (i, "g", 1000) for i in range(100, 200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        picked = D.weighted_sample_k(df, 20, weight_col="n_chars").collect()
+        heavy = sum(1 for r in picked if r.doc_id >= 100)
+        assert heavy >= 17  # E[heavy] ≈ 20·(1 − ~tiny); hash-fixed, not flaky
+
+    def test_null_and_zero_weights_clamped_not_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", None), (2, "g", 0), (3, "g", 5)],
+            "doc_id long, source string, n_chars long",
+        )
+        out = D.weighted_sample_k(df, 3, weight_col="n_chars").collect()
+        assert sorted(r.doc_id for r in out) == [1, 2, 3]
