@@ -6721,3 +6721,79 @@ def weighted_sample_k(
         .withColumn("sample_rank", F.row_number().over(win))
         .where(F.col("sample_rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators over the score grid)
+# ---------------------------------------------------------------------------
+
+def isotonic_calibrate(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fit an isotonic (monotone non-decreasing) calibration map from an
+    integer score grid to empirical P(label=1) — the standard post-hoc
+    calibrator a reward/quality model gets when `calibration_report`
+    shows diagonal gaps. Returns the MODEL table (score, n, pos,
+    cal_ppm): broadcast-join it back to the corpus to apply (the same
+    deploy shape as `nb_classify`'s model).
+
+    Two-stage topology: the corpus collapses to its score GRID first
+    (ONE groupBy with map-side partials — the `auc_binary` discipline:
+    never shuffle finer than the score), then pool-adjacent-violators
+    runs on the grid inside one `applyInPandas` task. PAV is inherently
+    sequential (each merge depends on every earlier one) and the grid
+    is model-sized, not corpus-sized — a thousand-point grid from 10¹²
+    rows — so one task IS the scalable shape, same as any model fit.
+
+    Exactness: block averages live as (Σlabel, n) INTEGER pairs inside
+    the stack; violation tests are cross-multiplications (s₁·n₂ ≥
+    s₂·n₁), never float division, and the output `cal_ppm` is the one
+    exact integer division (10⁶·Σlabel div n). The isotonic L2 solution
+    is unique, so the independent max-min-average oracle must reproduce
+    these exact values.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    grid = df.groupBy(F.col(score_col).cast("long").alias("score")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("pos"),
+    )
+
+    def _pav(pdf):
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        # stack blocks: [start_idx, pos_sum, cnt]
+        blocks: list[list[int]] = []
+        for i in range(len(pdf)):
+            blocks.append([i, int(pdf.pos[i]), int(pdf.n[i])])
+            # pool while the previous block's average exceeds (or equals
+            # within pooling: strictly greater violates monotonicity)
+            while len(blocks) > 1:
+                s2, c2 = blocks[-1][1], blocks[-1][2]
+                s1, c1 = blocks[-2][1], blocks[-2][2]
+                if s1 * c2 > s2 * c1:  # avg(prev) > avg(cur): violation
+                    blocks[-2][1] += s2
+                    blocks[-2][2] += c2
+                    blocks.pop()
+                else:
+                    break
+        cal = [0] * len(pdf)
+        for bi, (start, s, c) in enumerate(blocks):
+            end = blocks[bi + 1][0] if bi + 1 < len(blocks) else len(pdf)
+            v = (s * 1_000_000) // c
+            for i in range(start, end):
+                cal[i] = v
+        return pd.DataFrame(
+            {
+                "score": pdf.score,
+                "n": pdf.n,
+                "pos": pdf.pos,
+                "cal_ppm": pd.Series(cal, dtype="int64"),
+            }
+        )
+
+    return grid.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        _pav, "score long, n long, pos long, cal_ppm long"
+    )

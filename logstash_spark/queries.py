@@ -978,6 +978,7 @@ _DRIVER_PRIORITY = [
     "streaming_interval_join",
     "gale_church_align",
     "weighted_sample_k",
+    "isotonic_calibration",
 ]
 
 

@@ -419,3 +419,60 @@ def weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         groups=("source",),
     ).select("doc_id", "source", "n_chars", "wres_key_q", "sample_rank")
+
+
+@query(
+    "isotonic_calibration",
+    f"""
+    WITH base AS (
+      SELECT {_H32.format(s="doc_id || ':sc'")} % 50 AS score,
+             CASE WHEN {_H32.format(s="doc_id || ':lb'")} % 50
+                       < {_H32.format(s="doc_id || ':sc'")} % 50
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    grid AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM base GROUP BY 1
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (ORDER BY score) AS i,
+             sum(pos) OVER (ORDER BY score) AS ps,
+             sum(n) OVER (ORDER BY score) AS pn
+      FROM grid
+    ),
+    pairs AS (
+      SELECT a.i AS ai, b.i AS bi,
+             (b.ps - a.ps + a.pos) * 1000000
+               // (b.pn - a.pn + a.n) AS q
+      FROM idx a JOIN idx b ON b.i >= a.i
+    ),
+    mn AS (
+      SELECT p.ai, g.i, min(p.q) AS mn_q
+      FROM pairs p JOIN idx g ON p.bi >= g.i AND p.ai <= g.i
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, CAST(max(mn_q) AS BIGINT) AS cal_ppm FROM mn GROUP BY i)
+    SELECT g.score, g.n, g.pos, iso.cal_ppm
+    FROM idx g JOIN iso ON g.i = iso.i
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-fit gate (`dataprep.isotonic_calibrate`): a 50-point
+    score grid with labels drawn at rate score/50 (monotone signal,
+    finite-sample violations to pool). The oracle never runs PAV — it
+    evaluates the max-min-average characterization of the unique
+    isotonic L2 solution, entirely in BIGINT (floor commutes with
+    min/max, so per-pair integer division IS the exact answer). Two
+    independent algorithms, one exact table."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    score = D.portable_hash32(F.concat(i, F.lit(":sc"))) % 50
+    lab = (
+        D.portable_hash32(F.concat(i, F.lit(":lb"))) % 50 < score
+    ).cast("long")
+    base = docs.select(score.alias("score"), lab.alias("label"))
+    return D.isotonic_calibrate(base)

@@ -333,3 +333,42 @@ class TestWeightedSampleK:
         )
         out = D.weighted_sample_k(df, 3, weight_col="n_chars").collect()
         assert sorted(r.doc_id for r in out) == [1, 2, 3]
+
+
+class TestIsotonicCalibrate:
+    def _fit(self, spark, rows):
+        df = spark.createDataFrame(rows, "score long, label long")
+        return {r.score: r for r in D.isotonic_calibrate(df).collect()}
+
+    def test_pools_violating_blocks(self, spark):
+        # score 1: 2/2 positive; score 2: 0/2 positive -> violation,
+        # pooled to 2/4 = 0.5 for both; score 3 stays 1.0
+        rows = (
+            [(1, 1), (1, 1), (2, 0), (2, 0), (3, 1), (3, 1)]
+        )
+        got = self._fit(spark, rows)
+        assert got[1].cal_ppm == got[2].cal_ppm == 500_000
+        assert got[3].cal_ppm == 1_000_000
+        assert (got[1].n, got[1].pos) == (2, 2)   # raw grid stats preserved
+
+    def test_already_monotone_unchanged(self, spark):
+        rows = [(1, 0), (1, 0), (2, 0), (2, 1), (3, 1), (3, 1)]
+        got = self._fit(spark, rows)
+        assert [got[s].cal_ppm for s in (1, 2, 3)] == [0, 500_000, 1_000_000]
+
+    def test_cascade_pool_to_global_mean(self, spark):
+        # strictly decreasing empirical rates -> everything pools to 3/6
+        rows = [(1, 1), (1, 1), (2, 1), (2, 0), (3, 0), (3, 0)]
+        got = self._fit(spark, rows)
+        assert all(r.cal_ppm == 500_000 for r in got.values())
+
+    def test_output_is_monotone(self, spark):
+        import random
+        rng = random.Random(7)
+        rows = [
+            (s, 1 if rng.random() < s / 20 else 0)
+            for s in range(20) for _ in range(30)
+        ]
+        got = self._fit(spark, rows)
+        vals = [got[s].cal_ppm for s in sorted(got)]
+        assert vals == sorted(vals)
