@@ -6797,3 +6797,176 @@ def isotonic_calibrate(
     return grid.groupBy(F.lit(0).alias("_g")).applyInPandas(
         _pav, "score long, n long, pos long, cal_ppm long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity self-join (q-gram count filter + verify)
+# ---------------------------------------------------------------------------
+
+def edit_distance_join(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    q: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs of rows whose strings are within Levenshtein distance
+    `k` — the fuzzy-match self-join behind entity resolution, typo-tier
+    near-dup detection, and label reconciliation. NEVER all-pairs: the
+    classic q-gram COUNT FILTER prunes first (Gravano et al., VLDB'01):
+    ed(s,t) ≤ k ⇒ s and t share ≥ max(|s|,|t|) − q + 1 − q·k q-gram
+    occurrences, so candidates come from ONE gram equi-join + groupBy
+    pair, and only survivors pay a `levenshtein` verify (JVM built-in,
+    also the oracle's exhaustive check).
+
+    Join-on-equality counts occurrence PAIRS, which upper-bounds the
+    multiset intersection — the threshold test stays a necessary
+    condition (zero false negatives; extra candidates just verify-fail).
+
+    Scale guards, both optional-but-default-sane:
+      * pairs whose shorter string has < q·(k+1) chars carry a
+        non-positive gram threshold (gram evidence can't prune) — they
+        route through a short-string block: a length-banded join over
+        ONLY the sub-q·(k+1)+k-length slice, which is vocabulary-tiny.
+      * `max_df` prunes grams appearing in more than `max_df` rows (the
+        LSH hot-bucket discipline applied to "th"/"in" stopgrams). The
+        count threshold self-adjusts by each string's pruned-occurrence
+        count, so pruning NEVER drops a true pair — it only sends a few
+        more candidates to verify.
+
+    Output: (id_a, id_b, dist) with id_a < id_b. Shuffles: gram join
+    (hash on gram), pair groupBy, two id join-backs — all keyed, no
+    broadcast of the corpus.
+    """
+    s_thresh = q * (k + 1)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_s"),
+        F.length(text_col).cast("int").alias("_len"),
+    )
+    # substring with a column start is only available via expr
+    grams = base.where(F.col("_len") >= q).select(
+        "_id",
+        "_len",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, _len - {q - 1}),"
+                f" i -> substring(_s, i, {q}))"
+            )
+        ).alias("_pos", "_gram"),
+    ).drop("_pos")
+    pruned_per_id = None
+    hot_ids = None
+    if max_df is not None:
+        gram_df = grams.groupBy("_gram").agg(
+            F.countDistinct("_id").alias("_df")
+        )
+        grams = grams.join(F.broadcast(gram_df.where(F.col("_df") > max_df)),
+                           "_gram", "left_anti")
+        kept = grams.groupBy("_id").agg(F.count("*").alias("_kept"))
+        pruned_per_id = base.select("_id", "_len").join(kept, "_id", "left").select(
+            "_id",
+            "_len",
+            (
+                F.greatest(F.col("_len") - (q - 1), F.lit(0))
+                - F.coalesce(F.col("_kept"), F.lit(0))
+            ).alias("_pruned"),
+        )
+        # a string dominated by pruned grams can no longer be pruned BY
+        # grams at all: if 2·pruned > len − q − q·k the pairwise adjusted
+        # threshold may hit ≤ 0 with a same-shape partner, and such a pair
+        # never even reaches the join (zero shared kept grams). Route these
+        # HOT strings through the exhaustive length-band block — safe by
+        # the same argument as the short block, and small unless max_df is
+        # set absurdly low (every string stopgram-dominated).
+        hot_ids = pruned_per_id.where(
+            F.col("_pruned") * 2 > F.col("_len") - q - q * k
+        ).select("_id")
+        grams = grams.join(F.broadcast(hot_ids), "_id", "left_anti")
+    ga = grams.select(
+        F.col("_id").alias("_ida"), F.col("_len").alias("_la"), "_gram"
+    )
+    gb = grams.select(
+        F.col("_id").alias("_idb"), F.col("_len").alias("_lb"), "_gram"
+    )
+    cand = (
+        ga.join(gb, "_gram")
+        .where(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+            & (F.least("_la", "_lb") >= s_thresh)
+        )
+        .groupBy("_ida", "_idb", "_la", "_lb")
+        .agg(F.count("*").alias("_shared"))
+    )
+    thresh = F.greatest("_la", "_lb") - (q - 1) - q * k
+    if pruned_per_id is not None:
+        cand = (
+            cand.join(
+                pruned_per_id.select(
+                    F.col("_id").alias("_ida"), F.col("_pruned").alias("_pa")
+                ),
+                "_ida",
+            )
+            .join(
+                pruned_per_id.select(
+                    F.col("_id").alias("_idb"), F.col("_pruned").alias("_pb")
+                ),
+                "_idb",
+            )
+        )
+        thresh = thresh - F.col("_pa") - F.col("_pb")
+    cand = cand.where(F.col("_shared") >= thresh).select("_ida", "_idb")
+    if hot_ids is not None:
+        ha = hot_ids.join(base, "_id").select(
+            F.col("_id").alias("_ida"), F.col("_len").alias("_la")
+        )
+        hb = base.select(F.col("_id").alias("_idb"), F.col("_len").alias("_lb"))
+        hot_cand = (
+            ha.join(
+                hb,
+                (F.col("_ida") != F.col("_idb"))
+                & (F.abs(F.col("_la") - F.col("_lb")) <= k),
+            )
+            .select(
+                F.least("_ida", "_idb").alias("_ida"),
+                F.greatest("_ida", "_idb").alias("_idb"),
+            )
+        )
+        cand = cand.unionByName(hot_cand)
+    # short-string block: any true pair with min length < q(k+1) has both
+    # lengths < q(k+1)+k — a tiny slice, length-banded self join
+    short = base.where(F.col("_len") < s_thresh + k)
+    sa = short.select(
+        F.col("_id").alias("_ida"), F.col("_len").alias("_la")
+    )
+    sb = short.select(
+        F.col("_id").alias("_idb"), F.col("_len").alias("_lb")
+    )
+    short_cand = (
+        sa.join(
+            sb,
+            (F.col("_ida") < F.col("_idb"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+            & (F.least("_la", "_lb") < s_thresh),
+        )
+        .select("_ida", "_idb")
+    )
+    all_cand = cand.unionByName(short_cand).distinct()
+    verified = (
+        all_cand.join(
+            base.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa")),
+            "_ida",
+        )
+        .join(
+            base.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb")),
+            "_idb",
+        )
+        .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
+        .where(F.col("dist") <= k)
+    )
+    return verified.select(
+        F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "dist"
+    )

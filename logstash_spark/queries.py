@@ -979,6 +979,7 @@ _DRIVER_PRIORITY = [
     "gale_church_align",
     "weighted_sample_k",
     "isotonic_calibration",
+    "edit_distance_join",
 ]
 
 

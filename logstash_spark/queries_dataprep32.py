@@ -476,3 +476,66 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     base = docs.select(score.alias("score"), lab.alias("label"))
     return D.isotonic_calibrate(base)
+
+
+@query(
+    "edit_distance_join",
+    """
+    WITH strings AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN b
+                  WHEN (doc_id // 2) % 4 = 0 THEN b
+                  WHEN (doc_id // 2) % 4 = 1
+                    THEN substr(b,1,4) || 'z' || substr(b,6,7)
+                  WHEN (doc_id // 2) % 4 = 2
+                    THEN substr(b,1,2) || 'z' || substr(b,4,5) || 'z'
+                         || substr(b,10,3)
+                  ELSE substr(b,1,1) || 'z' || substr(b,3,3) || 'z'
+                       || substr(b,7,3) || 'z' || substr(b,11,2) END AS s
+      FROM (SELECT doc_id,
+                   substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':ed'), 1, 12)
+                     AS b
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM strings a JOIN strings b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-join gate (`dataprep.edit_distance_join`): 12-char hash
+    strings in planted pairs — identical, 1-sub, 2-sub (all ≤ k=2,
+    must match) and 3-sub (must NOT match). Spark runs the REAL q-gram
+    count-filtered plan; the oracle brute-forces every pair with
+    DuckDB's levenshtein, so any filter false-negative shows up as a
+    missing row."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    b = F.substring(
+        F.md5(F.concat(F.expr("CAST(doc_id DIV 2 AS STRING)"), F.lit(":ed"))),
+        1, 12,
+    )
+    m = F.expr("(doc_id DIV 2) % 4")
+    s = (
+        F.when((d % 2 == 0) | (m == 0), b)
+        .when(m == 1, F.concat(F.substring(b, 1, 4), F.lit("z"), F.substring(b, 6, 7)))
+        .when(
+            m == 2,
+            F.concat(
+                F.substring(b, 1, 2), F.lit("z"), F.substring(b, 4, 5),
+                F.lit("z"), F.substring(b, 10, 3),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.substring(b, 1, 1), F.lit("z"), F.substring(b, 3, 3),
+                F.lit("z"), F.substring(b, 7, 3), F.lit("z"),
+                F.substring(b, 11, 2),
+            )
+        )
+    )
+    strings = docs.select("doc_id", s.alias("s"))
+    return D.edit_distance_join(strings, text_col="s", k=2, q=2)

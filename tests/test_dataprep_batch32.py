@@ -372,3 +372,40 @@ class TestIsotonicCalibrate:
         got = self._fit(spark, rows)
         vals = [got[s].cal_ppm for s in sorted(got)]
         assert vals == sorted(vals)
+
+
+class TestEditDistanceJoin:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, s string")
+        return sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in D.edit_distance_join(df, text_col="s", **kw).collect()
+        )
+
+    def test_basic_matches_and_k_cutoff(self, spark):
+        rows = [
+            (1, "abcdefgh"), (2, "abcdefgh"),   # dist 0
+            (3, "abcdeXgh"),                     # dist 1 from 1/2
+            (4, "XYcdefZh"),                     # dist 3 from 1 -> excluded
+            (5, "qqqqqqqq"),                     # unrelated
+        ]
+        got = self._run(spark, rows, k=2, q=2)
+        assert got == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
+
+    def test_short_strings_fall_back_to_length_block(self, spark):
+        # len < q(k+1) = 6: gram threshold non-positive, must still match
+        rows = [(1, "cat"), (2, "cut"), (3, "catch"), (4, "zzzzzzzzzz")]
+        got = self._run(spark, rows, k=2, q=2)
+        assert (1, 2, 1) in got and (1, 3, 2) in got
+        assert all(4 not in (a, b) for a, b, _ in got)
+
+    def test_max_df_pruning_keeps_true_pairs(self, spark):
+        # every string shares the hot 'aa' grams; pruning them must not
+        # lose the true pair thanks to the threshold adjustment
+        rows = [(i, "aaaaaaaa" + c) for i, c in enumerate("xyzpq")] + [
+            (10, "aaaaaaaax")  # exact dup of row 0
+        ]
+        unpruned = self._run(spark, rows, k=1, q=2)
+        pruned = self._run(spark, rows, k=1, q=2, max_df=3)
+        assert unpruned == pruned
+        assert (0, 10, 0) in pruned
