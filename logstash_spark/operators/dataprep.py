@@ -6970,3 +6970,168 @@ def edit_distance_join(
     return verified.select(
         F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source budget water-filling + quantile normalization
+# ---------------------------------------------------------------------------
+
+def waterfill_budget(
+    counts: DataFrame,
+    budget: int,
+    *,
+    group_col: str = "source",
+    avail_col: str = "n_avail",
+) -> DataFrame:
+    """Split a GLOBAL budget across sources by water-filling — the
+    cross-source half of the mix decision (`token_budget_mix` then
+    selects WITHIN each source): every source gets min(n_avail, c) for
+    the highest integer water level c the budget covers, and the
+    sub-level remainder goes +1 to the first still-capped sources in
+    name order, so Σ alloc == min(budget, Σ n_avail) EXACTLY. The
+    equal-share-with-availability-caps rule is what "uniform mixing"
+    means when sources differ by orders of magnitude.
+
+    Input is the per-source count table (one groupBy upstream of here —
+    sources-sized, not corpus-sized); everything below is windows over
+    that tiny table. Exact int64 throughout: the level for each sorted
+    prefix is (budget − prefix) div (remaining), validity is a pure
+    integer sandwich test, and exactly one prefix row is valid (proved
+    by monotonicity; ties impossible since validity intervals
+    partition). Output: (group, n_avail, alloc, water_level).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.orderBy(F.col("_n").asc(), F.col("_g").asc())
+    base = counts.select(
+        F.col(group_col).alias("_g"), F.col(avail_col).cast("long").alias("_n")
+    )
+    idx = (
+        base.withColumn("_i", F.row_number().over(w))
+        .withColumn("_pfx", F.sum("_n").over(w) - F.col("_n"))
+        .withColumn("_S", F.count("*").over(Window.partitionBy()))
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+    )
+    b = F.lit(int(budget))
+    # candidate level if the water line lands in [n_{i-1}, n_i)
+    cand = idx.withColumn(
+        "_c", F.expr(f"({int(budget)} - _pfx) div (_S - _i + 1)")
+    ).withColumn(
+        "_prev_n",
+        F.lag("_n", 1, 0).over(w),
+    )
+    level_row = cand.where(
+        (b < F.col("_tot"))
+        & (F.col("_c") >= F.col("_prev_n"))
+        & (F.col("_c") < F.col("_n"))
+    ).select(
+        F.col("_c").alias("_level"),
+        (b - F.col("_pfx") - F.col("_c") * (F.col("_S") - F.col("_i") + 1))
+        .alias("_rem"),
+    )
+    # budget >= total: everyone fully funded, level = max(n)
+    full = idx.groupBy().agg(
+        F.max("_n").alias("_level"),
+        F.lit(0).cast("long").alias("_rem"),
+        F.sum("_n").alias("_tot2"),
+    ).where(F.col("_tot2") <= b).drop("_tot2")
+    lvl = level_row.unionByName(full)
+    out = idx.crossJoin(F.broadcast(lvl))
+    w_capped = Window.orderBy(F.col("_g").asc())
+    out = out.withColumn(
+        "_capped", (F.col("_n") > F.col("_level")).cast("int")
+    ).withColumn(
+        "_capped_rank",
+        F.sum("_capped").over(
+            w_capped.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    alloc = (
+        F.least(F.col("_n"), F.col("_level"))
+        + F.when(
+            (F.col("_capped") == 1) & (F.col("_capped_rank") <= F.col("_rem")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias(avail_col),
+        alloc.cast("long").alias("alloc"),
+        F.col("_level").cast("long").alias("water_level"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map every row's WITHIN-GROUP rank onto the GLOBAL value at the
+    same quantile — quantile normalization across sources, the fix for
+    "source A's quality scores run hot": after it, one corpus-wide
+    threshold means the same thing in every source. (The microarray
+    normalization recipe, applied to heterogeneous quality signals.)
+
+    Exact integer order statistics end to end:
+      q_ppm   = (r − 1)·10⁶ div (n_g − 1)   (r = row_number by
+                (value, id) within the group; single-row groups get the
+                median, q = 500000)
+      target  = 1 + (q_ppm · (N − 1) + 5·10⁵) div 10⁶   (global rank,
+                ROUNDED — floor would lose one rank to the q_ppm
+                quantization and break the single-group identity;
+                with rounding, one group over the whole corpus
+                normalizes to itself for N < 5·10⁵ and within one
+                quantization step beyond)
+      norm    = the global value whose cumulative count first reaches
+                `target` — the same lower-order-statistic rule as
+                `mad_outliers`, so DuckDB can replay it with windows.
+
+    Topology: per-group ranks are ONE window shuffle on the group; the
+    global side collapses to its VALUE GRID (groupBy + map-side
+    partials — never a global sort of raw rows) and the grid joins back
+    by a broadcast range join on the cumulative-count interval. At
+    10¹² rows the grid is |distinct values|-sized and the corpus
+    shuffles exactly once.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    v = F.col(value_col).cast("long")
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col("_v").asc(), F.col(id_col).asc()
+    )
+    cg = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(id_col), F.col(group_col), v.alias("_v")
+    ).withColumn("_r", F.row_number().over(wg)).withColumn(
+        "_ng", F.count("*").over(cg)
+    )
+    q_ppm = F.when(
+        F.col("_ng") > 1,
+        F.expr("(_r - 1) * 1000000 div (_ng - 1)"),
+    ).otherwise(F.lit(500_000))
+    ranked = ranked.withColumn("_q", q_ppm.cast("long"))
+    grid = (
+        df.groupBy(v.alias("_gv"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    wv = Window.orderBy(F.col("_gv").asc())
+    grid = grid.withColumn("_cum", F.sum("_c").over(wv)).withColumn(
+        "_cum_prev", F.col("_cum") - F.col("_c")
+    ).crossJoin(
+        F.broadcast(df.groupBy().agg(F.count("*").cast("long").alias("_N")))
+    )
+    # broadcast range join: target rank falls in (_cum_prev, _cum]
+    tgt = "1 + (_q * (_N - 1) + 500000) div 1000000"
+    out = ranked.join(
+        F.broadcast(grid),
+        (F.expr(tgt) > F.col("_cum_prev")) & (F.expr(tgt) <= F.col("_cum")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("_v").alias(value_col),
+        F.col("_q").alias("q_ppm"),
+        F.col("_gv").alias("norm_value"),
+    )

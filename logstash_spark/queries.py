@@ -790,6 +790,7 @@ from logstash_spark import queries_dataprep29 as _qdp29  # noqa: E402,F401
 from logstash_spark import queries_dataprep30 as _qdp30  # noqa: E402,F401
 from logstash_spark import queries_dataprep31 as _qdp31  # noqa: E402,F401
 from logstash_spark import queries_dataprep32 as _qdp32  # noqa: E402,F401
+from logstash_spark import queries_dataprep33 as _qdp33  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
@@ -980,6 +981,9 @@ _DRIVER_PRIORITY = [
     "weighted_sample_k",
     "isotonic_calibration",
     "edit_distance_join",
+    # dataprep batch 33 (round 3)
+    "waterfill_budget",
+    "quantile_normalize",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Correctness-gate queries, dataprep batch 33 (round 3): cross-source
+budget water-filling and cross-source quantile normalization — the two
+mix-layer decisions upstream of `token_budget_mix` (how much budget each
+source gets, and how to make heterogeneous per-source scores comparable
+before a single corpus-wide threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.queries import query
+
+_BUDGET = 300
+
+
+@query(
+    "waterfill_budget",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    idx AS (
+      SELECT *,
+             row_number() OVER (ORDER BY n, source) AS i,
+             sum(n) OVER (ORDER BY n, source) - n AS pfx,
+             count(*) OVER () AS s,
+             sum(n) OVER () AS tot,
+             lag(n, 1, 0) OVER (ORDER BY n, source) AS prev_n
+      FROM counts
+    ),
+    lvl AS (
+      SELECT CAST(({_BUDGET} - pfx) // (s - i + 1) AS BIGINT) AS level,
+             CAST({_BUDGET} - pfx
+                  - (({_BUDGET} - pfx) // (s - i + 1)) * (s - i + 1)
+               AS BIGINT) AS rem
+      FROM idx
+      WHERE tot > {_BUDGET}
+        AND ({_BUDGET} - pfx) // (s - i + 1) >= prev_n
+        AND ({_BUDGET} - pfx) // (s - i + 1) < n
+      UNION ALL
+      SELECT CAST(max(n) AS BIGINT), CAST(0 AS BIGINT)
+      FROM idx HAVING sum(n) <= {_BUDGET}
+    ),
+    out AS (
+      SELECT c.source, c.n, lvl.level, lvl.rem,
+             CASE WHEN c.n > lvl.level THEN 1 ELSE 0 END AS capped,
+             sum(CASE WHEN c.n > lvl.level THEN 1 ELSE 0 END)
+               OVER (ORDER BY c.source) AS capped_rank
+      FROM counts c CROSS JOIN lvl
+    )
+    SELECT source, n AS n_avail,
+           CAST(least(n, level)
+                + CASE WHEN capped = 1 AND capped_rank <= rem
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+           CAST(level AS BIGINT) AS water_level
+    FROM out
+    """,
+)
+def waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling gate (`dataprep.waterfill_budget`): a global
+    300-doc budget split across the per-source doc counts — binding at
+    every sf (20 sources × 25+ docs). The oracle replays the sorted-
+    prefix level search and the deterministic remainder distribution;
+    Σ alloc == min(budget, total) exactly."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_avail")
+    )
+    return D.waterfill_budget(counts, _BUDGET)
+
+
+@query(
+    "quantile_normalize",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ng
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, n_chars,
+             CAST(CASE WHEN ng > 1 THEN (r - 1) * 1000000 // (ng - 1)
+                       ELSE 500000 END AS BIGINT) AS q_ppm
+      FROM ranked
+    ),
+    grid AS (
+      SELECT n_chars AS gv, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    ),
+    g2 AS (
+      SELECT gv, sum(c) OVER (ORDER BY gv) AS cum,
+             sum(c) OVER (ORDER BY gv) - c AS cum_prev
+      FROM grid
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT q.doc_id, q.source, q.n_chars, q.q_ppm, g2.gv AS norm_value
+    FROM q CROSS JOIN nn
+    JOIN g2 ON 1 + (q.q_ppm * (nn.n - 1) + 500000) // 1000000 > g2.cum_prev
+           AND 1 + (q.q_ppm * (nn.n - 1) + 500000) // 1000000 <= g2.cum
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization gate (`dataprep.quantile_normalize`):
+    per-source n_chars ranks mapped to the global length distribution.
+    Every step is an integer order statistic (the `mad_outliers` lower-
+    rank rule), so both engines must agree on every normalized value."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.quantile_normalize(
+        docs.select("doc_id", "source", "n_chars")
+    )

@@ -1,0 +1,74 @@
+"""Golden tests for batch-33: waterfill_budget and quantile_normalize."""
+
+from __future__ import annotations
+
+from logstash_spark.operators import dataprep as D
+
+
+class TestWaterfillBudget:
+    def _run(self, spark, counts, budget):
+        df = spark.createDataFrame(counts, "source string, n_avail long")
+        return {
+            r.source: (r.alloc, r.water_level)
+            for r in D.waterfill_budget(df, budget).collect()
+        }
+
+    def test_level_and_remainder(self, spark):
+        counts = [("a", 100), ("b", 10), ("c", 50), ("d", 7)]
+        got = self._run(spark, counts, 60)
+        # level 21: 21+10+21+7 = 59, remainder 1 -> first capped source (a)
+        assert got == {
+            "a": (22, 21), "b": (10, 21), "c": (21, 21), "d": (7, 21),
+        }
+        assert sum(a for a, _ in got.values()) == 60
+
+    def test_budget_exceeds_total(self, spark):
+        counts = [("a", 5), ("b", 3)]
+        got = self._run(spark, counts, 100)
+        assert got == {"a": (5, 5), "b": (3, 5)}
+
+    def test_zero_budget_and_exact_boundary(self, spark):
+        counts = [("a", 4), ("b", 4)]
+        assert self._run(spark, counts, 0) == {"a": (0, 0), "b": (0, 0)}
+        assert self._run(spark, counts, 8) == {"a": (4, 4), "b": (4, 4)}
+        got = self._run(spark, counts, 7)
+        assert sum(a for a, _ in got.values()) == 7
+
+    def test_sum_invariant_over_sweep(self, spark):
+        counts = [("s" + str(i), 3 + 7 * i % 23) for i in range(9)]
+        total = sum(n for _, n in counts)
+        for budget in (0, 1, 17, 45, total - 1, total, total + 10):
+            got = self._run(spark, counts, budget)
+            assert sum(a for a, _ in got.values()) == min(budget, total)
+
+
+class TestQuantileNormalize:
+    def test_groups_map_to_same_global_values(self, spark):
+        rows = [(i, "a", i) for i in range(1, 6)] + [
+            (i + 10, "b", 100 + i) for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = D.quantile_normalize(df).collect()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r.source, []).append((r.q_ppm, r.norm_value))
+        assert sorted(by_group["a"]) == sorted(by_group["b"])
+        # extremes hit global min/max
+        vals = {r.q_ppm: r.norm_value for r in out if r.source == "a"}
+        assert vals[0] == 1 and vals[1_000_000] == 105
+
+    def test_single_row_group_gets_median(self, spark):
+        rows = [(1, "solo", 7)] + [(i, "big", i) for i in range(2, 12)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = {r.doc_id: r for r in D.quantile_normalize(df).collect()}
+        assert out[1].q_ppm == 500_000
+        # global N=11, target = 1 + 500000*10 div 1e6 = 6 -> 6th value
+        allv = sorted([7] + list(range(2, 12)))
+        assert out[1].norm_value == allv[5]
+
+    def test_idempotent_on_uniform_group_structure(self, spark):
+        # one group only: normalization must be the identity
+        rows = [(i, "g", 10 * i) for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = D.quantile_normalize(df).collect()
+        assert all(r.norm_value == r.n_chars for r in out)
