@@ -7135,3 +7135,101 @@ def quantile_normalize(
         F.col("_q").alias("q_ppm"),
         F.col("_gv").alias("norm_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank correlation between two rankers (Kendall tau-a, Spearman rho)
+# ---------------------------------------------------------------------------
+
+def rank_correlation(
+    df: DataFrame,
+    *,
+    group_col: str = "qid",
+    item_col: str = "item",
+    score_a_col: str = "score_a",
+    score_b_col: str = "score_b",
+) -> DataFrame:
+    """Per-group agreement between two rankers — Kendall tau-a and
+    Spearman rho over the items of each query/prompt, the eval that says
+    whether a cheap reranker (or a distilled reward model) orders
+    candidates like the expensive one. Complements
+    `ranking_metrics` (agreement with binary qrels) with
+    ranker-vs-ranker agreement.
+
+    Ranks are row_numbers by (score DESC, item ASC) — the deterministic
+    no-ties convention both engines replay, so tau-a (no tie term) is
+    the right variant. Per group:
+      sum_d2   = Σ (rank_a − rank_b)²                  (exact int)
+      tau_ppm  = floor(10⁶·(C − D) / (n(n−1)/2))
+      rho_ppm  = floor(10⁶·(1 − 6·Σd²/(n(n²−1))))
+    Numerators can be negative, so both metrics floor ONE double
+    division of exact-integer operands (never integer `div`, whose
+    negative truncation differs across engines); operands stay ≤ ~10¹²
+    for n ≤ 10⁴, well inside exact-double range. Groups with n < 2
+    emit null metrics.
+
+    Topology: two rank windows + ONE groupBy on the group key; the
+    discordant-pair count is ARRAY-LOCAL (collect ranks sorted by
+    rank_a, count inversions of the rank_b sequence — O(n²) per group,
+    fine for candidate-list-sized n; a merge-sort inversion count in a
+    Pandas UDF is the same seam if n grows).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    wa = Window.partitionBy(group_col).orderBy(
+        F.col(score_a_col).desc(), F.col(item_col).asc()
+    )
+    wb = Window.partitionBy(group_col).orderBy(
+        F.col(score_b_col).desc(), F.col(item_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("_q"),
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wb).alias("_rb"),
+    )
+    g = ranked.groupBy("_q").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            (F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb"))
+        ).cast("long").alias("sum_d2"),
+        F.sort_array(F.collect_list(F.struct("_ra", "_rb"))).alias("_seq"),
+    )
+    rb = F.transform(F.col("_seq"), lambda s: s["_rb"])
+    n_ = F.col("n")
+    disc = F.aggregate(
+        F.sequence(F.lit(1), n_.cast("int") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.size(
+            F.filter(
+                F.slice(rb, i + 1, n_.cast("int")),
+                lambda x: x < F.element_at(rb, i),
+            )
+        ).cast("long"),
+    )
+    out = g.withColumn("_disc", F.when(n_ > 1, disc)).select(
+        F.col("_q").alias(group_col),
+        "n",
+        "sum_d2",
+        F.when(
+            n_ > 1,
+            F.floor(
+                (
+                    (n_ * (n_ - 1) - 4 * F.col("_disc")).cast("double")
+                    / (n_ * (n_ - 1)).cast("double")
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        ).alias("tau_ppm"),
+        F.when(
+            n_ > 1,
+            F.floor(
+                (
+                    (n_ * (n_ * n_ - 1) - 6 * F.col("sum_d2")).cast("double")
+                    / (n_ * (n_ * n_ - 1)).cast("double")
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long"),
+        ).alias("rho_ppm"),
+    )
+    return out

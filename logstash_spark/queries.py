@@ -984,6 +984,7 @@ _DRIVER_PRIORITY = [
     # dataprep batch 33 (round 3)
     "waterfill_budget",
     "quantile_normalize",
+    "rank_correlation",
 ]
 
 

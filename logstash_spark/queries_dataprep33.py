@@ -117,3 +117,67 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.quantile_normalize(
         docs.select("doc_id", "source", "n_chars")
     )
+
+
+_H32 = "CAST(('0x' || substr(md5({s}), 1, 8))::UBIGINT AS BIGINT)"
+
+
+@query(
+    "rank_correlation",
+    f"""
+    WITH base AS (
+      SELECT doc_id // 10 AS qid, doc_id % 10 AS item,
+             {_H32.format(s="doc_id || ':sa'")} % 1000 AS score_a,
+             {_H32.format(s="doc_id || ':sa'")} % 1000
+               + {_H32.format(s="doc_id || ':sb'")} % 400 - 200 AS score_b
+      FROM documents
+    ),
+    ranked AS (
+      SELECT qid, item,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_a DESC, item ASC) AS ra,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_b DESC, item ASC) AS rb
+      FROM base
+    ),
+    agg AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+      FROM ranked GROUP BY 1
+    ),
+    disc AS (
+      SELECT x.qid, CAST(count(*) AS BIGINT) AS d
+      FROM ranked x JOIN ranked y
+        ON x.qid = y.qid AND x.ra < y.ra AND x.rb > y.rb
+      GROUP BY 1
+    )
+    SELECT a.qid, a.n, a.sum_d2,
+           CASE WHEN a.n > 1 THEN CAST(floor(
+             CAST(a.n * (a.n - 1) - 4 * coalesce(d.d, 0) AS DOUBLE)
+             / (a.n * (a.n - 1)) * 1000000) AS BIGINT) END AS tau_ppm,
+           CASE WHEN a.n > 1 THEN CAST(floor(
+             CAST(a.n * (a.n * a.n - 1) - 6 * a.sum_d2 AS DOUBLE)
+             / (a.n * (a.n * a.n - 1)) * 1000000) AS BIGINT) END AS rho_ppm
+    FROM agg a LEFT JOIN disc d USING (qid)
+    """,
+)
+def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-correlation gate (`dataprep.rank_correlation`): 10-item
+    query groups with a hash ranker and a noisy-correlated second
+    ranker; Kendall tau-a and Spearman rho per group. The oracle counts
+    discordant pairs RELATIONALLY (a rank self-join) while the operator
+    counts array-local inversions — two different algorithms, one exact
+    answer."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    sa = D.portable_hash32(F.concat(i, F.lit(":sa"))) % 1000
+    sb = sa + D.portable_hash32(F.concat(i, F.lit(":sb"))) % 400 - 200
+    base = docs.select(
+        F.expr("doc_id DIV 10").alias("qid"),
+        (F.col("doc_id") % 10).alias("item"),
+        sa.alias("score_a"),
+        sb.alias("score_b"),
+    )
+    return D.rank_correlation(base)

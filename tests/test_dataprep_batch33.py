@@ -72,3 +72,36 @@ class TestQuantileNormalize:
         df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
         out = D.quantile_normalize(df).collect()
         assert all(r.norm_value == r.n_chars for r in out)
+
+
+class TestRankCorrelation:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "qid long, item long, score_a long, score_b long"
+        )
+        return {r.qid: r for r in D.rank_correlation(df).collect()}
+
+    def test_agreement_reversal_and_partial(self, spark):
+        rows = []
+        for i in range(5):
+            rows.append((0, i, 100 - i, 100 - i))   # identical order
+            rows.append((1, i, 100 - i, i))          # exact reversal
+        # one adjacent swap among 5: tau = (10-2·1)/10 = 0.8, rho = 1 - 6·2/120
+        rows += [(2, 0, 50, 50), (2, 1, 40, 30), (2, 2, 30, 40),
+                 (2, 3, 20, 19), (2, 4, 10, 9)]
+        got = self._run(spark, rows)
+        assert (got[0].tau_ppm, got[0].rho_ppm) == (1_000_000, 1_000_000)
+        assert (got[1].tau_ppm, got[1].rho_ppm) == (-1_000_000, -1_000_000)
+        assert (got[2].tau_ppm, got[2].rho_ppm) == (800_000, 900_000)
+        assert got[2].sum_d2 == 2
+
+    def test_single_item_group_is_null(self, spark):
+        got = self._run(spark, [(9, 0, 5, 5)])
+        assert got[9].n == 1
+        assert got[9].tau_ppm is None and got[9].rho_ppm is None
+
+    def test_ties_pinned_by_item_order(self, spark):
+        # all scores equal: both rankers produce the same item-asc order
+        rows = [(4, i, 7, 7) for i in range(4)]
+        got = self._run(spark, rows)
+        assert (got[4].tau_ppm, got[4].rho_ppm) == (1_000_000, 1_000_000)
