@@ -7233,3 +7233,63 @@ def rank_correlation(
         ).alias("rho_ppm"),
     )
     return out
+
+
+def mix_divergence(
+    counts: DataFrame,
+    target_weights: dict[str, int],
+    *,
+    group_col: str = "source",
+    count_col: str = "n",
+) -> DataFrame:
+    """How far the realized corpus mix is from a target mix — per-source
+    and total KL divergence KL(p‖q) in quantized micro-nats, the drift
+    report a mix pipeline emits every rebuild (did upweighting actually
+    move the distribution?).
+
+    `target_weights` are plan-time INTEGER weights (q_i = w_i / W), so
+    with L(k) = floor(10⁶·ln k) every term is exact int64:
+
+        contrib_i = c_i · (L(c_i) − L(N) − L(w_i) + L(W))
+        kl_micro  = (Σ contrib_i) div N
+
+    Sources present in the corpus but absent from the target get q = 0
+    — infinite KL in theory, surfaced honestly as `in_target = false`
+    with null contribution instead of a fake large number (the caller
+    decides whether rogue sources are an error). Topology: windows and
+    arithmetic over the sources-sized count table only; the corpus
+    never appears (one groupBy upstream).
+    """
+    w_total = sum(int(v) for v in target_weights.values())
+    pairs = F.create_map(
+        *[
+            x
+            for kv in target_weights.items()
+            for x in (F.lit(kv[0]), F.lit(int(kv[1])))
+        ]
+    )
+    base = counts.select(
+        F.col(group_col).alias("_g"), F.col(count_col).cast("long").alias("_c")
+    ).withColumn("_w", pairs[F.col("_g")])
+    tot = base.groupBy().agg(F.sum("_c").cast("long").alias("_N"))
+    b = base.crossJoin(F.broadcast(tot))
+    contrib = F.col("_c") * (
+        _ln_q(F.col("_c"))
+        - _ln_q(F.col("_N"))
+        - _ln_q(F.col("_w"))
+        + _ln_q(F.lit(w_total))
+    )
+    scored = b.select(
+        F.col("_g").alias(group_col),
+        F.col("_c").alias(count_col),
+        F.col("_w").isNotNull().alias("in_target"),
+        F.when(F.col("_w").isNotNull(), contrib).alias("kl_contrib_micro"),
+        F.col("_N").alias("_N"),
+    )
+    total = scored.groupBy().agg(
+        F.when(
+            F.sum(F.when(~F.col("in_target"), 1).otherwise(0)) == 0,
+            F.expr("CAST(sum(kl_contrib_micro) div first(_N) AS LONG)"),
+        ).alias("kl_micro_total")
+    )
+    return scored.crossJoin(F.broadcast(total)).drop("_N")

@@ -985,6 +985,7 @@ _DRIVER_PRIORITY = [
     "waterfill_budget",
     "quantile_normalize",
     "rank_correlation",
+    "mix_divergence",
 ]
 
 

@@ -181,3 +181,46 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb.alias("score_b"),
     )
     return D.rank_correlation(base)
+
+
+@query(
+    "mix_divergence",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    base AS (
+      SELECT source, n,
+             CAST((CAST(substr(source, 4) AS INT) % 5) + 1 AS BIGINT) AS w,
+             CAST(sum(n) OVER () AS BIGINT) AS nn
+      FROM counts
+    ),
+    scored AS (
+      SELECT source, n, TRUE AS in_target,
+             n * (CAST(floor(ln(n) * 1000000) AS BIGINT)
+                  - CAST(floor(ln(nn) * 1000000) AS BIGINT)
+                  - CAST(floor(ln(w) * 1000000) AS BIGINT)
+                  + CAST(floor(ln(120) * 1000000) AS BIGINT))
+               AS kl_contrib_micro,
+             nn
+      FROM base
+    )
+    SELECT source, n, in_target, kl_contrib_micro,
+           CAST((SELECT sum(kl_contrib_micro) FROM scored)
+                // (SELECT any_value(nn) FROM scored) AS BIGINT)
+             AS kl_micro_total
+    FROM scored
+    """,
+)
+def mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-drift gate (`dataprep.mix_divergence`): realized per-source
+    doc counts vs a formula target mix (w(src_k) = k%5+1 over the
+    src0..src39 superset, W = 120). Every KL term is exact int64 via
+    the shared L(k) = floor(10⁶·ln k) quantization; the oracle replays
+    the arithmetic from the same weight formula."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    weights = {f"src{k}": (k % 5) + 1 for k in range(40)}
+    return D.mix_divergence(counts, weights)

@@ -105,3 +105,33 @@ class TestRankCorrelation:
         rows = [(4, i, 7, 7) for i in range(4)]
         got = self._run(spark, rows)
         assert (got[4].tau_ppm, got[4].rho_ppm) == (1_000_000, 1_000_000)
+
+
+class TestMixDivergence:
+    def _run(self, spark, counts, weights):
+        df = spark.createDataFrame(counts, "source string, n long")
+        return {r.source: r for r in D.mix_divergence(df, weights).collect()}
+
+    def test_matching_mix_is_near_zero(self, spark):
+        got = self._run(
+            spark, [("a", 100), ("b", 100)], {"a": 1, "b": 1}
+        )
+        # real KL is exactly 0; L-quantization leaves ≤ a few micro-nats
+        assert abs(got["a"].kl_micro_total) <= 4
+
+    def test_skewed_mix_positive_and_exact(self, spark):
+        import math
+        counts = [("a", 300), ("b", 100)]
+        got = self._run(spark, counts, {"a": 1, "b": 1})
+        def L(k):
+            return math.floor(math.log(k) * 1_000_000)
+        exp = (300 * (L(300) - L(400) - L(1) + L(2))
+               + 100 * (L(100) - L(400) - L(1) + L(2))) // 400
+        assert got["a"].kl_micro_total == exp
+        assert got["a"].kl_contrib_micro == 300 * (L(300) - L(400) + L(2))
+
+    def test_rogue_source_nulls_total(self, spark):
+        got = self._run(spark, [("a", 10), ("zz", 5)], {"a": 1})
+        assert got["zz"].in_target is False
+        assert got["zz"].kl_contrib_micro is None
+        assert got["a"].kl_micro_total is None
