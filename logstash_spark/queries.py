@@ -986,6 +986,7 @@ _DRIVER_PRIORITY = [
     "quantile_normalize",
     "rank_correlation",
     "mix_divergence",
+    "mix_pipeline_e2e",
 ]
 
 

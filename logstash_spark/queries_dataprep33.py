@@ -224,3 +224,80 @@ def mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
     weights = {f"src{k}": (k % 5) + 1 for k in range(40)}
     return D.mix_divergence(counts, weights)
+
+
+@query(
+    "mix_pipeline_e2e",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ng
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN ng > 1 THEN (r - 1) * 1000000 // (ng - 1)
+                       ELSE 500000 END AS BIGINT) AS q_ppm
+      FROM ranked
+    ),
+    eligible AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM q WHERE q_ppm >= 500000 GROUP BY 1
+    ),
+    idx AS (
+      SELECT *,
+             row_number() OVER (ORDER BY n, source) AS i,
+             sum(n) OVER (ORDER BY n, source) - n AS pfx,
+             count(*) OVER () AS s,
+             sum(n) OVER () AS tot,
+             lag(n, 1, 0) OVER (ORDER BY n, source) AS prev_n
+      FROM eligible
+    ),
+    lvl AS (
+      SELECT CAST((100 - pfx) // (s - i + 1) AS BIGINT) AS level,
+             CAST(100 - pfx
+                  - ((100 - pfx) // (s - i + 1)) * (s - i + 1)
+               AS BIGINT) AS rem
+      FROM idx
+      WHERE tot > 100
+        AND (100 - pfx) // (s - i + 1) >= prev_n
+        AND (100 - pfx) // (s - i + 1) < n
+      UNION ALL
+      SELECT CAST(max(n) AS BIGINT), CAST(0 AS BIGINT)
+      FROM idx HAVING sum(n) <= 100
+    ),
+    out AS (
+      SELECT c.source, c.n, lvl.level, lvl.rem,
+             CASE WHEN c.n > lvl.level THEN 1 ELSE 0 END AS capped,
+             sum(CASE WHEN c.n > lvl.level THEN 1 ELSE 0 END)
+               OVER (ORDER BY c.source) AS capped_rank
+      FROM eligible c CROSS JOIN lvl
+    )
+    SELECT source, n AS n_avail,
+           CAST(least(n, level)
+                + CASE WHEN capped = 1 AND capped_rank <= rem
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+           CAST(level AS BIGINT) AS water_level
+    FROM out
+    """,
+)
+def mix_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed mix-pipeline gate: quantile-normalize per-source length
+    ranks (`quantile_normalize`), keep each source's upper half (a
+    NORMALIZED threshold means the same thing in every source), count
+    eligibles, then water-fill a global 100-doc budget across the
+    eligible pools (`waterfill_budget`). The oracle replays the whole
+    chain — proves the two operators compose on real ranks, not just in
+    isolation."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    normed = D.quantile_normalize(docs.select("doc_id", "source", "n_chars"))
+    eligible = (
+        normed.where(F.col("q_ppm") >= 500_000)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_avail"))
+    )
+    return D.waterfill_budget(eligible, 100)
