@@ -7293,3 +7293,42 @@ def mix_divergence(
         ).alias("kl_micro_total")
     )
     return scored.crossJoin(F.broadcast(total)).drop("_N")
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    shards: Sequence[str],
+    *,
+    key_col: str = "doc_id",
+    seed: str = "hrw",
+) -> DataFrame:
+    """Assign every row to a shard by rendezvous (highest-random-weight)
+    hashing: shard = argmax over s of hash(key, s). Unlike
+    `shard_assign`'s `hash % n` (fixed shard count), HRW gives MINIMAL
+    MOVEMENT under resharding — adding a shard relocates only the ~1/(n+1)
+    of keys whose new argmax IS the new shard; keys never move between
+    surviving shards. That is the property a 10¹²-row export cares
+    about: growing the shard set re-writes one new shard's worth of
+    data, not the whole corpus.
+
+    Pure column algebra (the shard list is a plan-time literal array;
+    per-row work is |shards| portable hashes + one array sort), ZERO
+    shuffle — assignment fuses into the scan. Ties break on shard name
+    via the (−hash, shard) struct sort, engine-reproducible. For
+    hundreds of shards the O(|shards|) per-row cost still beats a
+    shuffle; for many thousands, pre-bucket with `hash % B` then HRW
+    within the bucket's shard slice.
+    """
+    key = F.col(key_col).cast("string")
+    cands = F.array(
+        *[
+            F.struct(
+                (-portable_hash32(
+                    F.concat(key, F.lit(":" + seed + ":" + str(s)))
+                )).alias("nh"),
+                F.lit(str(s)).alias("shard"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn("shard", F.sort_array(cands)[0]["shard"])

@@ -987,6 +987,7 @@ _DRIVER_PRIORITY = [
     "rank_correlation",
     "mix_divergence",
     "mix_pipeline_e2e",
+    "rendezvous_sharding",
 ]
 
 

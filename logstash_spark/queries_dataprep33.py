@@ -301,3 +301,38 @@ def mix_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_avail"))
     )
     return D.waterfill_budget(eligible, 100)
+
+
+@query(
+    "rendezvous_sharding",
+    f"""
+    WITH shards AS (
+      SELECT unnest(['s0','s1','s2','s3','s4','s5','s6','s7']) AS shard
+    ),
+    scored AS (
+      SELECT d.doc_id, s.shard,
+             {_H32.format(s="CAST(d.doc_id AS VARCHAR) || ':hrw:' || s.shard")}
+               AS h
+      FROM documents d CROSS JOIN shards s
+    ),
+    ranked AS (
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, shard ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, shard FROM ranked WHERE rn = 1
+    """,
+)
+def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW-sharding gate (`dataprep.rendezvous_shard`): 8 named shards
+    over the documents table. The operator evaluates the argmax
+    ARRAY-LOCALLY (zero shuffle); the oracle re-derives it RELATIONALLY
+    (cross join + window argmax) — different topologies, identical
+    assignment."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.rendezvous_shard(
+        docs.select("doc_id"), [f"s{i}" for i in range(8)]
+    ).select("doc_id", "shard")

@@ -135,3 +135,31 @@ class TestMixDivergence:
         assert got["zz"].in_target is False
         assert got["zz"].kl_contrib_micro is None
         assert got["a"].kl_micro_total is None
+
+
+class TestRendezvousShard:
+    def test_minimal_movement_on_shard_add(self, spark):
+        df = spark.createDataFrame(
+            [(i,) for i in range(400)], "doc_id long"
+        )
+        before = {
+            r.doc_id: r.shard
+            for r in D.rendezvous_shard(df, [f"s{i}" for i in range(7)]).collect()
+        }
+        after = {
+            r.doc_id: r.shard
+            for r in D.rendezvous_shard(df, [f"s{i}" for i in range(8)]).collect()
+        }
+        moved = {k for k in before if before[k] != after[k]}
+        # every moved key lands on the NEW shard — never between old ones
+        assert all(after[k] == "s7" for k in moved)
+        # and roughly 1/8 of keys move (hash-fixed, deterministic)
+        assert 20 <= len(moved) <= 80
+
+    def test_deterministic_and_zero_shuffle(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        a = D.rendezvous_shard(df, ["x", "y", "z"]).collect()
+        b = D.rendezvous_shard(df, ["x", "y", "z"]).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        plan = D.rendezvous_shard(df, ["x", "y"])._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
