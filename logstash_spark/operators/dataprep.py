@@ -7332,3 +7332,55 @@ def rendezvous_shard(
         ]
     )
     return df.withColumn("shard", F.sort_array(cands)[0]["shard"])
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    lo_ppm: int = 50_000,
+    hi_ppm: int = 950_000,
+) -> DataFrame:
+    """Clip an integer metric to its per-group [lo, hi] percentile band
+    — winsorization, the gentler sibling of `mad_outliers` (clamp the
+    tails instead of flagging them) used before averaging per-source
+    statistics that a few giant documents would otherwise own.
+
+    Percentile rank is the exact integer lower order statistic
+    r(q) = 1 + ((n−1)·q_ppm div 10⁶) — evaluated over the (group,
+    value) GRID, never a raw-row sort (the `mad_outliers` topology: one
+    grid groupBy with map-side partials, windows over the grid,
+    per-group bounds broadcast back). Deliberately NOT the engine-
+    native quantile function in oracles: 0.95 has no exact double
+    representation, so floor((n−1)·0.95) disagrees with the integer
+    rank exactly when (n−1) is a multiple of 20 — the ppm-integer rank
+    is the portable definition.
+
+    Output adds `lo`, `hi`, `clipped` (the clamped value) and
+    `was_clipped`.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    def _grid_pct(src: DataFrame, vcol: str, q_ppm: int, name: str) -> DataFrame:
+        g = src.groupBy(group_col, vcol).agg(F.count("*").cast("long").alias("_c"))
+        w = Window.partitionBy(group_col).orderBy(vcol)
+        tot = Window.partitionBy(group_col)
+        return (
+            g.withColumn("_cum", F.sum("_c").over(w))
+            .withColumn("_n", F.sum("_c").over(tot))
+            .filter(
+                F.col("_cum")
+                >= F.expr(f"1 + ((_n - 1) * {int(q_ppm)}) div 1000000")
+            )
+            .groupBy(group_col)
+            .agg(F.min(vcol).cast("long").alias(name))
+        )
+    lo = _grid_pct(df, value_col, lo_ppm, "lo")
+    hi = _grid_pct(df, value_col, hi_ppm, "hi")
+    out = df.join(F.broadcast(lo), group_col).join(F.broadcast(hi), group_col)
+    v = F.col(value_col).cast("long")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), v))
+    return out.withColumn("clipped", clipped).withColumn(
+        "was_clipped", clipped != v
+    )

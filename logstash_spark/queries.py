@@ -988,6 +988,7 @@ _DRIVER_PRIORITY = [
     "mix_divergence",
     "mix_pipeline_e2e",
     "rendezvous_sharding",
+    "winsorize_clip",
 ]
 
 

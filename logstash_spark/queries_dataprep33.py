@@ -336,3 +336,48 @@ def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.rendezvous_shard(
         docs.select("doc_id"), [f"s{i}" for i in range(8)]
     ).select("doc_id", "shard")
+
+
+@query(
+    "winsorize_clip",
+    """
+    WITH grid AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, v, c,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM grid
+    ),
+    lo AS (
+      SELECT source, CAST(min(v) AS BIGINT) AS lo
+      FROM cum WHERE cum >= 1 + ((n - 1) * 50000) // 1000000
+      GROUP BY 1
+    ),
+    hi AS (
+      SELECT source, CAST(min(v) AS BIGINT) AS hi
+      FROM cum WHERE cum >= 1 + ((n - 1) * 950000) // 1000000
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars, lo.lo, hi.hi,
+           CAST(greatest(lo.lo, least(hi.hi, d.n_chars)) AS BIGINT)
+             AS clipped,
+           greatest(lo.lo, least(hi.hi, d.n_chars)) <> d.n_chars
+             AS was_clipped
+    FROM documents d JOIN lo USING (source) JOIN hi USING (source)
+    """,
+)
+def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization gate (`dataprep.winsorize`): per-source 5th/95th
+    percentile clipping of document length. The oracle replays the
+    integer rank rule over the same value grid — the ppm rank is the
+    portable definition (engine-native 0.95 quantiles drift one rank
+    whenever (n−1) is a multiple of 20)."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.winsorize(docs.select("doc_id", "source", "n_chars")).select(
+        "doc_id", "source", "n_chars", "lo", "hi", "clipped", "was_clipped"
+    )

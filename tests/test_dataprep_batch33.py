@@ -163,3 +163,22 @@ class TestRendezvousShard:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         plan = D.rendezvous_shard(df, ["x", "y"])._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestWinsorize:
+    def test_clips_tails_only(self, spark):
+        rows = [(i, "g", v) for i, v in enumerate(
+            [1, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 1000]
+        )]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        got = {r.doc_id: r for r in D.winsorize(df).collect()}
+        # n=13: lo rank = 1 + 12*0.05 = 1 -> min value; hi rank = 1+11 = 12
+        assert got[0].lo == 1 and got[0].hi == 20
+        assert got[12].clipped == 20 and got[12].was_clipped
+        assert got[5].clipped == 14 and not got[5].was_clipped
+
+    def test_degenerate_single_value_group(self, spark):
+        rows = [(i, "g", 7) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = D.winsorize(df).collect()
+        assert all(r.lo == 7 and r.hi == 7 and not r.was_clipped for r in out)
