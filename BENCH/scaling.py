@@ -154,7 +154,20 @@ def run_once(master: str, total_cores: int) -> dict:
     )
     if not out.stdout.strip():
         raise RuntimeError(f"{master}: {out.stderr[-500:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # scan backwards for the result line: a dying executor (or a stray
+    # JVM warning routed to stdout) can append garbage AFTER the child's
+    # JSON — one corrupted level must not kill a multi-hour study
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    raise RuntimeError(
+        f"{master}: no parseable result line; stdout tail: "
+        f"{out.stdout[-300:]!r} stderr tail: {out.stderr[-300:]!r}"
+    )
 
 
 # Executor mode uses 4-core executors (4 -> 16 total cores): the sandbox
