@@ -7384,3 +7384,49 @@ def winsorize(
     return out.withColumn("clipped", clipped).withColumn(
         "was_clipped", clipped != v
     )
+
+
+def rbo_overlap(
+    df: DataFrame,
+    *,
+    group_col: str = "qid",
+    list_a_col: str = "list_a",
+    list_b_col: str = "list_b",
+    k: int = 10,
+    p_tenths: int = 9,
+) -> DataFrame:
+    """Rank-biased overlap at depth k (Webber et al. 2010, the truncated
+    sum) between two top-k item lists per group — the top-weighted
+    agreement metric for comparing rankers where `rank_correlation`'s
+    whole-list view over-weights the tail: RBO discounts depth d by
+    p^(d−1), so disagreement at rank 1 costs ~10× rank 10 at p=0.9.
+
+        rbo = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+
+    Determinism: the depth weights (1−p)·p^(d−1)/d are computed ONCE in
+    Python and embedded as double literals in the plan (and the gate
+    embeds the same literals in its oracle SQL) — no pow() in either
+    engine, and the sum is unrolled left-to-right in depth order, so
+    every float op is the identical IEEE sequence and the single
+    floor(10⁶·rbo) agrees bit-for-bit. Overlap sizes |A_d ∩ B_d| are
+    exact ints from array_intersect over prefix slices (lists are
+    assumed duplicate-free, the top-k contract).
+
+    Array-local, zero shuffle, O(k²) per row. Short lists are handled
+    by clamping d to each list's length (standard truncated-RBO
+    extrapolation is NOT applied — the gate pins the plain truncated
+    sum, stated here so no one mistakes it for RBO_ext).
+    """
+    p = p_tenths / 10.0
+    weights = [((1 - p) * (p ** d)) / (d + 1) for d in range(k)]
+    a, b = F.col(list_a_col), F.col(list_b_col)
+    total = None
+    for d in range(1, k + 1):
+        xd = F.size(
+            F.array_intersect(F.slice(a, 1, d), F.slice(b, 1, d))
+        ).cast("double")
+        term = xd * F.lit(weights[d - 1])
+        total = term if total is None else total + term
+    return df.withColumn(
+        "rbo_ppm", F.floor(total * F.lit(1_000_000.0)).cast("long")
+    )

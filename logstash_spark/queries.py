@@ -989,6 +989,7 @@ _DRIVER_PRIORITY = [
     "mix_pipeline_e2e",
     "rendezvous_sharding",
     "winsorize_clip",
+    "rbo_topk_overlap",
 ]
 
 

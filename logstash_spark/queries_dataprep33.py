@@ -381,3 +381,99 @@ def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winsorize(docs.select("doc_id", "source", "n_chars")).select(
         "doc_id", "source", "n_chars", "lo", "hi", "clipped", "was_clipped"
     )
+
+
+_RBO_WEIGHTS = [0.09999999999999998, 0.04499999999999999, 0.026999999999999996, 0.018224999999999998, 0.013121999999999998, 0.0098415, 0.007592014285714285, 0.005978711249999999, 0.004782969000000001, 0.00387420489]
+
+
+@query(
+    "rbo_topk_overlap",
+    f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 3 AS mode, unnest(generate_series(0, 9)) AS it
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, mode, it,
+             {_H32.format(s="doc_id || ':it' || CAST(it AS VARCHAR) || ':a'")} AS ha,
+             {_H32.format(s="doc_id || ':it' || CAST(it AS VARCHAR) || ':b'")} AS hb
+      FROM base
+    ),
+    ranked AS (
+      SELECT doc_id, mode, it,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ha, it) AS ra0,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hb, it) AS rb0
+      FROM scored
+    ),
+    adj AS (
+      SELECT doc_id, it, ra0 AS ra,
+             CASE WHEN mode = 0 THEN ra0
+                  WHEN mode = 1 THEN CASE ra0 WHEN 1 THEN 2 WHEN 2 THEN 1
+                                              ELSE ra0 END
+                  ELSE rb0 END AS rb
+      FROM ranked
+    ),
+    x AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ra <= 1 AND rb <= 1 THEN 1 ELSE 0 END) AS DOUBLE) AS x1,
+             CAST(sum(CASE WHEN ra <= 2 AND rb <= 2 THEN 1 ELSE 0 END) AS DOUBLE) AS x2,
+             CAST(sum(CASE WHEN ra <= 3 AND rb <= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS x3,
+             CAST(sum(CASE WHEN ra <= 4 AND rb <= 4 THEN 1 ELSE 0 END) AS DOUBLE) AS x4,
+             CAST(sum(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END) AS DOUBLE) AS x5,
+             CAST(sum(CASE WHEN ra <= 6 AND rb <= 6 THEN 1 ELSE 0 END) AS DOUBLE) AS x6,
+             CAST(sum(CASE WHEN ra <= 7 AND rb <= 7 THEN 1 ELSE 0 END) AS DOUBLE) AS x7,
+             CAST(sum(CASE WHEN ra <= 8 AND rb <= 8 THEN 1 ELSE 0 END) AS DOUBLE) AS x8,
+             CAST(sum(CASE WHEN ra <= 9 AND rb <= 9 THEN 1 ELSE 0 END) AS DOUBLE) AS x9,
+             CAST(sum(CASE WHEN ra <= 10 AND rb <= 10 THEN 1 ELSE 0 END) AS DOUBLE) AS x10
+      FROM adj GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(floor((x1 * 0.09999999999999998 + x2 * 0.04499999999999999 + x3 * 0.026999999999999996 + x4 * 0.018224999999999998 + x5 * 0.013121999999999998 + x6 * 0.0098415 + x7 * 0.007592014285714285 + x8 * 0.005978711249999999 + x9 * 0.004782969000000001 + x10 * 0.00387420489) * 1000000.0) AS BIGINT) AS rbo_ppm
+    FROM x
+    """,
+)
+def rbo_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO gate (`dataprep.rbo_overlap`): 10-item rankings per doc —
+    identical lists (rbo = 1·truncation mass), a top-2 swap (the
+    top-weighted penalty), and an independent second order. The oracle
+    computes the prefix overlaps RELATIONALLY and evaluates the SAME
+    left-to-right unrolled weight expression with the SAME double
+    literals, so the single floor agrees bit-for-bit."""
+    from logstash_spark.operators import dataprep as D  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    items = F.sequence(F.lit(0), F.lit(9))
+
+    def order_by(tag):
+        return F.transform(
+            F.sort_array(
+                F.transform(
+                    items,
+                    lambda it: F.struct(
+                        D.portable_hash32(
+                            F.concat(d, F.lit(":it"), it.cast("string"),
+                                     F.lit(":" + tag))
+                        ).alias("h"),
+                        it.alias("it"),
+                    ),
+                )
+            ),
+            lambda s: s["it"],
+        )
+
+    la = order_by("a")
+    lb_ind = order_by("b")
+    mode = F.col("doc_id") % 3
+    swapped = F.concat(
+        F.slice(la, 2, 1), F.slice(la, 1, 1), F.slice(la, 3, 8)
+    )
+    base = docs.select(
+        "doc_id",
+        la.alias("list_a"),
+        F.when(mode == 0, la)
+        .when(mode == 1, swapped)
+        .otherwise(lb_ind)
+        .alias("list_b"),
+    )
+    return D.rbo_overlap(base).select("doc_id", "rbo_ppm")

@@ -182,3 +182,36 @@ class TestWinsorize:
         df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
         out = D.winsorize(df).collect()
         assert all(r.lo == 7 and r.hi == 7 and not r.was_clipped for r in out)
+
+
+class TestRboOverlap:
+    def _run(self, spark, pairs, **kw):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "qid long, list_a array<string>, list_b array<string>",
+        )
+        return {r.qid: r.rbo_ppm for r in D.rbo_overlap(df, **kw).collect()}
+
+    def test_identical_disjoint_and_python_rederivation(self, spark):
+        import math
+        ident = [f"i{j}" for j in range(10)]
+        disjoint = [f"z{j}" for j in range(10)]
+        swapped = [ident[1], ident[0]] + ident[2:]
+        got = self._run(spark, [(ident, ident), (ident, disjoint), (ident, swapped)])
+        p, k = 0.9, 10
+        w = [((1 - p) * p**d) / (d + 1) for d in range(k)]
+        def rbo(a, b):
+            t = 0.0
+            for d in range(1, k + 1):
+                t += len(set(a[:d]) & set(b[:d])) * w[d - 1]
+            return math.floor(t * 1_000_000.0)
+        assert got[0] == rbo(ident, ident)
+        assert got[1] == 0
+        assert got[2] == rbo(ident, swapped)
+        # the swap only costs at depth 1: deeper prefixes contain both
+        assert got[0] - got[2] == math.floor(1e6 * (rbo(ident, ident) - rbo(ident, swapped)) / 1e6)
+
+    def test_short_and_empty_lists(self, spark):
+        got = self._run(spark, [(["a"], ["a"]), ([], ["a", "b"])])
+        assert got[1] == 0
+        assert got[0] > 0  # overlap 1 at every depth, clamped slices
