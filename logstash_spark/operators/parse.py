@@ -749,20 +749,50 @@ def kv(
         _KV_CASE[transform_value] if transform_value else None,
     )
 
+    # last-wins map building needs mapKeyDedupPolicy=LAST_WIN (set by
+    # session.get_spark; checked at plan time so a foreign session under
+    # the Spark default EXCEPTION still gets the policy-independent path)
+    try:
+        _last_win = (
+            df.sparkSession.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+            == "LAST_WIN"
+        )
+    except Exception:  # pragma: no cover - conf lookup never fails in practice
+        _last_win = False
+
     def pairs_map(src: Column) -> Column:
-        """Parse pairs into a map, duplicate-key-safe (str_to_map throws
-        DUPLICATED_MAP_KEY under the default session policy; the HOF
-        build makes last-wins/array collection explicit and policy-
-        independent). Tokens without a value separator are skipped,
-        matching the reference (str_to_map would emit them null-valued)."""
-        parts = F.filter(F.split(src, field_split), lambda p: p.rlike(value_split))
+        """Parse pairs into a map without re-evaluating the per-pair
+        regex split: tokens are split ONCE into [k, v] arrays (a
+        dedicated transform pass — referencing one split expression
+        twice inside a single HOF lambda would embed the regex subtree
+        twice in the plan), then shaped into structs. Tokens without a
+        value separator are skipped, matching the reference (str_to_map
+        would emit them null-valued).
+
+        duplicates='last' fast path: map_from_entries under
+        mapKeyDedupPolicy=LAST_WIN is a single O(K) pass with exactly
+        the reference's later-pair-wins semantics (kv.rb §has_value_
+        splitter). The grouped modes (array / unique_array) and the
+        EXCEPTION-policy fallback group via array_distinct + per-key
+        filter — O(K·D) with D distinct keys, fine for log-line K."""
+        # value_split is a regex (reference behavior), but the common
+        # case is a literal like '=' — `contains` then beats per-token
+        # regex matching in the has-a-value filter
+        if _re.escape(value_split) == value_split:
+            has_val = lambda p: p.contains(value_split)  # noqa: E731
+        else:
+            has_val = lambda p: p.rlike(value_split)  # noqa: E731
+        parts = F.filter(F.split(src, field_split), has_val)
+        splits = F.transform(parts, lambda p: F.split(p, value_split, 2))
         kvs = F.transform(
-            parts,
-            lambda p: F.struct(
-                key_fn(F.split(p, value_split, 2).getItem(0)).alias("k"),
-                val_fn(F.split(p, value_split, 2).getItem(1)).alias("v"),
+            splits,
+            lambda sp: F.struct(
+                key_fn(sp.getItem(0)).alias("k"),
+                val_fn(sp.getItem(1)).alias("v"),
             ),
         )
+        if duplicates == "last" and _last_win:
+            return F.map_from_entries(kvs)
         keys = F.array_distinct(F.transform(kvs, lambda s: s.getField("k")))
         vals_of = lambda key: F.transform(  # noqa: E731
             F.filter(kvs, lambda s: s.getField("k") == key),
@@ -800,7 +830,10 @@ def kv(
             )
             m = F.map_concat(flat, F.map_from_entries(nested_entries))
 
-    if include_keys is not None:
+    # when include_keys are promoted to top-level columns (target=None
+    # branch below), per-key element_at already restricts the output —
+    # the map_filter pass would be a redundant map scan
+    if include_keys is not None and (target or not include_keys):
         keys_in = F.array(*[F.lit(k) for k in include_keys])
         m = F.map_filter(m, lambda k, v: F.array_contains(keys_in, k))
     if exclude_keys:

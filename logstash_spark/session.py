@@ -59,6 +59,12 @@ def get_spark(
         # a failure tag, never a per-row exception (SURVEY.md §1.1 delta 3).
         # Spark 4 defaults ANSI on; we run non-ANSI to match.
         .config("spark.sql.ansi.enabled", "false")
+        # Later duplicate key wins when building maps — exactly the
+        # reference kv filter's semantics (logstash-filter-kv kv.rb:
+        # repeated keys overwrite unless allow_duplicate_values). Lets
+        # kv's duplicates='last' default use a single map_from_entries
+        # pass instead of an O(K·D) group-by-key HOF scan.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
