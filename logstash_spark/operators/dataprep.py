@@ -6244,10 +6244,17 @@ def nb_classify(
     labels: Sequence[str],
     *,
     text_col: str = "text",
+    id_col: str | None = None,
     broadcast_model: bool = True,
 ) -> DataFrame:
     """Apply a `nb_train` model to a corpus: per-row quantized log-score
     for every label plus the argmax `nb_label`.
+
+    `id_col` is the UNIQUE per-row key the explode/aggregate/join-back
+    topology pivots on; it defaults to the first column of `df` (doc_id
+    in every gate). A non-unique key would double-count token scores
+    across the rows sharing it — pass the real id explicitly if the
+    first column is not one.
 
     Score (Laplace-smoothed multinomial NB, all terms L(k) :=
     floor(10⁶·ln k) of exact integers):
@@ -6286,10 +6293,14 @@ def nb_classify(
     )
     base = df.select(*df.columns, nb_tokens(F.col(text_col)).alias("_toks"))
     spine = base.select(*df.columns, F.size("_toks").cast("long").alias("n_tok"))
-    # row key: the caller's first column, which must be unique per row
-    # (doc_id in every gate) — NOT monotonically_increasing_id, which is
-    # partition-layout dependent and would break engine reproducibility.
-    id_col = df.columns[0]
+    # row key: defaults to the caller's first column, which must be
+    # unique per row (doc_id in every gate) — NOT
+    # monotonically_increasing_id, which is partition-layout dependent
+    # and would break engine reproducibility.
+    if id_col is None:
+        id_col = df.columns[0]
+    elif id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} not in {df.columns}")
     ex = base.select(F.col(id_col).alias("_rid"), F.explode("_toks").alias("token"))
     model = F.broadcast(token_counts) if broadcast_model else token_counts
     j = ex.join(model, "token", "left")

@@ -241,6 +241,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="signup_ts",
         right_ts="purchase_ts",
         within="6 hours",
+        # bounded availableNow replay: the input is a finite parquet
+        # snapshot replayed unordered, so eviction must be disabled or
+        # event-time-late rows silently drop (on a real stream use the
+        # default 2x`within` watermark instead)
+        watermark="3650 days",
     )
     return drain_available_now(joined, output_mode="append").select(
         "user_id",

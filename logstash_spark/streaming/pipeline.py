@@ -414,13 +414,21 @@ def streaming_interval_join(
     left_ts: str,
     right_ts: str,
     within: str = "10 minutes",
-    watermark: str = "3650 days",
+    watermark: str | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Watermarked STREAM-STREAM interval join — the unbounded-stream
     twin of the batch `elapsed` start/end pairing (logstash-filter-
     elapsed §start_tag/end_tag): pair every right event with the left
     events of the same key whose timestamp it follows within `within`.
+
+    `watermark` defaults to 2× `within`: enough slack to pair every
+    in-horizon match while keeping state eviction (and outer-join
+    emission) proportional to the match window. Bounded replays that
+    must never drop late rows (e.g. the availableNow correctness gates)
+    pass an explicit large watermark such as '3650 days' — that value
+    is ONLY sane for bounded input; on a real unbounded stream it
+    disables eviction and delays outer emission by the same 10 years.
 
     Both sides carry an event-time watermark and the join condition
     carries the time bound (right_ts ∈ [left_ts, left_ts + within]),
@@ -438,6 +446,9 @@ def streaming_interval_join(
     watermark proves no match can arrive, the streaming analog of the
     elapsed filter's `expired` tag path.
     """
+    if watermark is None:
+        qty, unit = within.split(None, 1)
+        watermark = f"{2 * int(qty)} {unit}"
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (

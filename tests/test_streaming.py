@@ -347,6 +347,7 @@ class TestStreamingIntervalJoin:
             left_key="k", right_key="rk",
             left_ts="l_ts", right_ts="r_ts",
             within="10 minutes",
+            watermark="3650 days",  # bounded replay: no eviction
         )
         got = drain_available_now(joined, output_mode="append").collect()
         assert len(got) == 1
