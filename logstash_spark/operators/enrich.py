@@ -69,11 +69,23 @@ def translate(
 
 
 def _load_dictionary(path: str) -> dict:
-    """Driver-side load of a translate dictionary file (.json object or
-    2-column .csv, the reference's common formats)."""
+    """Driver-side load of a translate dictionary file — .yml/.yaml (the
+    format the logstash-filter-translate docs lead with), .json object,
+    or 2-column .csv. YAML scalar keys/values are stringified to match
+    the reference's string-keyed event fields (a YAML `100: continue`
+    entry must match the string field value '100')."""
     import csv
     import json as _json
 
+    if path.endswith((".yml", ".yaml")):
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        if not isinstance(d, dict):
+            raise ValueError(f"dictionary file {path} must hold a YAML mapping")
+        return {str(k): str(v) if not isinstance(v, (dict, list)) else v
+                for k, v in d.items()}
     if path.endswith(".json"):
         with open(path) as f:
             d = _json.load(f)
@@ -83,7 +95,9 @@ def _load_dictionary(path: str) -> dict:
     if path.endswith(".csv"):
         with open(path, newline="") as f:
             return {row[0]: row[1] for row in csv.reader(f) if len(row) >= 2}
-    raise ValueError(f"unsupported dictionary file type: {path} (.json/.csv)")
+    raise ValueError(
+        f"unsupported dictionary file type: {path} (.yml/.yaml/.json/.csv)"
+    )
 
 
 def translate_multi(

@@ -142,3 +142,14 @@ def test_translate_dictionary_path(spark, tmp_path):
     c.write_text("click,engagement\npurchase,revenue\n")
     out2 = translate(df, "et", "cat", None, dictionary_path=str(c), fallback="misc")
     assert {r["et"]: r["cat"] for r in out2.collect()} == got
+
+    # YAML — the format the logstash-filter-translate docs lead with;
+    # non-string scalar keys/values stringify ('100: continue' matches
+    # the string field value '100')
+    y = tmp_path / "dict.yml"
+    y.write_text('click: engagement\npurchase: revenue\n100: 42\n')
+    dfy = spark.createDataFrame([("click",), ("100",), ("other",)], ["et"])
+    out3 = translate(dfy, "et", "cat", None, dictionary_path=str(y), fallback="misc")
+    assert {r["et"]: r["cat"] for r in out3.collect()} == {
+        "click": "engagement", "100": "42", "other": "misc"
+    }
