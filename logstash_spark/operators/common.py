@@ -15,6 +15,14 @@ from pyspark.sql import types as T
 
 TAGS = "tags"
 
+#: `[@metadata][x]` field references resolve to this struct column — the
+#: reference's metadata sub-map (Event.java §getMetadata): readable and
+#: writable everywhere a field reference is (mutate targets, sprintf,
+#: conditions) but NEVER serialized to outputs. plans.runner drops it
+#: from every physical sink write; the DLQ sink keeps it (the reference
+#: DLQ stores the full event incl. metadata for the replay reader).
+METADATA = "@metadata"
+
 
 def ensure_tags(df: DataFrame) -> DataFrame:
     """Guarantee a non-null `tags` array<string> column."""

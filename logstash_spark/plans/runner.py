@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from logstash_spark.operators import OPS
+from logstash_spark.operators.common import METADATA
 from logstash_spark.operators.route import ROUTES, add_routes, route_filter
 from logstash_spark.plans.spec import PipelineSpec
 from logstash_spark.sources.tableio import open_table
@@ -285,6 +286,11 @@ def run_pipeline(
             result.skipped_sinks.append(sink)
             continue
         out = route_filter(routed, sink).drop(ROUTES, "_in_part", *drop_before_write)
+        if sink != spec.dlq_sink:
+            # [@metadata] is pipeline-scratch, never serialized
+            # (Event.java §getMetadata); the DLQ keeps it — the
+            # reference DLQ stores the full event for the replay reader
+            out = out.drop(METADATA)
         if sink == spec.dlq_sink and "tags" in out.columns:
             # DLQ entries carry failure metadata like the reference's DLQ
             # (org.logstash DLQWriter stores the event + reason): the

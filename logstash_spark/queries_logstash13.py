@@ -1,0 +1,86 @@
+"""Correctness-gate queries, batch 13 (round 4): the `[@metadata]`
+field-path convention (Event.java §getMetadata — pipeline scratch state
+that feeds sprintf / conditions / mutate but is NEVER serialized) and
+the LSCL `codec =>` attribute surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.queries import query
+
+
+@query(
+    "metadata_convention",
+    """
+    SELECT event_id,
+           event_type,
+           'ev-' || event_type || '-' || CAST(event_id % 4 AS VARCHAR)
+               AS idx_name,
+           FALSE AS meta_leaked
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    """,
+)
+def metadata_convention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`[@metadata]` end-to-end through a REAL pipeline run: a mutate
+    writes `[@metadata][shard]` and `[@metadata][et]`, a second mutate
+    sprintf-consumes them into the serialized `idx_name`, the route
+    condition reads `[@metadata][et]` — and the physical sink table must
+    contain NO `@metadata` column (the reference never serializes the
+    metadata map; the `meta_leaked` flag pins that schema fact into the
+    value hash)."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from logstash_spark.operators.common import METADATA  # noqa: PLC0415
+    from logstash_spark.plans.runner import run_pipeline  # noqa: PLC0415
+    from logstash_spark.plans.spec import (  # noqa: PLC0415
+        FilterSpec,
+        PipelineSpec,
+        SinkSpec,
+    )
+    from logstash_spark.sources.tableio import SnapshotTable  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", (F.col("event_id") % 4).cast("string").alias("shard")
+    )
+    spec = PipelineSpec(
+        name="meta_gate",
+        filters=[
+            FilterSpec(
+                "mutate",
+                {"add_field": {"[@metadata][shard]": "%{shard}",
+                               "[@metadata][et]": "%{event_type}"}},
+            ),
+            FilterSpec(
+                "mutate",
+                {"add_field": {
+                    "idx_name": "ev-%{[@metadata][et]}-%{[@metadata][shard]}"
+                }},
+            ),
+        ],
+        routes={
+            "sink_ui": '[@metadata][et] == "click" or [@metadata][et] == "view"'
+        },
+        else_sink="sink_rest",
+        sinks=[SinkSpec("sink_ui"), SinkSpec("sink_rest")],
+        aggregate_dims=["event_type"],
+        aggregate_sum=None,
+        metrics_ts=None,
+    )
+    work = tempfile.mkdtemp(prefix="meta_gate_")
+    try:
+        run_pipeline(spark, ev, spec, work, resume=False)
+        out = SnapshotTable(f"{work}/sink_ui").read(spark)
+        rows = out.select(
+            "event_id", "event_type", "idx_name",
+            F.lit(METADATA in out.columns).alias("meta_leaked"),
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id bigint, event_type string, idx_name string, meta_leaked boolean"
+    )
