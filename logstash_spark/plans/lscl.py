@@ -32,6 +32,7 @@ from logstash_spark.plans.spec import (
     PIPELINE_SINK_PREFIX,
     FilterSpec,
     PipelineSpec,
+    SinkSpec,
 )
 
 # ---------------------------------------------------------------------------
@@ -297,7 +298,31 @@ class _P:
             if self.s[self.i : self.i + 2] != "=>":
                 raise LSCLError(f"expected => after attribute {k!r}")
             self.i += 2
-            attrs[k] = self.value()
+            v = self.value()
+            if k == "codec" and isinstance(v, str):
+                # `codec => json` or `codec => multiline { pattern => .. }`
+                # — the codec is itself a plugin declaration (reference:
+                # per-plugin codec config, config/mixin.rb); a bare
+                # bareword is a codec with default attrs
+                codec_attrs: dict[str, object] = {}
+                if self.peek() == "{":
+                    self.expect("{")
+                    while self.peek() != "}":
+                        ck = (
+                            self._string()
+                            if self.peek() in "\"'"
+                            else self.word()
+                        )
+                        self._ws()
+                        if self.s[self.i : self.i + 2] != "=>":
+                            raise LSCLError(
+                                f"expected => after codec attribute {ck!r}"
+                            )
+                        self.i += 2
+                        codec_attrs[ck] = self.value()
+                    self.expect("}")
+                v = Plugin(v, codec_attrs)
+            attrs[k] = v
         self.expect("}")
         return Plugin(name, attrs)
 
@@ -508,13 +533,90 @@ def _walk_outputs(
                     negations.append(f"!({cond})")
 
 
+def apply_decode_codec(df, codec: Plugin, *, field: str = "value"):
+    """Apply an input-side `codec => ...` declaration to a blob frame
+    (one row per file: the blob in `field`, plus `source_file`). The
+    codec *operators* all live in operators.codec — this adapter is the
+    config surface that reaches them (reference: every input plugin owns
+    a codec, logstash-core lib/logstash/config/mixin.rb; the default is
+    the plain/line family)."""
+    from logstash_spark.operators.codec import (
+        gzip_lines,
+        json_lines_decode,
+        line_codec,
+        multiline,
+    )
+    from logstash_spark.operators.parse import json_filter
+
+    a = codec.attrs
+    name = codec.name
+    if name in ("plain", "line"):
+        kw = {}
+        if "delimiter" in a:
+            kw["delimiter"] = str(a["delimiter"])
+        return line_codec(df, field, **kw)
+    if name in ("json", "json_lines"):
+        if "schema" in a:
+            return json_lines_decode(df, field, str(a["schema"]))
+        # no declared schema: line-split then sampled-schema json filter
+        lines = line_codec(df, field)
+        return json_filter(lines, "message", schema=None)
+    if name == "multiline":
+        lines = line_codec(df, field)
+        return multiline(
+            lines,
+            "message",
+            str(a["pattern"]),
+            what=str(a.get("what", "previous")),
+            negate=bool(a.get("negate", False)),
+            group_by=("source_file",),
+        )
+    if name == "gzip_lines":
+        return gzip_lines(df, field)
+    raise LSCLError(f"input codec {name!r} has no offline binding")
+
+
+def apply_encode_codec(df, name: str, conf: dict):
+    """Apply an output-side `codec => ...`: serialize each event to one
+    `message` line before the sink write (reference: output codecs emit
+    the wire form; logstash-codec-json_lines/csv/line §encode)."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.codec import csv_encode
+    from logstash_spark.operators.common import METADATA, sprintf
+
+    cols = [c for c in df.columns if c != METADATA]
+    if name in ("json", "json_lines"):
+        return df.select(
+            F.to_json(F.struct(*[F.col(f"`{c}`") for c in cols])).alias("message")
+        )
+    if name == "csv":
+        fields = conf.get("fields") or conf.get("columns") or cols
+        kw = {}
+        if "separator" in conf:
+            kw["separator"] = str(conf["separator"])
+        return csv_encode(df, list(fields), **kw).select("message")
+    if name in ("plain", "line"):
+        fmt = conf.get("format")
+        if fmt is None:
+            # reference plain-codec default: the event's message field
+            return df.select(F.col("message").cast("string").alias("message"))
+        return df.select(sprintf(str(fmt)).alias("message"))
+    raise LSCLError(f"output codec {name!r} has no offline binding")
+
+
 def bind_input(spark, ast: ConfigAST):
     """Bind the conf's FIRST input plugin to a DataFrame:
       * generator { count => N }      → sources.gen.input_sequences
       * file { path => p, format => parquet|json|csv|text }  → spark.read
+      * file with `codec => ...` → whole-file blob read (binaryFile for
+        gzip_lines, wholetext otherwise) + the decode codec chain, with
+        `source_file` stamped for multiline grouping
     Multiple inputs union by name (the reference's multi-input merge).
     Returns None when the conf declares no inputs (caller passes
     --input explicitly)."""
+    from pyspark.sql import functions as F
+
     frames = []
     for p in ast.inputs:
         if not isinstance(p, Plugin):
@@ -524,10 +626,30 @@ def bind_input(spark, ast: ConfigAST):
 
             frames.append(input_sequences(spark, int(p.attrs.get("count", 1000))))
         elif p.name == "file":
-            fmt = str(p.attrs.get("format", "parquet"))
-            rdr = spark.read
             path = str(p.attrs["path"])
-            frames.append(getattr(rdr, fmt)(path))
+            codec = p.attrs.get("codec")
+            if isinstance(codec, Plugin):
+                if codec.name == "gzip_lines":
+                    blob = (
+                        spark.read.format("binaryFile")
+                        .load(path)
+                        .select(
+                            F.col("path").alias("source_file"),
+                            F.col("content"),
+                        )
+                    )
+                    frames.append(apply_decode_codec(blob, codec, field="content"))
+                else:
+                    # one row per FILE (wholetext) so line numbers and
+                    # multiline grouping are well-defined per source file
+                    blob = spark.read.text(path, wholetext=True).withColumn(
+                        "source_file", F.input_file_name()
+                    )
+                    frames.append(apply_decode_codec(blob, codec, field="value"))
+            else:
+                fmt = str(p.attrs.get("format", "parquet"))
+                rdr = spark.read
+                frames.append(getattr(rdr, fmt)(path))
         elif p.name == "pipeline":
             # pipeline { address => ... } inputs bind via plans.graph
             # (the upstream pipeline's frame), never to a source here
@@ -570,11 +692,26 @@ def compile_conf(
                 raise LSCLError("pipeline input requires address")
             if str(addr) not in listen:
                 listen.append(str(addr))
+    sink_specs: list[SinkSpec] = []
+    for sname, plugin in sinks.items():
+        codec = plugin.attrs.get("codec")
+        pby = plugin.attrs.get("partition_by", [])
+        if codec is None and not pby:
+            continue
+        sink_specs.append(
+            SinkSpec(
+                sname,
+                partition_by=[str(c) for c in (pby if isinstance(pby, list) else [pby])],
+                codec=codec.name if isinstance(codec, Plugin) else None,
+                codec_conf=dict(codec.attrs) if isinstance(codec, Plugin) else {},
+            )
+        )
     spec = PipelineSpec(
         name=name,
         filters=filters,
         routes=routes,
         listen=listen,
+        sinks=sink_specs,
         aggregate_dims=aggregate_dims if aggregate_dims is not None else ["source"],
         aggregate_sum=aggregate_sum,
         metrics_ts=metrics_ts,

@@ -271,6 +271,7 @@ def run_pipeline(
 
     # ---- per-sink writes (idempotent via run_id in snapshot lineage) ----
     virtual = spec.virtual_sends()
+    sink_specs = {s.name: s for s in spec.sinks}
     for sink in spec.sink_names():
         if sink in virtual:
             # pipeline-to-pipeline send: no table, just the frame; counts
@@ -291,6 +292,15 @@ def run_pipeline(
             # (Event.java §getMetadata); the DLQ keeps it — the
             # reference DLQ stores the full event for the replay reader
             out = out.drop(METADATA)
+        sspec = sink_specs.get(sink)
+        if sspec is not None:
+            if sspec.drop_columns:
+                out = out.drop(*sspec.drop_columns)
+            if sspec.codec:
+                # output-side `codec => ...`: serialize before the write
+                from logstash_spark.plans.lscl import apply_encode_codec
+
+                out = apply_encode_codec(out, sspec.codec, sspec.codec_conf)
         if sink == spec.dlq_sink and "tags" in out.columns:
             # DLQ entries carry failure metadata like the reference's DLQ
             # (org.logstash DLQWriter stores the event + reason): the
@@ -309,6 +319,7 @@ def run_pipeline(
                 "detail_table": "_sink_lineage",
             },
             meta={"pipeline": spec.name, "sink": sink},
+            partition_by=(sspec.partition_by or None) if sspec else None,
         )
         result.sink_counts[sink] = rows
         if fail_after_sink == sink:

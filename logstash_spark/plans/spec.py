@@ -31,9 +31,16 @@ class FilterSpec:
 class SinkSpec:
     name: str
     partition_by: list[str] = field(default_factory=list)
-    # columns to drop before writing (e.g. @metadata analog — Event.java
-    # §getMetadata is never serialized to outputs)
+    # columns to drop before writing, on top of the automatic @metadata
+    # drop (Event.java §getMetadata is never serialized to outputs)
     drop_columns: list[str] = field(default_factory=list)
+    # encode codec applied to the frame before the write — the LSCL
+    # `codec => name { ... }` attribute on an output plugin (reference:
+    # per-plugin codec config, logstash-core lib/logstash/config/
+    # mixin.rb). The op name resolves in the OPS registry / the encode
+    # adapter table in plans.lscl; conf is its kwargs.
+    codec: str | None = None
+    codec_conf: dict = field(default_factory=dict)
 
 
 #: route-table sink names with this prefix are VIRTUAL: they feed another

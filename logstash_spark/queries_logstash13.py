@@ -84,3 +84,52 @@ def metadata_convention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_id bigint, event_type string, idx_name string, meta_leaked boolean"
     )
+
+
+@query(
+    "lscl_codec_pipeline",
+    """
+    SELECT CAST(event_id AS VARCHAR) || ',' || event_type || '-'
+           || CAST(user_id AS VARCHAR) AS message
+    FROM events
+    """,
+)
+def lscl_codec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSCL `codec =>` attributes end-to-end: events serialized to a
+    json_lines TEXT file, re-ingested through a `.conf` whose file input
+    declares `codec => json_lines { schema => ... }` (wire → columns),
+    mutated, and written through an output whose `codec => csv` picks
+    two fields — the sink table holds ONE wire-form `message` column.
+    Reference: per-plugin codec config (logstash-core
+    lib/logstash/config/mixin.rb) + logstash-codec-json_lines/csv."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from logstash_spark.plans.lscl import bind_input, compile_conf  # noqa: PLC0415
+    from logstash_spark.plans.runner import run_pipeline  # noqa: PLC0415
+    from logstash_spark.sources.tableio import SnapshotTable  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="lscl_codec_gate_")
+    try:
+        jdir = f"{work}/jsonl"
+        ev.select(
+            F.to_json(F.struct("event_id", "event_type", "user_id")).alias("value")
+        ).write.text(jdir)
+        conf = f"""
+        input {{ file {{ path => "{jdir}"
+          codec => json_lines {{
+            schema => "event_id BIGINT, event_type STRING, user_id BIGINT" }} }} }}
+        filter {{ mutate {{ add_field => {{ "idx" => "%{{event_type}}-%{{user_id}}" }} }} }}
+        output {{ file {{ path => "enc"
+          codec => csv {{ fields => ["event_id", "idx"] }} }} }}
+        """
+        spec, ast = compile_conf(conf, aggregate_dims=["event_type"])
+        df = bind_input(spark, ast)
+        run_pipeline(spark, df, spec, f"{work}/sinks", resume=False)
+        out = SnapshotTable(f"{work}/sinks/enc").read(spark)
+        assert out.columns == ["message"], out.columns
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "message string")
