@@ -51,6 +51,7 @@ def test_streaming_fanout_matches_batch(spark, landing, tmp_path):
         str(tmp_path / "sinks"),
         str(tmp_path / "ckpt"),
         drop_before_write=("raw",),
+        layout="per-sink",  # this test reads back {root}/{sink} dirs
     )
     q.awaitTermination(120)
 
@@ -86,6 +87,7 @@ def test_streaming_fanout_replay_is_exactly_once(spark, landing, tmp_path):
             sinks_root,
             str(tmp_path / ckpt),
             drop_before_write=("raw",),
+            layout="per-sink",  # reads back {root}/{sink} dirs
         )
         q.awaitTermination(120)
 
@@ -218,7 +220,7 @@ def test_streaming_dict_refresh_between_batches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = run_streaming_fanout(
         file_stream_source(spark, str(landing), schema), transform, ["all"],
-        sinks_root, ckpt,
+        sinks_root, ckpt, layout="per-sink",
     )
     q.awaitTermination(120)
 
@@ -230,7 +232,7 @@ def test_streaming_dict_refresh_between_batches(spark, tmp_path):
 
     q = run_streaming_fanout(
         file_stream_source(spark, str(landing), schema), transform, ["all"],
-        sinks_root, ckpt,
+        sinks_root, ckpt, layout="per-sink",
     )
     q.awaitTermination(120)
 
