@@ -101,6 +101,7 @@ def bench_flagship(spark) -> tuple[float, float]:
 DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "200000"))
 ANN_VECS = int(os.environ.get("SPARK_GRAFT_ANN_VECS", "100000"))
 NF_PACKETS = int(os.environ.get("SPARK_GRAFT_NF_PACKETS", "500000"))
+WIRE_EVENTS = int(os.environ.get("SPARK_GRAFT_WIRE_EVENTS", "500000"))
 PACK_DOCS = int(os.environ.get("SPARK_GRAFT_PACK_DOCS", "1000000"))
 
 
@@ -522,6 +523,110 @@ def bench_packing_scale(spark) -> float:
     return _time_best(lambda: agg, spark)
 
 
+def bench_wire_varint(spark) -> dict[str, float]:
+    """Decode throughput for the four varint-family wire codecs (avro
+    datum, fluent/msgpack forward, collectd TLV, protobuf) at WIRE_EVENTS
+    events each. These decode per-datum in Python inside Arrow batches —
+    the documented honest slow path (wire.py module docstring): varint
+    layouts have data-dependent field widths, so there is no numpy
+    offset-table vectorization like NetFlow's fixed 48-byte records.
+    This bench makes that price VISIBLE instead of unmeasured: inputs
+    are pre-materialized (persist + count, untimed) so the timing
+    isolates the decode; throughput = WIRE_EVENTS / t events/s, all
+    embarrassingly parallel and shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.wire import (
+        avro_decode,
+        avro_encode,
+        collectd_decode,
+        collectd_encode_single_derive,
+        fluent_decode,
+        fluent_encode,
+        protobuf_decode,
+        protobuf_encode,
+    )
+
+    e = F.col("id")
+    base = spark.range(0, WIRE_EVENTS, 1, CPUS * 2).select(
+        "id",
+        (e * 131 - 500000).alias("rec_id"),
+        F.concat(F.lit("name-"), (e % 997).cast("string")).alias("name"),
+        (e % 2 == 0).alias("ok"),
+        (e.cast("double") / 4.0).alias("score"),
+        (e * 1_000_000 + 1).alias("big"),
+        F.concat(F.lit("m-"), e.cast("string")).alias("msg"),
+        (e * 3).alias("n"),
+        (e.cast("double") / 8.0).alias("ratio"),
+    )
+    avro_schema = [
+        ("rec_id", "long"), ("name", "string"), ("ok", "boolean"),
+        ("score", "double"),
+    ]
+    pb_schema = [
+        (1, "rec_id", "sint64"), (2, "name", "string"), (3, "ok", "bool"),
+        (4, "score", "double"), (5, "big", "fixed64"),
+    ]
+    fl_schema = [("msg", "string"), ("n", "bigint"), ("ratio", "double")]
+
+    out: dict[str, float] = {}
+    enc = avro_encode(base, avro_schema).select("id", "avro_datum").persist()
+    try:
+        enc.count()
+        dec = avro_decode(enc, "avro_datum", avro_schema).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rec_id").alias("s")
+        )
+        out["avro_decode_scale"] = round(_time_best(lambda: dec, spark), 3)
+    finally:
+        enc.unpersist()
+
+    enc = fluent_encode(
+        base, ["msg", "n", "ratio"],
+        tag=F.concat(F.lit("app."), (e % 7).cast("string")),
+        time=F.lit(1_700_000_000) + e % 86400,
+    ).select("id", "fluent_msg").persist()
+    try:
+        enc.count()
+        dec = fluent_decode(enc, "fluent_msg", fl_schema).agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("n").alias("s")
+        )
+        out["fluent_decode_scale"] = round(_time_best(lambda: dec, spark), 3)
+    finally:
+        enc.unpersist()
+
+    enc = collectd_encode_single_derive(
+        base.select("id"),
+        host=F.concat(F.lit("host-"), (e % 20).cast("string")),
+        plugin=F.lit("cpu"),
+        type_=F.lit("derive"),
+        type_instance=F.lit("user"),
+        time_s=F.lit(1_700_000_000) + e % 1000,
+        interval_s=F.lit(60),
+        value=(e * 13) % 100000 - 50000,
+    ).select("id", "packet").persist()
+    try:
+        enc.count()
+        dec = collectd_decode(enc, "packet").agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("value_counter").alias("s")
+        )
+        out["collectd_decode_scale"] = round(_time_best(lambda: dec, spark), 3)
+    finally:
+        enc.unpersist()
+
+    enc = protobuf_encode(base, pb_schema, emit_defaults=True).select(
+        "id", "pb_msg"
+    ).persist()
+    try:
+        enc.count()
+        dec = protobuf_decode(enc, "pb_msg", pb_schema).agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("rec_id").alias("s")
+        )
+        out["protobuf_decode_scale"] = round(_time_best(lambda: dec, spark), 3)
+    finally:
+        enc.unpersist()
+    return out
+
+
 def bench_normalize_scale(spark) -> float:
     """Unicode normalizer + readability over BENCH_N/4 synthetic messy
     strings — the newest map-only family under the perf record: the
@@ -632,6 +737,7 @@ def main() -> None:
     timings["bm25_scale"] = round(bench_bm25_scale(spark), 3)
     timings["simhash_pairs_degenerate"] = round(bench_simhash_degenerate(spark), 3)
     timings["netflow_decode_scale"] = round(bench_netflow_scale(spark), 3)
+    timings.update(bench_wire_varint(spark))
     timings["nb_classify_scale"] = round(bench_nb_classify_scale(spark), 3)
     timings["packing_scale"] = round(bench_packing_scale(spark), 3)
     timings["normalize_scale"] = round(bench_normalize_scale(spark), 3)

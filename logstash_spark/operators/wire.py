@@ -793,13 +793,18 @@ def collectd_decode(df: DataFrame, field: str) -> DataFrame:
     ]
     out_schema = T.StructType(out_fields)
 
-    def _one(buf: bytes):
-        ctx: dict[str, object] = {
-            "host": None, "plugin": None, "plugin_instance": None,
-            "type": None, "type_instance": None, "time_s": None,
-            "interval_s": None,
-        }
-        events = []
+    _str_keys = {
+        _CD_HOST: 0, _CD_PLUGIN: 1, _CD_PLUGIN_INSTANCE: 2,
+        _CD_TYPE: 3, _CD_TYPE_INSTANCE: 4,
+    }
+
+    def _one(buf: bytes, events: list, src_idx: list, j: int) -> None:
+        """Append (host..value_gauge) tuples for one packet. Tuples into
+        ONE per-batch DataFrame build — a pd.DataFrame per packet plus a
+        per-batch pd.concat measured 20x slower than the decode itself."""
+        # ctx = [host, plugin, plugin_instance, type, type_instance,
+        #        time_s, interval_s]
+        ctx: list = [None] * 7
         pos = 0
         try:
             while pos + 4 <= len(buf):
@@ -808,22 +813,17 @@ def collectd_decode(df: DataFrame, field: str) -> DataFrame:
                     break
                 body = buf[pos + 4 : pos + plen]
                 pos += plen
-                if ptype in (_CD_HOST, _CD_PLUGIN, _CD_PLUGIN_INSTANCE,
-                             _CD_TYPE, _CD_TYPE_INSTANCE):
-                    key = {
-                        _CD_HOST: "host", _CD_PLUGIN: "plugin",
-                        _CD_PLUGIN_INSTANCE: "plugin_instance",
-                        _CD_TYPE: "type", _CD_TYPE_INSTANCE: "type_instance",
-                    }[ptype]
-                    ctx[key] = body.rstrip(b"\x00").decode("utf-8")
+                k = _str_keys.get(ptype)
+                if k is not None:
+                    ctx[k] = body.rstrip(b"\x00").decode("utf-8")
                 elif ptype == _CD_TIME:
-                    ctx["time_s"] = struct.unpack(">Q", body)[0]
+                    ctx[5] = struct.unpack(">Q", body)[0]
                 elif ptype == _CD_TIME_HR:
-                    ctx["time_s"] = struct.unpack(">Q", body)[0] >> 30
+                    ctx[5] = struct.unpack(">Q", body)[0] >> 30
                 elif ptype == _CD_INTERVAL:
-                    ctx["interval_s"] = struct.unpack(">Q", body)[0]
+                    ctx[6] = struct.unpack(">Q", body)[0]
                 elif ptype == _CD_INTERVAL_HR:
-                    ctx["interval_s"] = struct.unpack(">Q", body)[0] >> 30
+                    ctx[6] = struct.unpack(">Q", body)[0] >> 30
                 elif ptype == _CD_VALUES:
                     nvals = struct.unpack_from(">H", body, 0)[0]
                     ds = body[2 : 2 + nvals]
@@ -838,34 +838,35 @@ def collectd_decode(df: DataFrame, field: str) -> DataFrame:
                             cnt = struct.unpack(">q", raw)[0]
                         else:  # counter / absolute (unsigned 64 BE)
                             cnt = struct.unpack(">Q", raw)[0]
-                        events.append(
-                            {**ctx, "value_no": i, "ds_type": dsname,
-                             "value_counter": cnt, "value_gauge": gauge}
-                        )
+                        events.append((*ctx, i, dsname, cnt, gauge))
+                        src_idx.append(j)
         except struct.error:
             pass
-        return events
+
+    _ev_names = [
+        "host", "plugin", "plugin_instance", "type", "type_instance",
+        "time_s", "interval_s", "value_no", "ds_type", "value_counter",
+        "value_gauge",
+    ]
 
     def decode(batches):
+        names = [f.name for f in out_schema]
         for pdf in batches:
-            frames = []
+            events: list = []
+            src_idx: list = []
             for j, b in enumerate(pdf[field].tolist()):
                 if b is None:
                     continue
-                evs = _one(bytes(b))
-                if not evs:
-                    continue
-                block = pd.DataFrame(evs)
+                _one(bytes(b), events, src_idx, j)
+            if events:
+                cols = dict(zip(_ev_names, map(list, zip(*events))))
                 for c in passthrough:
-                    block[c] = [pdf[c].iloc[j]] * len(block)
-                frames.append(block)
-            if frames:
-                out = pd.concat(frames, ignore_index=True)
+                    cols[c] = pdf[c].take(src_idx).reset_index(drop=True)
+                yield pd.DataFrame(cols)[names]
             else:
-                out = pd.DataFrame(
+                yield pd.DataFrame(
                     {f.name: pd.Series(dtype=object) for f in out_schema}
-                )
-            yield out[[f.name for f in out_schema]]
+                )[names]
 
     return df.mapInPandas(decode, out_schema)
 
