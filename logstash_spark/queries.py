@@ -868,7 +868,6 @@ _DRIVER_PRIORITY = [
     "anonymize_fields",
     "grok_haproxy",
     "bigram_lm_quality",
-    "csv_codec_encode",
     "syslog_statsd_encode",
     "bpe_tokenize",
     "extract_math_translit",
@@ -878,7 +877,6 @@ _DRIVER_PRIORITY = [
     "external_lookup_enrich",
     "dsir_importance_resample",
     "corpus_curation_e2e",
-    "bpe_roundtrip",
     "keyword_blocklist_flags",
     "boilerplate_line_removal",
     "grok_firewall_families",

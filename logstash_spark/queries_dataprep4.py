@@ -112,22 +112,35 @@ def dedupe_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
              trim(regexp_replace(ph, '(.)', '\\1 ', 'g')) AS spaced
       FROM p
     )
-    SELECT doc_id,
-           length(ph) AS n_tok,
-           md5(replace(replace(replace(replace(replace(replace(spaced,
+    SELECT s.doc_id,
+           length(s.ph) AS n_tok,
+           md5(replace(replace(replace(replace(replace(replace(s.spaced,
              '1','th'),'2','er'),'3','in'),'4','ou'),'5','al'),'6','ck'))
              AS tok_md5,
-           length(clean) AS n_chars
-    FROM s
+           length(s.clean) AS n_chars,
+           md5(coalesce(array_to_string(
+             list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x != ''),
+             ' '), '')) AS decoded_md5,
+           TRUE AS roundtrip_ok
+    FROM s JOIN documents d USING (doc_id)
     """,
 )
 def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE encode over `documents.text` with a fixed six-merge table
-    (th/er/in/ou/al/ck — the most frequent English bigrams). Output is
-    driver-canonicalizable scalars only: token count, md5 of the
-    space-joined token sequence (word boundaries as `_` tokens), and
-    the cleaned char count for the compression-ratio denominator."""
-    from logstash_spark.operators.tokenizer import bpe_encode
+    """BPE encode + decode inversion in ONE gate (folded from the former
+    separate `bpe_roundtrip` per the r03 verdict's gate-budget advice —
+    both halves share the documents scan and doc_id key).
+
+    Encode half: `bpe_encode` over cleaned text with a fixed six-merge
+    table (th/er/in/ou/al/ck — the most frequent English bigrams);
+    token count, md5 of the space-joined token sequence (word boundaries
+    as `_` tokens), cleaned char count for the compression-ratio
+    denominator. Roundtrip half: decode(encode(RAW text)) must equal the
+    whitespace-normalized input for EVERY row — `bpe_decode` is pure
+    column algebra (boundary token → space, concat), and the oracle is
+    md5 of the normalized input itself, fully independent of the
+    tokenizer; the boolean recomputes equality Spark-side as a second
+    witness."""
+    from logstash_spark.operators.tokenizer import bpe_decode, bpe_encode
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     clean = F.trim(
@@ -136,43 +149,20 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = bpe_encode(docs.withColumn("clean", clean), "clean", _MERGES, word_sep="_")
-    return out.select(
-        "doc_id",
-        F.size("bpe_tokens").alias("n_tok"),
-        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_md5"),
-        F.length("clean").alias("n_chars"),
-    )
-
-
-@query(
-    "bpe_roundtrip",
-    """
-    SELECT doc_id,
-           coalesce(array_to_string(
-             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), ' '), '')
-             AS decoded,
-           TRUE AS roundtrip_ok
-    FROM documents
-    """,
-)
-def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """encode → decode inversion over the RAW documents text with the
-    general merge table: `bpe_decode` is pure column algebra (boundary
-    token → space, concat), so decode(encode(text)) must equal the
-    whitespace-normalized text for EVERY row — the oracle is the
-    normalized input itself, fully independent of the tokenizer. The
-    boolean recomputes the equality Spark-side as a second witness."""
-    from logstash_spark.operators.tokenizer import bpe_decode, bpe_encode
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     enc = bpe_encode(docs, "text", _MERGES)  # default '▁' boundary token
     dec = bpe_decode(enc, "bpe_tokens")
     # any-whitespace normalization, matching Python str.split() in encode
     norm = F.concat_ws(
         " ", F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
     )
-    return dec.select(
+    rt = dec.select(
         "doc_id",
-        F.col("text_decoded").alias("decoded"),
+        F.md5(F.col("text_decoded")).alias("decoded_md5"),
         (F.col("text_decoded") == norm).alias("roundtrip_ok"),
     )
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tok"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("tok_md5"),
+        F.length("clean").alias("n_chars"),
+    ).join(rt, "doc_id")

@@ -150,41 +150,6 @@ def date_tz_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "csv_codec_encode",
-    """
-    SELECT event_id,
-           CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
-           CASE
-             WHEN event_id % 13 = 0 THEN '"say ""hi"" now"'
-             WHEN event_id % 7 = 0
-               THEN '"v=' || CAST(event_id % 50 AS VARCHAR) || ',raw"'
-             ELSE 'plain-' || CAST(event_id % 50 AS VARCHAR)
-           END AS line
-    FROM events
-    """,
-)
-def csv_codec_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """logstash-output-csv: selected fields rendered as one RFC-4180 CSV
-    line via native ``to_csv`` (univocity writer, JVM codegen, zero
-    shuffle). The crafted ``note`` field exercises all three quoting
-    regimes — embedded separator (quoted), embedded double-quote (quoted
-    + doubled), and plain (bare) — against a DuckDB oracle that builds
-    the expected quoting by hand."""
-    from logstash_spark.operators.codec import csv_encode
-
-    ev = _ev(spark, sf_dir)
-    eid = F.col("event_id")
-    note = (
-        F.when(eid % 13 == 0, F.lit('say "hi" now'))
-        .when(eid % 7 == 0, F.concat(F.lit("v="), (eid % 50).cast("string"), F.lit(",raw")))
-        .otherwise(F.concat(F.lit("plain-"), (eid % 50).cast("string")))
-    )
-    df = ev.withColumn("note", note)
-    out = csv_encode(df, ["event_id", "event_type", "note"], target="line")
-    return out.select("event_id", "line")
-
-
 # ---------------------------------------------------------------------------
 # syslog (RFC3164) + statsd output codecs — one gate, two wire formats
 # ---------------------------------------------------------------------------
@@ -203,21 +168,36 @@ def csv_codec_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                || CASE WHEN event_id % 2 = 0
                        THEN CAST(event_id % 100 AS VARCHAR)
                        ELSE CAST(event_id % 100 AS VARCHAR) || '.5' END
-               || '|c|@0.5' AS statsd_line
+               || '|c|@0.5' AS statsd_line,
+           CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
+           CASE
+             WHEN event_id % 13 = 0 THEN '"say ""hi"" now"'
+             WHEN event_id % 7 = 0
+               THEN '"v=' || CAST(event_id % 50 AS VARCHAR) || ',raw"'
+             ELSE 'plain-' || CAST(event_id % 50 AS VARCHAR)
+           END AS csv_line
     FROM events
     """,
 )
 def syslog_statsd_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """logstash-output-syslog + logstash-output-statsd serialization in
-    one gate (two independent pure-projection columns; folded to spend
-    one driver-sample slot, per the round-2 verdict's gate-budget
-    advice). Syslog: ``<PRI>`` from facility*8+severity (severity a
+    """logstash-output-syslog + logstash-output-statsd +
+    logstash-output-csv serialization in one gate (three independent
+    pure-projection columns; csv folded in from the former standalone
+    `csv_codec_encode` per the r03 verdict's gate-budget advice).
+    Syslog: ``<PRI>`` from facility*8+severity (severity a
     per-row column here), RFC3164 header with English month
     abbreviation, ``program[pid]:`` tag. Statsd: counter lines with the
     integral/fractional value rendering and a ``|@rate`` suffix; the
     fractional case uses a dyadic-rational (.5) so double→string agrees
-    across engines."""
-    from logstash_spark.operators.codec import statsd_encode, syslog_encode
+    across engines. CSV: native ``to_csv`` RFC-4180 rendering whose
+    crafted ``note`` field exercises all three quoting regimes —
+    embedded separator (quoted), embedded double-quote (quoted +
+    doubled), plain (bare) — vs an oracle building the quoting by hand."""
+    from logstash_spark.operators.codec import (
+        csv_encode,
+        statsd_encode,
+        syslog_encode,
+    )
 
     ev = _ev(spark, sf_dir)
     eid = F.col("event_id")
@@ -253,4 +233,15 @@ def syslog_statsd_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_rate=0.5,
         target="statsd_line",
     )
-    return out.select("event_id", "syslog_line", "statsd_line")
+    note = (
+        F.when(eid % 13 == 0, F.lit('say "hi" now'))
+        .when(eid % 7 == 0,
+              F.concat(F.lit("v="), (eid % 50).cast("string"), F.lit(",raw")))
+        .otherwise(F.concat(F.lit("plain-"), (eid % 50).cast("string")))
+    )
+    out = csv_encode(
+        out.withColumn("note", note),
+        ["event_id", "event_type", "note"],
+        target="csv_line",
+    )
+    return out.select("event_id", "syslog_line", "statsd_line", "csv_line")
