@@ -7441,3 +7441,261 @@ def rbo_overlap(
     return df.withColumn(
         "rbo_ppm", F.floor(total * F.lit(1_000_000.0)).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-version vocabulary drift (release-over-release distribution diff)
+# ---------------------------------------------------------------------------
+
+
+def vocab_drift(a: DataFrame, b: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """One-row distribution diff between two corpus VERSIONS — the
+    release gate a 100 TB pipeline runs before swapping a new crawl in:
+    did the token distribution actually move, and by how much?
+
+    Reports type-level churn (new / lost / common vocabulary) and two
+    exact distances over the unigram distributions p (version a) and
+    q (version b):
+
+    * `js_micro` — Jensen-Shannon divergence in quantized micro-nats.
+      With integer counts a_i (total A) and b_i (total B), every log
+      argument is an exact integer ratio:
+
+          p_i/m_i = 2·a_i·B / (a_i·B + b_i·A)
+          JS = (Σ a_i·[L(2a_iB) − L(a_iB + b_iA)] / A
+              + Σ b_i·[L(2b_iA) − L(a_iB + b_iA)] / B) / 2
+
+      where L(k) = floor(10⁶·ln k) (the shared `_ln_q` unit). The two
+      integer contribution sums are divided as doubles ONCE at the end
+      and floored — both engines perform the identical IEEE sequence on
+      identical int64 sums, so the result is bit-reproducible. JS is
+      symmetric and bounded by ln 2 (≤ 693147 micro-nats), unlike the
+      KL in `mix_divergence`, which is the right shape for "how far is
+      the realized mix from a target" but not for version-vs-version.
+    * `tv_ppm` — total variation ½·Σ|p_i − q_i| in exact ppm:
+      (Σ|a_i·B − b_i·A|) · 500000 div (A·B), pure int64 (positive, so
+      `div` is floor on both engines).
+
+    Topology: each corpus is tokenized and collapsed to its vocab ONCE
+    (groupBy(token) with map-side partials); the two vocab tables
+    full-outer join on token (vocab-sized shuffle, never corpus-sized);
+    totals broadcast back; ONE final single-row aggregate. At
+    trillion-token scale the L arguments a_i·B overflow int64 — route
+    the three products through DECIMAL(38,0) before `_ln_q` (ln only
+    needs ~15 significant digits; the quantized unit is unchanged).
+    """
+    def vocab(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(nb_tokens(F.col(text_col))).alias("_t"))
+            .groupBy("_t")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    j = (
+        vocab(a, "_a")
+        .join(vocab(b, "_b"), "_t", "full_outer")
+        .select(
+            "_t",
+            F.coalesce("_a", F.lit(0)).cast("long").alias("_av"),
+            F.coalesce("_b", F.lit(0)).cast("long").alias("_bv"),
+        )
+    )
+    # totals come from their own map-only pass (sum of size(tokens) per
+    # side — an extra SCAN, never an extra shuffle): summing the vocab
+    # table would share j's lineage and Spark's resolver then sees `_a`
+    # through both crossJoin branches (the aggregate-child resolution
+    # path), an AMBIGUOUS_REFERENCE even under qualified refs. Distinct
+    # names everywhere above the base scans keep resolution unambiguous.
+    def total(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.size(nb_tokens(F.col(text_col))).alias(f"_sz{out}"))
+            .groupBy()
+            .agg(F.sum(f"_sz{out}").cast("long").alias(out))
+        )
+
+    tot = total(a, "_A").crossJoin(total(b, "_B"))
+    x = j.crossJoin(F.broadcast(tot))
+    den = _ln_q(F.col("_av") * F.col("_B") + F.col("_bv") * F.col("_A"))
+    cp = F.when(
+        F.col("_av") > 0,
+        F.col("_av") * (_ln_q(F.lit(2) * F.col("_av") * F.col("_B")) - den),
+    ).otherwise(F.lit(0))
+    cq = F.when(
+        F.col("_bv") > 0,
+        F.col("_bv") * (_ln_q(F.lit(2) * F.col("_bv") * F.col("_A")) - den),
+    ).otherwise(F.lit(0))
+    tv = F.abs(F.col("_av") * F.col("_B") - F.col("_bv") * F.col("_A"))
+    s = x.groupBy().agg(
+        F.sum(F.when(F.col("_av") > 0, 1).otherwise(0)).cast("long").alias("types_a"),
+        F.sum(F.when(F.col("_bv") > 0, 1).otherwise(0)).cast("long").alias("types_b"),
+        F.sum(F.when((F.col("_av") > 0) & (F.col("_bv") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("types_common"),
+        F.sum(F.when((F.col("_bv") > 0) & (F.col("_av") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("types_new"),
+        F.sum(F.when((F.col("_av") > 0) & (F.col("_bv") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("types_lost"),
+        F.max("_A").alias("tokens_a"),
+        F.max("_B").alias("tokens_b"),
+        F.sum(cp).cast("long").alias("_sp"),
+        F.sum(cq).cast("long").alias("_sq"),
+        F.sum(tv).cast("long").alias("_stv"),
+    )
+    return s.select(
+        "types_a",
+        "types_b",
+        "types_common",
+        "types_new",
+        "types_lost",
+        "tokens_a",
+        "tokens_b",
+        F.floor(
+            (
+                F.col("_sp").cast("double") / F.col("tokens_a")
+                + F.col("_sq").cast("double") / F.col("tokens_b")
+            )
+            / F.lit(2.0)
+        )
+        .cast("long")
+        .alias("js_micro"),
+        F.expr("(_stv * 500000) div (tokens_a * tokens_b)")
+        .cast("long")
+        .alias("tv_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup audit (cluster-size histogram + duplicate byte accounting)
+# ---------------------------------------------------------------------------
+
+
+def dedup_audit(
+    df: DataFrame,
+    *,
+    key_col: str | None = None,
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Observability for a dedup pass BEFORE it runs: the duplicate-
+    cluster size histogram and the bytes a keep-one-survivor policy
+    would reclaim. At 100 TB this one report decides whether exact
+    dedup is worth a full-corpus shuffle at all (a corpus whose
+    histogram is all size-1 clusters needs near-dup, not exact), and
+    per-size rows expose pathological mega-clusters (boilerplate pages,
+    empty docs) that need the star-guard treatment.
+
+    Keys default to `dedup_key_text(text)` (the Dolma/FineWeb canonical
+    key); pass `key_col` to audit any precomputed grouping. Survivor =
+    min(id) per cluster (the `dedupe`/`connected_components` canonical
+    rule), so `chars_dup` is exactly the bytes a keep-min-survivor
+    dedup deletes.
+
+    Topology: ONE groupBy(key) with map-side partials (the corpus
+    shuffle any exact dedup pays anyway), then ONE groupBy(size) over
+    the cluster table — output rows = |distinct sizes|, table-size-
+    independent. No windows, no joins back.
+    """
+    key = F.col(key_col) if key_col else dedup_key_text(F.col(text_col))
+    clusters = (
+        df.select(
+            key.alias("_k"),
+            F.col(id_col).alias("_id"),
+            F.col(chars_col).cast("long").alias("_c"),
+        )
+        .groupBy("_k")
+        .agg(
+            F.count("*").cast("long").alias("_size"),
+            F.sum("_c").cast("long").alias("_chars"),
+            F.min_by("_c", F.col("_id")).cast("long").alias("_kept"),
+        )
+    )
+    return (
+        clusters.groupBy(F.col("_size").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("_size").cast("long").alias("n_docs"),
+            (F.sum("_size") - F.count("*")).cast("long").alias("n_dup_docs"),
+            F.sum(F.col("_chars") - F.col("_kept")).cast("long").alias("chars_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Next-fit-decreasing sequence packing (doc boundaries preserved)
+# ---------------------------------------------------------------------------
+
+
+def pack_next_fit(
+    df: DataFrame,
+    *,
+    capacity: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    n_shards: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy next-fit-decreasing bin packing that NEVER splits a
+    document — the packing mode for SFT / eval batches where a truncated
+    document is a corrupted example (`pack_concat_chunks` is the
+    pretraining mode: maximal density, boundaries crossed). Docs are
+    sharded by portable hash, ordered longest-first within each shard
+    (decreasing order is the classical 2x-quality lever for next-fit),
+    and placed sequentially: a doc joins the current bin while
+    load + len <= capacity, else opens a new bin. A doc longer than
+    `capacity` gets a bin of its own (surfaced by negative slack
+    downstream, never silently truncated).
+
+    Scale shape: the sequential recurrence runs as ONE streaming pass —
+    repartition on the shard column, sortWithinPartitions, then a
+    mapInPandas generator that carries O(#shards-in-partition) counters
+    across Arrow batches. No shard is ever collected whole; `n_shards`
+    is the parallelism lever (each shard is an independent packing
+    stream, so output is invariant to `partitions`). Assignment depends
+    only on within-shard order => deterministic and engine-replayable
+    (the gate's oracle replays the walk as a recursive CTE).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    cap = int(capacity)
+    shard = (
+        portable_hash32(F.concat(F.col(id_col).cast("string"), F.lit(":nfd")))
+        % n_shards
+    ).cast("int")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(len_col).cast("long").alias("_len"),
+        shard.alias("_shard"),
+    )
+    arranged = base.repartition(partitions or n_shards, "_shard").sortWithinPartitions(
+        "_shard", F.col("_len").desc(), "_id"
+    )
+
+    def walk(batches):
+        state: dict[int, list[int]] = {}  # shard -> [bin, load]
+        for pdf in batches:
+            bins = []
+            for s, ln in zip(pdf["_shard"].tolist(), pdf["_len"].tolist()):
+                st = state.get(s)
+                if st is None:
+                    state[s] = [0, ln]
+                elif st[1] + ln <= cap:
+                    st[1] += ln
+                else:
+                    st[0] += 1
+                    st[1] = ln
+                bins.append(state[s][0])
+            yield pdf.assign(_bin=pd.Series(bins, dtype="int64").values)
+
+    out = arranged.mapInPandas(
+        walk, schema=f"_id {id_t}, _len long, _shard int, _bin long"
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_shard").alias("shard"),
+        F.col("_len").alias(len_col),
+        F.col("_bin").alias("bin"),
+    )

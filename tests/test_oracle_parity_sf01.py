@@ -41,6 +41,7 @@ SF01_GATES = [
     "streaming_dedupe_keys", "streaming_enrich_fanout",
     "streaming_interval_join", "streaming_sessions_gap",
     "lscl_codec_pipeline", "metadata_convention",
+    "vocab_drift_js", "dedup_audit_histogram", "pack_next_fit_bins",
 ]
 
 _optin = pytest.mark.skipif(
