@@ -26,6 +26,8 @@ Value syntax: "str", 'str', 42, 3.14, true/false, barewords,
 
 from __future__ import annotations
 
+import os
+import re
 from dataclasses import dataclass, field
 
 from logstash_spark.plans.spec import (
@@ -327,8 +329,64 @@ class _P:
         return Plugin(name, attrs)
 
 
-def parse_config(text: str) -> ConfigAST:
-    return _P(text).parse_config()
+#: `${VAR}` / `${VAR:default}` — the reference's environment-variable
+#: substitution surface (logstash-core/lib/logstash/util/
+#: substitution_variables.rb: name = letters/digits/_/.; default = any
+#: run up to the closing brace, may be empty).
+_ENV_RX = re.compile(
+    r"\$\{(?P<name>[A-Za-z_][A-Za-z0-9_.]*)(?::(?P<default>[^}]*))?\}"
+)
+
+
+def _substitute_env(v: object, env) -> object:
+    """Recursively substitute ${VAR}/${VAR:default} in plugin attribute
+    values — strings (anywhere inside them), arrays, hashes, and nested
+    codec sub-plugins. Unset + no default raises, like the reference's
+    'Cannot evaluate `${VAR}`' configuration error. Substitution runs at
+    CONFIG COMPILE time (plan-time literals downstream), never per row.
+    """
+    if isinstance(v, str):
+        def rep(m):
+            name = m.group("name")
+            if name in env:
+                return env[name]
+            d = m.group("default")
+            if d is not None:
+                return d
+            raise LSCLError(
+                f"Cannot evaluate `${{{name}}}`: environment variable is "
+                "not set and no default was given"
+            )
+        return _ENV_RX.sub(rep, v)
+    if isinstance(v, list):
+        return [_substitute_env(x, env) for x in v]
+    if isinstance(v, dict):
+        return {k: _substitute_env(x, env) for k, x in v.items()}
+    if isinstance(v, Plugin):
+        return Plugin(v.name, _substitute_env(v.attrs, env))
+    return v
+
+
+def _substitute_nodes(nodes: list[object], env) -> None:
+    for node in nodes:
+        if isinstance(node, Plugin):
+            node.attrs = _substitute_env(node.attrs, env)
+        elif isinstance(node, Branch):
+            for _, body in node.cases:
+                _substitute_nodes(body, env)
+
+
+def parse_config(text: str, *, env=None) -> ConfigAST:
+    """Parse LSCL text; `env` (default `os.environ`) feeds the
+    reference's `${VAR}` / `${VAR:default}` substitution in plugin
+    attribute values (docs: "Using environment variables"). Conditions
+    are expressions, not config values — the reference does not
+    substitute there and neither do we."""
+    ast = _P(text).parse_config()
+    e = os.environ if env is None else env
+    for section in (ast.inputs, ast.filters, ast.outputs):
+        _substitute_nodes(section, e)
+    return ast
 
 
 # ---------------------------------------------------------------------------
@@ -624,7 +682,31 @@ def bind_input(spark, ast: ConfigAST):
         if p.name == "generator":
             from logstash_spark.sources.gen import input_sequences
 
-            frames.append(input_sequences(spark, int(p.attrs.get("count", 1000))))
+            # reference logstash-input-generator: `message` emits that
+            # exact line; `lines` cycles the list in order with `count`
+            # full iterations (total = count x |lines|); neither set ->
+            # the synthetic syslog-ish corpus (our default test stream)
+            count = int(p.attrs.get("count", 1000))
+            lines = p.attrs.get("lines")
+            msg = p.attrs.get("message")
+            if lines is not None:
+                arr = [str(x) for x in (lines if isinstance(lines, list) else [lines])]
+                df = input_sequences(spark, count * len(arr))
+                # doc_id is a string ("doc-%012d") — recover the row
+                # index for the cycle position
+                idx = F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).cast("long")
+                df = df.withColumn(
+                    "raw",
+                    F.element_at(
+                        F.array(*[F.lit(s) for s in arr]),
+                        (idx % len(arr) + 1).cast("int"),
+                    ),
+                )
+            else:
+                df = input_sequences(spark, count)
+                if msg is not None:
+                    df = df.withColumn("raw", F.lit(str(msg)))
+            frames.append(df)
         elif p.name == "file":
             path = str(p.attrs["path"])
             codec = p.attrs.get("codec")

@@ -243,3 +243,98 @@ def test_dotonly_and_underscore_sink_names_fall_back():
         'output { file { path => ".." } file { id => "_aggregates" } }'
     )
     assert list(spec.routes) == ["file", "file_2"]
+
+
+class TestEnvSubstitution:
+    """${VAR} / ${VAR:default} in plugin attribute values — the
+    reference's environment-variable surface (docs "Using environment
+    variables"; logstash-core substitution_variables.rb)."""
+
+    def test_basic_and_default(self):
+        ast = parse_config(
+            'input { generator { count => "${N:25}" message => "${M}" } }',
+            env={"M": "hi"},
+        )
+        assert ast.inputs[0].attrs == {"count": "25", "message": "hi"}
+
+    def test_env_wins_over_default(self):
+        ast = parse_config(
+            'filter { mutate { add_tag => ["${T:dflt}"] } }', env={"T": "set"}
+        )
+        assert ast.filters[0].attrs["add_tag"] == ["set"]
+
+    def test_unset_without_default_raises(self):
+        with pytest.raises(LSCLError, match="Cannot evaluate"):
+            parse_config('input { g { m => "${NOPE}" } }', env={})
+
+    def test_empty_default_and_embedded(self):
+        ast = parse_config(
+            'filter { mutate { add_field => { "p" => "pre-${X:}-post" } } }',
+            env={},
+        )
+        assert ast.filters[0].attrs["add_field"]["p"] == "pre--post"
+
+    def test_substitutes_inside_codec_subplugin(self):
+        ast = parse_config(
+            'input { file { codec => multiline { pattern => "${PAT:^\\\\s}" } } }',
+            env={},
+        )
+        assert ast.inputs[0].attrs["codec"].attrs["pattern"] == "^\\s"
+
+    def test_substitutes_in_branch_bodies(self):
+        ast = parse_config(
+            'filter { if [a] == "x" { mutate { add_tag => ["${T:t1}"] } } }',
+            env={},
+        )
+        assert ast.filters[0].cases[0][1][0].attrs["add_tag"] == ["t1"]
+
+    def test_conditions_not_substituted(self):
+        ast = parse_config(
+            'filter { if [f] == "${LIT}" { mutate { } } }', env={}
+        )
+        # the condition keeps its literal ${LIT} — reference does not
+        # substitute inside expressions
+        assert "${LIT}" in ast.filters[0].cases[0][0]
+
+    def test_os_environ_is_the_default_source(self, monkeypatch):
+        monkeypatch.setenv("LSCL_TEST_VAR_XYZ", "fromenv")
+        ast = parse_config('input { g { m => "${LSCL_TEST_VAR_XYZ}" } }')
+        assert ast.inputs[0].attrs["m"] == "fromenv"
+
+
+class TestGeneratorMessageLines:
+    """Reference logstash-input-generator: `message` emits that exact
+    line; `lines` cycles in order, count full iterations."""
+
+    def test_message_attr_feeds_raw(self, spark):
+        from logstash_spark.plans.lscl import bind_input
+
+        ast = parse_config(
+            'input { generator { count => 5 message => "hi[1]: x" } }'
+        )
+        df = bind_input(spark, ast)
+        rows = df.select("raw").distinct().collect()
+        assert [r.raw for r in rows] == ["hi[1]: x"]
+        assert df.count() == 5
+
+    def test_lines_cycle_in_order(self, spark):
+        from logstash_spark.plans.lscl import bind_input
+
+        ast = parse_config(
+            'input { generator { count => 3 lines => ["a", "b"] } }'
+        )
+        df = bind_input(spark, ast)
+        got = [r.raw for r in df.orderBy("doc_id").collect()]
+        assert got == ["a", "b", "a", "b", "a", "b"]
+
+    def test_env_var_in_message_e2e(self, spark, monkeypatch):
+        from logstash_spark.plans.lscl import bind_input
+
+        monkeypatch.setenv("GEN_MSG_TEST", "from-env")
+        ast = parse_config(
+            'input { generator { count => 2 message => "${GEN_MSG_TEST}" } }'
+        )
+        df = bind_input(spark, ast)
+        assert [r.raw for r in df.select("raw").distinct().collect()] == [
+            "from-env"
+        ]
