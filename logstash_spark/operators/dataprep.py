@@ -7699,3 +7699,158 @@ def pack_next_fit(
         F.col("_len").alias(len_col),
         F.col("_bin").alias("bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf head fit (corpus rank-frequency law, tokenizer/corpus QA)
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(
+    df: DataFrame, *, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Fit the Zipf rank-frequency law over the corpus HEAD — the
+    one-row corpus-QA stat a tokenizer/crawl release gate reads next to
+    `vocab_drift`: a healthy natural-language corpus fits
+    ln(count) ≈ intercept + slope·ln(rank) with slope ≈ −1 over the
+    head; machine-generated or template-flooded corpora bend it hard.
+
+    The fit is ordinary least squares on the quantized-log grid
+    (x, y) = (L(rank), L(count)), L(k) = floor(10⁶·ln k), restricted to
+    the `top_k` head ranks — standard practice (Zipf holds in the head;
+    the tail is Heaps-regime noise) AND what keeps every regression sum
+    exact int64: with top_k = 100, n·Σxy ≤ ~5·10¹⁷. slope_micro /
+    intercept_micro are each produced by ONE pinned-order double
+    expression over those exact integer sums, so both engines agree
+    bit-for-bit. Degenerate heads (n < 2) yield nulls, never a crash.
+
+    Topology: ONE corpus groupBy(token) (map-side partials absorb the
+    Zipf skew this operator measures), a rank window over the vocab
+    table, arithmetic over ≤ top_k rows. The corpus never shuffles
+    finer than the token.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    vocab = (
+        df.select(F.explode(nb_tokens(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w = Window.orderBy(F.col("_c").desc(), F.col("_t").asc())
+    head = (
+        vocab.withColumn("_r", F.row_number().over(w).cast("long"))
+        .where(F.col("_r") <= top_k)
+        .select(
+            _ln_q(F.col("_r")).alias("_x"), _ln_q(F.col("_c")).alias("_y")
+        )
+    )
+    tails = vocab.groupBy().agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("_c").cast("long").alias("total_tokens"),
+    )
+    s = head.groupBy().agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    ratio = num.cast("double") / den.cast("double")
+    fit = s.select(
+        F.col("_n").alias("n_head"),
+        F.when(den != 0, F.floor(ratio * F.lit(1_000_000.0)).cast("long"))
+        .alias("slope_micro"),
+        F.when(
+            den != 0,
+            F.floor(
+                (F.col("_sy").cast("double") - ratio * F.col("_sx").cast("double"))
+                / F.col("_n")
+            ).cast("long"),
+        ).alias("intercept_micro"),
+    )
+    return fit.crossJoin(F.broadcast(tails)).select(
+        "n_types", "total_tokens", "n_head", "slope_micro", "intercept_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-center farthest-point coreset (diversity-aware data selection)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Greedy k-center (farthest-point traversal) over a CANDIDATE
+    table — the classical 2-approximation coreset selector for
+    diversity-aware data curation (Gonzalez 1985; the "k-Center-Greedy"
+    of Sener & Savarese ICLR 2018 active-learning / dataset-selection
+    recipes): seed with the min-id candidate, then repeatedly add the
+    candidate farthest (max-min squared L2) from everything selected.
+
+    The candidate table is MODEL-sized by contract — cluster centroids
+    from `kmeans_fit`, or an `ann_*` / sampled shortlist — never the
+    raw corpus (the 100 TB shape: corpus → cheap candidate reduction →
+    k-center over the candidates, exactly like `isotonic_calibrate`'s
+    grid or `bradley_terry`'s model table). The greedy recurrence is
+    inherently sequential (selection i depends on all earlier picks),
+    so it runs in ONE `applyInPandas` task over the candidates: O(k·n)
+    integer distance updates in numpy.
+
+    Exactness: vectors are quantized to the int grid floor(10³·x)
+    (identical IEEE floor in any engine reading the same floats), all
+    distances are exact int64 (64-dim grid values ≤ ~10³ → d² ≤ ~10⁹),
+    ties break max-dist → min-id, total. Output: one row per selected
+    candidate — (id, sel_order 0..k−1, dist_sq = exact min-distance² to
+    the earlier picks at selection time; null for the seed).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("_id"), q.alias("_q"))
+    kk = int(k)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        ids = pdf["_id"].to_numpy()
+        mat = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+        n = len(ids)
+        sel_ids: list[int] = []
+        orders: list[int] = []
+        dists: list[object] = []
+        picked = np.zeros(n, dtype=bool)
+        # seed: min id (pdf sorted by id, so index 0)
+        cur = 0
+        mind = None
+        for step in range(min(kk, n)):
+            sel_ids.append(int(ids[cur]))
+            orders.append(step)
+            dists.append(None if step == 0 else int(mind[cur]))
+            picked[cur] = True
+            d = ((mat - mat[cur]) ** 2).sum(axis=1)  # exact int64
+            mind = d if mind is None else np.minimum(mind, d)
+            if step + 1 < min(kk, n):
+                # argmax of mind among unpicked, ties -> min id (ids
+                # ascending, np.argmax takes the first max)
+                masked = np.where(picked, -1, mind)
+                cur = int(np.argmax(masked))
+        return pd.DataFrame(
+            {"_id": sel_ids, "sel_order": orders, "dist_sq": dists}
+        )
+
+    out = base.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        greedy, schema=f"_id {df.schema[id_col].dataType.simpleString()}, "
+        "sel_order long, dist_sq long"
+    )
+    return out.select(F.col("_id").alias(id_col), "sel_order", "dist_sq")

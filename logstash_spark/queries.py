@@ -792,6 +792,7 @@ from logstash_spark import queries_dataprep31 as _qdp31  # noqa: E402,F401
 from logstash_spark import queries_dataprep32 as _qdp32  # noqa: E402,F401
 from logstash_spark import queries_dataprep33 as _qdp33  # noqa: E402,F401
 from logstash_spark import queries_dataprep34 as _qdp34  # noqa: E402,F401
+from logstash_spark import queries_dataprep35 as _qdp35  # noqa: E402,F401
 from logstash_spark import queries_logstash13 as _ql13  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
