@@ -523,6 +523,33 @@ def bench_packing_scale(spark) -> float:
     return _time_best(lambda: agg, spark)
 
 
+def bench_pack_nfd_scale(spark) -> float:
+    """Boundary-PRESERVING next-fit-decreasing packing over PACK_DOCS
+    synthetic docs, 256 hash shards (the SFT/eval packing mode:
+    `pack_next_fit` never splits a doc). Prices the streaming
+    mapInPandas seam — repartition(shard) + sortWithinPartitions + one
+    Arrow pass with per-shard counters — against the all-Catalyst
+    concat-and-chunk path benched above."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.dataprep import pack_next_fit
+
+    i = F.col("id")
+    docs = spark.range(0, PACK_DOCS, 1, CPUS * 4).select(
+        i.alias("doc_id"),
+        (F.lit(16) + F.pmod(F.xxhash64(i * F.lit(7919)), F.lit(64)))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    packed = pack_next_fit(
+        docs, capacity=2048, n_shards=256, partitions=CPUS * 4
+    )
+    agg = packed.groupBy("shard").agg(
+        F.max("bin").alias("bins"), F.sum("n_tok").alias("toks")
+    )
+    return _time_best(lambda: agg, spark)
+
+
 def bench_wire_varint(spark) -> dict[str, float]:
     """Decode throughput for the four varint-family wire codecs (avro
     datum, fluent/msgpack forward, collectd TLV, protobuf) at WIRE_EVENTS
@@ -740,6 +767,7 @@ def main() -> None:
     timings.update(bench_wire_varint(spark))
     timings["nb_classify_scale"] = round(bench_nb_classify_scale(spark), 3)
     timings["packing_scale"] = round(bench_packing_scale(spark), 3)
+    timings["pack_nfd_scale"] = round(bench_pack_nfd_scale(spark), 3)
     timings["normalize_scale"] = round(bench_normalize_scale(spark), 3)
     timings["streaming_flagship"] = round(bench_streaming_flagship(spark), 3)
     timings["streaming_flagship_unified"] = round(

@@ -906,6 +906,10 @@ _DRIVER_PRIORITY = [
     "cloudtrail_codec",
     "pmi_phrases",
     "protobuf_codec",
+    # round-4 reference-fidelity surface (verdict items 3/4 + env vars)
+    "metadata_convention",
+    "lscl_codec_pipeline",
+    "lscl_env_pipeline",
     "fim_transform",
     # dataprep batch 10 (round 3)
     "span_corruption",

@@ -133,3 +133,70 @@ def lscl_codec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, "message string")
+
+
+@query(
+    "lscl_env_pipeline",
+    """
+    SELECT event_id, event_type,
+           'staging-' || event_type AS env_tag,
+           'eu-1' AS region
+    FROM events
+    WHERE event_type = 'click'
+    """,
+)
+def lscl_env_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`${VAR}` / `${VAR:default}` environment substitution end-to-end
+    through a REAL `.conf` pipeline run (reference: docs "Using
+    environment variables"; logstash-core substitution_variables.rb):
+    an add_field value mixes an unset-var DEFAULT (`${..:staging}`) with
+    a sprintf, a second field and the hot sink's file path both come
+    from SET env vars — compile, run, gate the hot sink's contents.
+    Conditions stay literal (the reference does not substitute inside
+    expressions, and neither do we)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from logstash_spark.plans.lscl import compile_conf  # noqa: PLC0415
+    from logstash_spark.plans.runner import run_pipeline  # noqa: PLC0415
+    from logstash_spark.sources.tableio import SnapshotTable  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    conf = """
+    filter {
+      mutate { add_field => {
+        "env_tag" => "${LSCL_GATE_ENV:staging}-%{event_type}"
+        "region" => "${LSCL_GATE_REGION}" } }
+    }
+    output {
+      if [event_type] == "click" { file { path => "${LSCL_GATE_SINK}" } }
+      file { path => "rest" }
+    }
+    """
+    saved = {
+        k: os.environ.get(k)
+        for k in ("LSCL_GATE_ENV", "LSCL_GATE_REGION", "LSCL_GATE_SINK")
+    }
+    os.environ.pop("LSCL_GATE_ENV", None)  # default must engage
+    os.environ["LSCL_GATE_REGION"] = "eu-1"
+    os.environ["LSCL_GATE_SINK"] = "hot"
+    work = tempfile.mkdtemp(prefix="lscl_env_gate_")
+    try:
+        spec, _ = compile_conf(conf, aggregate_dims=["event_type"])
+        assert "hot" in spec.routes, spec.routes
+        run_pipeline(spark, ev, spec, f"{work}/sinks", resume=False)
+        out = SnapshotTable(f"{work}/sinks/hot").read(spark)
+        rows = out.select("event_id", "event_type", "env_tag", "region").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return spark.createDataFrame(
+        rows, "event_id bigint, event_type string, env_tag string, region string"
+    )
