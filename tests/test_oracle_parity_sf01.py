@@ -42,7 +42,7 @@ SF01_GATES = [
     "streaming_interval_join", "streaming_sessions_gap",
     "lscl_codec_pipeline", "metadata_convention",
     "vocab_drift_js", "dedup_audit_histogram", "pack_next_fit_bins",
-    "zipf_head_fit", "kcenter_coreset",
+    "zipf_head_fit", "kcenter_coreset", "lscl_env_pipeline",
 ]
 
 _optin = pytest.mark.skipif(
