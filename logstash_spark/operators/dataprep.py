@@ -7854,3 +7854,88 @@ def kcenter_select(
         "sel_order long, dist_sq long"
     )
     return out.select(F.col("_id").alias(id_col), "sel_order", "dist_sq")
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary growth (corpus QA companion to zipf_fit)
+# ---------------------------------------------------------------------------
+
+
+def heaps_growth(
+    df: DataFrame,
+    checkpoints: Sequence[int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary growth curve — distinct types seen within the first c
+    documents of the id-ordered stream, at each literal checkpoint c.
+    The Heaps-law companion to `zipf_fit`: a natural corpus grows types
+    ~ tokens^beta (beta ≈ 0.5); a template-flooded or synthetic corpus
+    flattens early, boilerplate-heavy crawls bend late. Output: one row
+    per checkpoint — (checkpoint_docs, tokens_cum, types_cum,
+    types_ppm_of_tokens), all exact integers.
+
+    Topology: ONE corpus tokenize + groupBy(token) keeping min(rank)
+    (map-side partials — a token seen a billion times reduces to its
+    earliest position), one doc-rank window over the DOC table (for a
+    10¹²-doc stream swap the row_number for a precomputed ingest
+    position or timestamp — the window here is the bounded-gate form,
+    same note as `perplexity_buckets`), then TWO single-row aggregates
+    with literal CASE per checkpoint, cross-joined on disjoint names.
+    Checkpoint count is a plan-time literal — output is
+    |checkpoints| rows, corpus-size-independent.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    cps = sorted(int(c) for c in checkpoints)
+    w = Window.orderBy(F.col("_id").asc())
+    ranked = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_tx")
+    ).withColumn("_r", F.row_number().over(w).cast("long"))
+    first = (
+        ranked.select("_r", F.explode(nb_tokens(F.col("_tx"))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.min("_r").alias("_fr"))
+    )
+    types_row = first.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("_fr") <= c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_ty{i}")
+            for i, c in enumerate(cps)
+        ]
+    )
+    tokens_row = (
+        ranked.select(
+            "_r", F.size(nb_tokens(F.col("_tx"))).cast("long").alias("_n")
+        )
+        .groupBy()
+        .agg(
+            *[
+                F.sum(F.when(F.col("_r") <= c, F.col("_n")).otherwise(0))
+                .cast("long")
+                .alias(f"_tk{i}")
+                for i, c in enumerate(cps)
+            ]
+        )
+    )
+    one = types_row.crossJoin(F.broadcast(tokens_row))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("long").alias("checkpoint_docs"),
+                F.col(f"_tk{i}").alias("tokens_cum"),
+                F.col(f"_ty{i}").alias("types_cum"),
+            )
+            for i, c in enumerate(cps)
+        ]
+    )
+    out = one.select(F.explode(rows).alias("s")).select("s.*")
+    return out.withColumn(
+        "types_ppm_of_tokens",
+        F.when(
+            F.col("tokens_cum") > 0,
+            F.expr("types_cum * 1000000 div tokens_cum"),
+        ).cast("long"),
+    )

@@ -120,3 +120,49 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, 5).select(
         F.col("vec_id").alias("id"), "sel_order", "dist_sq"
     )
+
+
+@query(
+    "heaps_vocab_growth",
+    """
+    WITH ranked AS (
+      SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS r
+      FROM documents
+    ),
+    toks AS (
+      SELECT r, t
+      FROM (SELECT r, unnest(string_split(text, ' ')) AS t FROM ranked)
+      WHERE t <> ''
+    ),
+    fst AS (SELECT t, min(r) AS fr FROM toks GROUP BY t),
+    cnts AS (
+      SELECT r,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM ranked
+    ),
+    cp(c) AS (VALUES (64), (128), (256), (500))
+    SELECT CAST(c AS BIGINT) AS checkpoint_docs,
+           (SELECT CAST(coalesce(sum(CASE WHEN r <= c THEN n ELSE 0 END), 0)
+                        AS BIGINT) FROM cnts) AS tokens_cum,
+           (SELECT CAST(count(*) AS BIGINT) FROM fst WHERE fr <= c)
+             AS types_cum,
+           CASE WHEN (SELECT sum(CASE WHEN r <= c THEN n ELSE 0 END)
+                      FROM cnts) > 0 THEN
+             CAST((SELECT count(*) FROM fst WHERE fr <= c) * 1000000
+                  // (SELECT sum(CASE WHEN r <= c THEN n ELSE 0 END)
+                      FROM cnts) AS BIGINT)
+           END AS types_ppm_of_tokens
+    FROM cp
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law gate (`dataprep.heaps_growth`): distinct-type counts
+    within the first {64,128,256,500} documents of the id-ordered
+    stream, with cumulative token totals and the exact types-per-token
+    ppm. The oracle re-derives first-occurrence ranks and every
+    checkpoint sum independently."""
+    from logstash_spark.operators.dataprep import heaps_growth  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_growth(docs, [64, 128, 256, 500])

@@ -101,3 +101,40 @@ class TestKCenterSelect:
         dists = [r.dist_sq for r in out[1:]]
         # farthest-point property: selection distances are non-increasing
         assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+class TestHeapsGrowth:
+    def test_growth_counts_exact(self, spark):
+        rows = [
+            (1, "a b"),        # rank 1: types {a,b}
+            (2, "b c"),        # rank 2: +c
+            (3, "a b c"),      # rank 3: +0
+            (4, "d"),          # rank 4: +d
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.checkpoint_docs: (r.tokens_cum, r.types_cum, r.types_ppm_of_tokens)
+            for r in D.heaps_growth(docs, [1, 2, 4]).collect()
+        }
+        assert got[1] == (2, 2, 1_000_000)
+        assert got[2] == (4, 3, 750_000)
+        assert got[4] == (8, 4, 500_000)
+
+    def test_checkpoint_beyond_corpus(self, spark):
+        docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        got = {
+            r.checkpoint_docs: (r.tokens_cum, r.types_cum)
+            for r in D.heaps_growth(docs, [1, 100]).collect()
+        }
+        assert got[100] == got[1] == (2, 2)
+
+    def test_id_order_not_input_order(self, spark):
+        # rows supplied out of id order: rank follows doc_id
+        rows = [(2, "new1 new2"), (1, "base")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.checkpoint_docs: r.types_cum
+            for r in D.heaps_growth(docs, [1, 2]).collect()
+        }
+        assert got[1] == 1  # doc_id 1 only
+        assert got[2] == 3

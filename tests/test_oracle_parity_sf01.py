@@ -43,6 +43,7 @@ SF01_GATES = [
     "lscl_codec_pipeline", "metadata_convention",
     "vocab_drift_js", "dedup_audit_histogram", "pack_next_fit_bins",
     "zipf_head_fit", "kcenter_coreset", "lscl_env_pipeline",
+    "heaps_vocab_growth",
 ]
 
 _optin = pytest.mark.skipif(
