@@ -7473,16 +7473,25 @@ def vocab_drift(a: DataFrame, b: DataFrame, *, text_col: str = "text") -> DataFr
       KL in `mix_divergence`, which is the right shape for "how far is
       the realized mix from a target" but not for version-vs-version.
     * `tv_ppm` — total variation ½·Σ|p_i − q_i| in exact ppm:
-      (Σ|a_i·B − b_i·A|) · 500000 div (A·B), pure int64 (positive, so
-      `div` is floor on both engines).
+      (Σ|a_i·B − b_i·A|) · 500000 div (A·B). The whole TV path runs in
+      DECIMAL(38,0): Σ|a_i·B − b_i·A| can reach 2·A·B, so the ·500000
+      numerator and the A·B divisor both exceed int64 once A·B >
+      ~9.2e12 — corpora of only a few million tokens each under high
+      drift. int64 here would wrap silently in Spark while DuckDB
+      raises; DECIMAL(38,0) holds up to A·B ≤ ~10¹⁹ per side (≈10³⁷
+      for the scaled numerator) and `div` floors identically on both
+      engines (all terms positive).
 
     Topology: each corpus is tokenized and collapsed to its vocab ONCE
     (groupBy(token) with map-side partials); the two vocab tables
     full-outer join on token (vocab-sized shuffle, never corpus-sized);
-    totals broadcast back; ONE final single-row aggregate. At
-    trillion-token scale the L arguments a_i·B overflow int64 — route
-    the three products through DECIMAL(38,0) before `_ln_q` (ln only
-    needs ~15 significant digits; the quantized unit is unchanged).
+    totals come from summing THE SAME joined vocab table (Σ counts =
+    total tokens — one lineage, so a non-deterministic input, e.g. a
+    sample(), cannot make totals disagree with the vocab counts) and
+    broadcast back; ONE final single-row aggregate. At trillion-token
+    scale the L arguments a_i·B overflow int64 — route the three
+    products through DECIMAL(38,0) before `_ln_q` (ln only needs ~15
+    significant digits; the quantized unit is unchanged).
     """
     def vocab(df: DataFrame, out: str) -> DataFrame:
         return (
@@ -7500,20 +7509,20 @@ def vocab_drift(a: DataFrame, b: DataFrame, *, text_col: str = "text") -> DataFr
             F.coalesce("_b", F.lit(0)).cast("long").alias("_bv"),
         )
     )
-    # totals come from their own map-only pass (sum of size(tokens) per
-    # side — an extra SCAN, never an extra shuffle): summing the vocab
-    # table would share j's lineage and Spark's resolver then sees `_a`
-    # through both crossJoin branches (the aggregate-child resolution
-    # path), an AMBIGUOUS_REFERENCE even under qualified refs. Distinct
-    # names everywhere above the base scans keep resolution unambiguous.
-    def total(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.select(F.size(nb_tokens(F.col(text_col))).alias(f"_sz{out}"))
-            .groupBy()
-            .agg(F.sum(f"_sz{out}").cast("long").alias(out))
+    # totals = Σ counts over the SAME joined vocab table (one lineage —
+    # a non-deterministic input can't make totals diverge from the vocab
+    # counts, and it's a vocab-sized pass, cheaper than re-scanning the
+    # corpus). The rename-projection below sidesteps Spark's aggregate-
+    # child AMBIGUOUS_REFERENCE when the same plan feeds both crossJoin
+    # branches: distinct names everywhere above j keep resolution clean.
+    tot = (
+        j.select(F.col("_av").alias("_ta"), F.col("_bv").alias("_tb"))
+        .groupBy()
+        .agg(
+            F.sum("_ta").cast("long").alias("_A"),
+            F.sum("_tb").cast("long").alias("_B"),
         )
-
-    tot = total(a, "_A").crossJoin(total(b, "_B"))
+    )
     x = j.crossJoin(F.broadcast(tot))
     den = _ln_q(F.col("_av") * F.col("_B") + F.col("_bv") * F.col("_A"))
     cp = F.when(
@@ -7524,7 +7533,14 @@ def vocab_drift(a: DataFrame, b: DataFrame, *, text_col: str = "text") -> DataFr
         F.col("_bv") > 0,
         F.col("_bv") * (_ln_q(F.lit(2) * F.col("_bv") * F.col("_A")) - den),
     ).otherwise(F.lit(0))
-    tv = F.abs(F.col("_av") * F.col("_B") - F.col("_bv") * F.col("_A"))
+    # TV in DECIMAL(38,0) end-to-end: |a_i·B − b_i·A| sums to ≤ 2·A·B,
+    # past int64 once A·B > ~9.2e12 (silent wrap in Spark, raise in
+    # DuckDB — the engines would diverge exactly when it matters).
+    dec = "decimal(20,0)"
+    tv = F.abs(
+        F.col("_av").cast(dec) * F.col("_B").cast(dec)
+        - F.col("_bv").cast(dec) * F.col("_A").cast(dec)
+    )
     s = x.groupBy().agg(
         F.sum(F.when(F.col("_av") > 0, 1).otherwise(0)).cast("long").alias("types_a"),
         F.sum(F.when(F.col("_bv") > 0, 1).otherwise(0)).cast("long").alias("types_b"),
@@ -7541,7 +7557,7 @@ def vocab_drift(a: DataFrame, b: DataFrame, *, text_col: str = "text") -> DataFr
         F.max("_B").alias("tokens_b"),
         F.sum(cp).cast("long").alias("_sp"),
         F.sum(cq).cast("long").alias("_sq"),
-        F.sum(tv).cast("long").alias("_stv"),
+        F.sum(tv).cast("decimal(38,0)").alias("_stv"),
     )
     return s.select(
         "types_a",
@@ -7560,7 +7576,10 @@ def vocab_drift(a: DataFrame, b: DataFrame, *, text_col: str = "text") -> DataFr
         )
         .cast("long")
         .alias("js_micro"),
-        F.expr("(_stv * 500000) div (tokens_a * tokens_b)")
+        F.expr(
+            "(_stv * 500000) div"
+            " (CAST(tokens_a AS DECIMAL(20,0)) * CAST(tokens_b AS DECIMAL(20,0)))"
+        )
         .cast("long")
         .alias("tv_ppm"),
     )
@@ -7787,6 +7806,7 @@ def kcenter_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    max_candidates: int | None = 1_000_000,
 ) -> DataFrame:
     """Greedy k-center (farthest-point traversal) over a CANDIDATE
     table — the classical 2-approximation coreset selector for
@@ -7820,6 +7840,21 @@ def kcenter_select(
     )
     base = df.select(F.col(id_col).alias("_id"), q.alias("_q"))
     kk = int(k)
+    # the MODEL-sized contract, enforced: the greedy recurrence funnels
+    # the whole candidate table through ONE applyInPandas task, so an
+    # accidentally corpus-sized input would silently single-thread and
+    # OOM the executor. Fail fast instead — limit(n+1).count() stops the
+    # scan as soon as the bound is exceeded (no full count of a big df).
+    if max_candidates is not None:
+        probe = base.limit(int(max_candidates) + 1).count()
+        if probe > int(max_candidates):
+            raise ValueError(
+                f"kcenter_select: candidate table exceeds max_candidates="
+                f"{max_candidates} (the input must be model-sized — "
+                "centroids or an ANN/sampled shortlist, never the raw "
+                "corpus); reduce candidates upstream or raise/disable "
+                "the guard explicitly (max_candidates=None)"
+            )
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id").reset_index(drop=True)

@@ -331,10 +331,11 @@ class _P:
 
 #: `${VAR}` / `${VAR:default}` — the reference's environment-variable
 #: substitution surface (logstash-core/lib/logstash/util/
-#: substitution_variables.rb: name = letters/digits/_/.; default = any
-#: run up to the closing brace, may be empty).
+#: substitution_variables.rb: name = letters/digits/_/. and may START
+#: with a dot, i.e. `${.foo}` resolves; default = any run up to the
+#: closing brace, may be empty).
 _ENV_RX = re.compile(
-    r"\$\{(?P<name>[A-Za-z_][A-Za-z0-9_.]*)(?::(?P<default>[^}]*))?\}"
+    r"\$\{(?P<name>[A-Za-z_.][A-Za-z0-9_.]*)(?::(?P<default>[^}]*))?\}"
 )
 
 
@@ -756,11 +757,14 @@ def compile_conf(
     aggregate_dims: list[str] | None = None,
     aggregate_sum: str | None = None,
     metrics_ts: str | None = None,
+    env=None,
 ) -> tuple[PipelineSpec, ConfigAST]:
     """Parse `.conf` text and compile it to a PipelineSpec (+ the raw AST
     for callers that need the input/output plugin attrs, e.g. to bind
-    sources or sink paths)."""
-    ast = parse_config(text)
+    sources or sink paths). `env` (default `os.environ`) feeds `${VAR}`
+    substitution — pass an explicit dict to keep compilation hermetic
+    (no process-global environment reads)."""
+    ast = parse_config(text, env=env)
     filters: list[FilterSpec] = []
     _walk_filters(ast.filters, [], filters)
     routes: dict[str, str] = {}

@@ -154,7 +154,6 @@ def lscl_env_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from SET env vars — compile, run, gate the hot sink's contents.
     Conditions stay literal (the reference does not substitute inside
     expressions, and neither do we)."""
-    import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
@@ -176,27 +175,19 @@ def lscl_env_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       file { path => "rest" }
     }
     """
-    saved = {
-        k: os.environ.get(k)
-        for k in ("LSCL_GATE_ENV", "LSCL_GATE_REGION", "LSCL_GATE_SINK")
-    }
-    os.environ.pop("LSCL_GATE_ENV", None)  # default must engage
-    os.environ["LSCL_GATE_REGION"] = "eu-1"
-    os.environ["LSCL_GATE_SINK"] = "hot"
+    # hermetic: env passed explicitly (no os.environ mutation — the gate
+    # may run concurrently with other queries in one driver process);
+    # LSCL_GATE_ENV absent so the `:staging` default must engage
+    gate_env = {"LSCL_GATE_REGION": "eu-1", "LSCL_GATE_SINK": "hot"}
     work = tempfile.mkdtemp(prefix="lscl_env_gate_")
     try:
-        spec, _ = compile_conf(conf, aggregate_dims=["event_type"])
+        spec, _ = compile_conf(conf, aggregate_dims=["event_type"], env=gate_env)
         assert "hot" in spec.routes, spec.routes
         run_pipeline(spark, ev, spec, f"{work}/sinks", resume=False)
         out = SnapshotTable(f"{work}/sinks/hot").read(spark)
         rows = out.select("event_id", "event_type", "env_tag", "region").collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
     return spark.createDataFrame(
         rows, "event_id bigint, event_type string, env_tag string, region string"
     )
