@@ -53,6 +53,42 @@ BENCH_QUERIES = [
 ]
 
 
+# Calibration anchor (VERDICT r4 "What's wrong" #2): a fixed,
+# deterministic microbench pair run FIRST in every suite so cross-round
+# driver benches can be normalized mechanically against host epoch
+# drift (this VM's turbo/steal epochs swing wall-clock up to ~1.8x with
+# zero code change). Sizes are constants — never derived from BENCH_N —
+# and the two numbers are emitted as top-level `calib_cpu_s` /
+# `calib_shuffle_s` fields, EXCLUDED from the suite total. To compare
+# BENCH_rA vs BENCH_rB, divide each round's query times by its calib
+# numbers (cpu for map-heavy, shuffle for exchange-heavy queries).
+CALIB_CPU_ROWS = 600_000_000
+CALIB_SHUFFLE_ROWS = 8_000_000
+
+
+def bench_calibration(spark) -> dict[str, float]:
+    """Epoch anchor: (a) pure whole-stage-codegen CPU — xxhash64 fold
+    over a fixed range, no shuffle, no Python; (b) one fixed 64Ki-key
+    hash aggregation — a single small Exchange. Warm-up + best-of-N like
+    every other entry."""
+    from pyspark.sql import functions as F
+
+    i = F.col("id")
+    cpu = spark.range(0, CALIB_CPU_ROWS, 1, CPUS).select(
+        F.sum(F.xxhash64(i * F.lit(2654435761))).alias("s")
+    )
+    sh = (
+        spark.range(0, CALIB_SHUFFLE_ROWS, 1, CPUS)
+        .groupBy(F.pmod(F.xxhash64(i), F.lit(65536)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("nk"))
+    )
+    return {
+        "calib_cpu_s": round(_time_best(lambda: cpu, spark), 3),
+        "calib_shuffle_s": round(_time_best(lambda: sh, spark), 3),
+    }
+
+
 def _force(df) -> int:
     """Force full computation without moving rows to the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -752,6 +788,9 @@ def main() -> None:
     # Warm the JVM/codegen once so timings measure steady-state plans.
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
+    # Epoch anchor FIRST (fixed size, excluded from the suite total).
+    calib = bench_calibration(spark)
+
     wall, rps = bench_flagship(spark)
     timings["flagship_e2e"] = round(wall, 3)
     timings["dedupe_minhash_scale"] = round(bench_dedupe_scale(spark), 3)
@@ -795,6 +834,7 @@ def main() -> None:
                 "dedup_docs": DEDUP_DOCS,
                 "ann_vectors": ANN_VECS,
                 "cpus": CPUS,
+                **calib,
             }
         )
     )

@@ -632,7 +632,66 @@ def apply_decode_codec(df, codec: Plugin, *, field: str = "value"):
         )
     if name == "gzip_lines":
         return gzip_lines(df, field)
+    if name == "cef":
+        from logstash_spark.operators.codec import cef_decode  # noqa: PLC0415
+
+        lines = line_codec(df, field)
+        return cef_decode(lines, "message")
+    if name == "es_bulk":
+        from logstash_spark.operators.codec import es_bulk_decode  # noqa: PLC0415
+
+        lines = line_codec(df, field)
+        return es_bulk_decode(lines, "message")
+    # Binary wire codecs: one datum/packet per blob row (the offline file
+    # framing — each file is one wire unit, like the reference's per-UDP-
+    # datagram codec invocation). Schema-carrying codecs declare their
+    # record layout inline (the logstash-codec-avro `schema_uri` analog;
+    # logstash-codec-protobuf `class_file` analog):
+    #   codec => avro     { schema => [["rec_id","long"],["name","string"]] }
+    #   codec => protobuf { fields => [[1,"rec_id","sint64"],[2,"msg","string"]] }
+    #   codec => fluent   { schema => [["msg","string"],["n","bigint"]] }
+    if name == "netflow":
+        from logstash_spark.operators.wire import netflow_decode  # noqa: PLC0415
+
+        return netflow_decode(df, field)
+    if name == "collectd":
+        from logstash_spark.operators.wire import collectd_decode  # noqa: PLC0415
+
+        return collectd_decode(df, field)
+    if name == "avro":
+        from logstash_spark.operators.wire import avro_decode  # noqa: PLC0415
+
+        schema = a.get("schema")
+        if not isinstance(schema, list):
+            raise LSCLError("avro codec requires schema => [[name, type], ...]")
+        return avro_decode(df, field, [(str(n), str(t)) for n, t in schema])
+    if name == "protobuf":
+        from logstash_spark.operators.wire import protobuf_decode  # noqa: PLC0415
+
+        fields = a.get("fields")
+        if not isinstance(fields, list):
+            raise LSCLError(
+                "protobuf codec requires fields => [[field_no, name, type], ...]"
+            )
+        return protobuf_decode(
+            df, field, [(int(no), str(n), str(t)) for no, n, t in fields]
+        )
+    if name == "fluent":
+        from logstash_spark.operators.wire import fluent_decode  # noqa: PLC0415
+
+        schema = a.get("schema")
+        if not isinstance(schema, list):
+            raise LSCLError("fluent codec requires schema => [[name, type], ...]")
+        return fluent_decode(df, field, [(str(n), str(t)) for n, t in schema])
     raise LSCLError(f"input codec {name!r} has no offline binding")
+
+
+#: input codecs whose wire unit is a BINARY blob (bind_input reads these
+#: via binaryFile — one file = one packet/datum/stream); everything else
+#: reads wholetext.
+_BINARY_CODECS = frozenset(
+    {"gzip_lines", "netflow", "collectd", "avro", "protobuf", "fluent"}
+)
 
 
 def apply_encode_codec(df, name: str, conf: dict):
@@ -661,6 +720,61 @@ def apply_encode_codec(df, name: str, conf: dict):
             # reference plain-codec default: the event's message field
             return df.select(F.col("message").cast("string").alias("message"))
         return df.select(sprintf(str(fmt)).alias("message"))
+    if name == "graphite":
+        from logstash_spark.operators.codec import graphite_encode  # noqa: PLC0415
+
+        return graphite_encode(
+            df,
+            metric_col=str(conf.get("metric", "metric")),
+            value_col=str(conf.get("value", "value")),
+            ts_col=str(conf.get("timestamp", "ts")),
+        ).select("message")
+    if name == "statsd":
+        from logstash_spark.operators.codec import statsd_encode  # noqa: PLC0415
+
+        kw = {}
+        if "sample_rate" in conf:
+            kw["sample_rate"] = float(conf["sample_rate"])
+        return statsd_encode(
+            df,
+            namespace=str(conf.get("namespace", "logstash")),
+            sender_col=str(conf["sender"]) if "sender" in conf else None,
+            metric_col=str(conf.get("metric", "metric")),
+            value_col=str(conf.get("value", "value")),
+            metric_type=str(conf.get("metric_type", "c")),
+            target="message",
+            **kw,
+        ).select("message")
+    if name == "es_bulk":
+        from logstash_spark.operators.codec import es_bulk_encode  # noqa: PLC0415
+
+        src = conf.get("source_cols")
+        src_cols = (
+            [str(c) for c in (src if isinstance(src, list) else [src])]
+            if src is not None
+            else [c for c in cols if c != str(conf.get("document_id", "id"))]
+        )
+        return es_bulk_encode(
+            df,
+            index=str(conf.get("index", "logstash")),
+            id_col=str(conf.get("document_id", "id")),
+            source_cols=src_cols,
+            action=str(conf.get("action", "index")),
+        ).select("message")
+    if name == "cef":
+        from logstash_spark.operators.codec import cef_encode  # noqa: PLC0415
+
+        ext = conf.get("ext_fields") or []
+        return cef_encode(
+            df,
+            vendor=str(conf.get("vendor", "Elastic")),
+            product=str(conf.get("product", "Logstash")),
+            device_version=str(conf.get("device_version", "1.0")),
+            sig_id=str(conf.get("sig_id", "sig_id")),
+            name=str(conf.get("name", "name")),
+            severity=str(conf.get("severity", "severity")),
+            ext_fields=[str(c) for c in (ext if isinstance(ext, list) else [ext])],
+        ).select("message")
     raise LSCLError(f"output codec {name!r} has no offline binding")
 
 
@@ -712,7 +826,7 @@ def bind_input(spark, ast: ConfigAST):
             path = str(p.attrs["path"])
             codec = p.attrs.get("codec")
             if isinstance(codec, Plugin):
-                if codec.name == "gzip_lines":
+                if codec.name in _BINARY_CODECS:
                     blob = (
                         spark.read.format("binaryFile")
                         .load(path)

@@ -795,6 +795,10 @@ from logstash_spark import queries_dataprep34 as _qdp34  # noqa: E402,F401
 from logstash_spark import queries_dataprep35 as _qdp35  # noqa: E402,F401
 from logstash_spark import queries_logstash13 as _ql13  # noqa: E402,F401
 
+# MUST be last: folds pop sub-gates registered by the modules above and
+# re-register them as combined driver gates (see queries_folds docstring).
+from logstash_spark import queries_folds as _qf  # noqa: E402,F401
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples a bounded prefix of the
 # registry per round, so queries that have never received a driver row (or

@@ -26,24 +26,54 @@ SF01_DIR = "/root/testdata/sf0.1"
 # The ~40 newest gates (registry modules dataprep25+ / logstash11+),
 # plus the round-4 surface. gale_church_align was the sf0.1 pathfinder
 # (verified bit-exact both scales in round 3) and stays as the canary.
+# Round 5: the former individually-listed eval/mix/batch-34/35 gates now
+# ride inside their queries_folds combined gates (each fold re-runs every
+# sub-query verbatim, so listing the fold IS the 10x-scale check of all
+# its subs), plus a ~55-gate rotation of the older registry per the r04
+# verdict ("grow the sf0.1 parity list toward the whole registry").
 SF01_GATES = [
-    "mmr_diverse_topk", "canary_extraction", "auc_exact",
-    "negative_sampling", "annotator_kappa", "pr_threshold_sweep",
-    "retrieval_ranking_metrics", "eval_em_f1", "grpo_group_advantage",
-    "bradley_terry_ratings", "conversation_tree_sft",
-    "calibration_report", "edit_distance_join", "gale_church_align",
-    "isotonic_calibration", "mad_outlier_flags", "nb_classifier_train",
-    "rouge_l_eval", "weighted_sample_k", "mix_divergence",
-    "mix_pipeline_e2e", "quantile_normalize", "rank_correlation",
-    "rbo_topk_overlap", "rendezvous_sharding", "waterfill_budget",
-    "winsorize_clip", "avro_codec", "cloudtrail_codec", "collectd_codec",
-    "fluent_codec", "netflow_codec", "protobuf_codec",
-    "streaming_dedupe_keys", "streaming_enrich_fanout",
-    "streaming_interval_join", "streaming_sessions_gap",
-    "lscl_codec_pipeline", "metadata_convention",
-    "vocab_drift_js", "dedup_audit_histogram", "pack_next_fit_bins",
-    "zipf_head_fit", "kcenter_coreset", "lscl_env_pipeline",
-    "heaps_vocab_growth",
+    # all 34 round-5 folds (cover 78 former sub-gates at sf0.1)
+    "image_pipeline", "av_frame_pipeline", "html_clean_pipeline",
+    "crawl_policy_pipeline", "crawl_graph_pipeline",
+    "classifier_eval_report", "sample_eval_report", "model_battle_report",
+    "calibration_pipeline", "rank_agreement_report", "text_overlap_eval",
+    "retrieval_quality_report", "preference_mining_pipeline",
+    "sampling_policies", "mixture_design_pipeline",
+    "robust_scaling_pipeline", "outlier_quality_report",
+    "text_canonicalize_pipeline", "doc_profile_report",
+    "chat_assembly_pipeline", "chunk_align_pipeline",
+    "weak_label_pipeline", "shard_coverage_report",
+    "lexical_retrieval_pipeline", "sketch_observability_report",
+    "clustering_pipeline", "int8_ann_pipeline", "split_hygiene_report",
+    "corpus_probe_report", "dedup_forensics_pipeline",
+    "corpus_release_report", "vocab_scaling_laws",
+    "packing_layout_report", "bitext_align_pipeline",
+    # round-4 wire/streaming/LSCL gates (carried from the r04 list)
+    "avro_codec", "cloudtrail_codec", "collectd_codec", "fluent_codec",
+    "netflow_codec", "protobuf_codec", "streaming_dedupe_keys",
+    "streaming_enrich_fanout", "streaming_interval_join",
+    "streaming_sessions_gap", "lscl_codec_pipeline",
+    "metadata_convention", "lscl_env_pipeline", "warc_ingest",
+    # rotation: older scale-sensitive gates (parse hot paths, joins,
+    # dedup/ANN shuffle topologies, aggregations, packing, decontam)
+    "grok_parse", "dissect_parse", "kv_parse", "date_parse", "json_props",
+    "mutate_ops", "translate_enrich", "route_fanout", "sessionize_gap",
+    "cardinality_metrics", "metrics_window", "metrics_ewma",
+    "metrics_timer_percentiles", "rollup_agg", "aggregate_salted_skew",
+    "dedupe_exact", "dedupe_minhash_lsh", "dedupe_minhash_cross",
+    "simhash_bands", "simhash_pairs", "ngram_jaccard_inverted",
+    "embed_dup_quantized", "embed_dup_cosine", "ann_cosine_topk",
+    "ann_lsh_bucketed", "ann_ivf", "ann_ivf_pq", "semantic_dedup_flags",
+    "text_quality", "text_langid_fingerprint", "unigram_lm_quality",
+    "bigram_lm_quality", "token_chunking", "sequence_packing",
+    "token_budget_mix", "paragraph_dedup", "token_window_dedup",
+    "bloom_decontam", "decontaminate_flags", "token_decontam",
+    "embed_decontam_flags", "dsir_importance_resample",
+    "corpus_curation_e2e", "hll_cardinality", "cms_frequency",
+    "pmi_phrases", "bpe_tokenize", "stratified_sample_det",
+    "pipeline_graph", "snapshot_cdc_diff", "bucketed_join_colocated",
+    "dlq_replay", "xml_xpath", "grok_apache_combined",
+    "lineitem_pricing", "nation_revenue",
 ]
 
 _optin = pytest.mark.skipif(

@@ -104,9 +104,11 @@ def test_webtext_plan_is_pure_catalyst(spark):
 
 
 def test_gate_repaired_ok_all_rows(spark):
-    from logstash_spark.queries import QUERIES
+    # mojibake_fix is driver-folded into html_clean_pipeline (round 5);
+    # the sub-gate function remains the direct unit surface.
+    from logstash_spark.queries_dataprep8 import mojibake_fix
 
-    rows = QUERIES["mojibake_fix"](spark, SF).agg(
+    rows = mojibake_fix(spark, SF).agg(
         F.min("repaired_ok").alias("mn"), F.count("*").alias("c")
     ).collect()[0]
     assert rows["mn"] == 1 and rows["c"] > 0
