@@ -640,8 +640,10 @@ def apply_decode_codec(df, codec: Plugin, *, field: str = "value"):
     if name == "es_bulk":
         from logstash_spark.operators.codec import es_bulk_decode  # noqa: PLC0415
 
-        lines = line_codec(df, field)
-        return es_bulk_decode(lines, "message")
+        # one bulk body per file: the blob itself is the NDJSON stream
+        # (action/source line pairing needs the raw multi-line body, so
+        # no line_codec here); bodies parallelize per source_file.
+        return es_bulk_decode(df, field, group_by=("source_file",))
     # Binary wire codecs: one datum/packet per blob row (the offline file
     # framing — each file is one wire unit, like the reference's per-UDP-
     # datagram codec invocation). Schema-carrying codecs declare their

@@ -191,3 +191,115 @@ def lscl_env_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_id bigint, event_type string, env_tag string, region string"
     )
+
+
+@query(
+    "lscl_binary_codec",
+    """
+    WITH pk AS (SELECT unnest(range(0, 40)) AS p),
+    fl AS (
+      SELECT p, CAST(gs.i AS INT) AS flow_no,
+             CAST(p % 3 + 1 AS INT) AS flow_records
+      FROM pk, LATERAL (SELECT unnest(range(0, p % 3 + 1)) AS i) gs
+    )
+    SELECT CAST(p AS BIGINT) AS flow_seq_num, flow_no, flow_records,
+           '10.0.' || CAST(p AS VARCHAR) || '.' || CAST(flow_no AS VARCHAR)
+             AS ipv4_src_addr,
+           '192.168.1.1' AS ipv4_dst_addr,
+           CAST(p * 10 + flow_no + 1 AS BIGINT) AS in_pkts,
+           CAST((p * 10 + flow_no + 1) * 64 AS BIGINT) AS in_bytes,
+           CAST((1700000000 + p) * 1000 - 100000 + flow_no * 1000 AS BIGINT)
+             AS first_switched_ms,
+           CAST(1024 + p AS INT) AS l4_src_port,
+           CAST(443 AS INT) AS l4_dst_port,
+           CAST(6 AS INT) AS protocol,
+           CAST(1700000000 + p AS BIGINT) AS unix_sec,
+           CAST(p AS VARCHAR) || '-' || CAST(flow_no AS VARCHAR) AS flow_key,
+           FALSE AS meta_leaked
+    FROM fl
+    """,
+)
+def lscl_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A BINARY wire codec end-to-end through `.conf` text (the r04
+    verdict's remaining LSCL gap): 40 deterministic NetFlow v5 export
+    packets are written as one-packet-per-file blobs, a conf declaring
+    `input { file { codec => netflow } }` re-ingests them (binaryFile
+    framing, numpy-vectorized decode), a mutate chain inside the SAME
+    conf writes `[@metadata][pkt]` and sprintf-consumes it into
+    `flow_key` (pinning parser-level `[@metadata]` support in conf
+    text — reference Event.java §getMetadata + config/mixin.rb per-
+    plugin codecs), and the decoded flows land in a file sink that must
+    NOT contain the metadata column (`meta_leaked` pins that schema
+    fact). The oracle re-derives every flow field from packet-index
+    arithmetic alone — it never sees the bytes."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from logstash_spark.operators.common import METADATA  # noqa: PLC0415
+    from logstash_spark.operators.wire import netflow_encode  # noqa: PLC0415
+    from logstash_spark.plans.lscl import bind_input, compile_conf  # noqa: PLC0415
+    from logstash_spark.plans.runner import run_pipeline  # noqa: PLC0415
+    from logstash_spark.sources.tableio import SnapshotTable  # noqa: PLC0415
+
+    p = F.col("id")
+    pkts = netflow_encode(
+        spark.range(0, 40, 1, 4),
+        count=(p % 3 + 1).cast("int"),
+        header={
+            "sys_uptime": F.lit(3_600_000),
+            "unix_secs": F.lit(1_700_000_000) + p,
+            "unix_nsecs": F.lit(0),
+            "flow_sequence": p,
+            "engine_id": p % 4,
+        },
+        record={
+            "srcaddr": lambda i: F.lit(167_772_160) + p * 256 + i,
+            "dstaddr": F.lit(3_232_235_777),
+            "dPkts": lambda i: p * 10 + i + 1,
+            "dOctets": lambda i: (p * 10 + i + 1) * 64,
+            "first": lambda i: F.lit(3_500_000) + i * 1000,
+            "last": lambda i: F.lit(3_500_000) + i * 1000 + 500,
+            "srcport": F.lit(1024) + p,
+            "dstport": F.lit(443),
+            "prot": F.lit(6),
+        },
+    ).select("id", "packet").collect()
+
+    work = tempfile.mkdtemp(prefix="lscl_nf_gate_")
+    pdir = f"{work}/packets"
+    os.makedirs(pdir)
+    try:
+        for r in pkts:
+            with open(f"{pdir}/pkt-{r['id']:04d}.nf", "wb") as fh:
+                fh.write(bytes(r["packet"]))
+        conf = f"""
+        input {{ file {{ path => "{pdir}" codec => netflow }} }}
+        filter {{
+          mutate {{ add_field => {{ "[@metadata][pkt]" => "%{{flow_seq_num}}" }} }}
+          mutate {{ add_field => {{
+            "flow_key" => "%{{[@metadata][pkt]}}-%{{flow_no}}" }} }}
+        }}
+        output {{ file {{ path => "flows" }} }}
+        """
+        spec, ast = compile_conf(conf, aggregate_dims=["protocol"])
+        df = bind_input(spark, ast)
+        run_pipeline(spark, df, spec, f"{work}/sinks", resume=False)
+        out = SnapshotTable(f"{work}/sinks/flows").read(spark)
+        rows = out.select(
+            "flow_seq_num", "flow_no", "flow_records",
+            "ipv4_src_addr", "ipv4_dst_addr", "in_pkts", "in_bytes",
+            "first_switched_ms", "l4_src_port", "l4_dst_port", "protocol",
+            "unix_sec", "flow_key",
+            F.lit(METADATA in out.columns).alias("meta_leaked"),
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "flow_seq_num bigint, flow_no int, flow_records int, "
+        "ipv4_src_addr string, ipv4_dst_addr string, in_pkts bigint, "
+        "in_bytes bigint, first_switched_ms bigint, l4_src_port int, "
+        "l4_dst_port int, protocol int, unix_sec bigint, flow_key string, "
+        "meta_leaked boolean",
+    )

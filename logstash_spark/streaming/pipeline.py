@@ -34,6 +34,7 @@ def file_stream_source(
     *,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: str | int | None = None,
     completed_action: str | None = None,
     archive_dir: str | None = None,
     max_file_age: str | None = None,
@@ -59,6 +60,14 @@ def file_stream_source(
     rdr = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         rdr = rdr.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger:
+        # byte-denominated admission control (the reference's PQ
+        # `queue.max_bytes` backpressure analog): each micro-batch
+        # admits files up to this many bytes ('10m', '1g', or an int),
+        # independent of file COUNT — the knob that matters when file
+        # sizes are skewed. Composable with maxFilesPerTrigger (Spark
+        # applies whichever bound binds first).
+        rdr = rdr.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     if completed_action:
         if completed_action not in ("delete", "archive"):
             raise ValueError("completed_action must be 'delete' or 'archive'")
