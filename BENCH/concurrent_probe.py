@@ -1,25 +1,33 @@
 #!/usr/bin/env python
-"""Shared-box attribution probe for the flagship scaling studies.
+"""Shared-box attribution probe for the scaling studies.
 
 Question: when [4,4] (16 cores) underperforms 4x the [1,4] (4-core)
 rate, is the loss in the ENGINE (inter-executor coordination, shuffle,
 scheduling) or in the BOX (memory bandwidth / turbo headroom shared by
 every core)?
 
-Method: run FOUR completely independent local-cluster[1,4] flagship
-jobs AT THE SAME TIME (disjoint JVMs, no shared Spark state, each its
-own 6M-row slice — same per-core work as one 24M-row e4 run) and sum
-their throughputs. Any deficit of that aggregate vs 4x the SOLO [1,4]
-rate is pure box effect — there is no coordination to blame across
-independent clusters. Then eff_box = aggregate / (4 x solo); the
-engine's own coordination cost is eff_e4 / eff_box.
+Method: run FOUR completely independent local-cluster[1,4] jobs AT THE
+SAME TIME (disjoint JVMs, no shared Spark state, each its own input
+slice — same per-core work as one 4x-sized e4 run) and sum their
+throughputs. Any deficit of that aggregate vs 4x the SOLO [1,4] rate is
+pure box effect — there is no coordination to blame across independent
+clusters. Then eff_box = aggregate / (4 x solo); the engine's own
+coordination cost is eff_e4 / eff_box.
 
-Usage: python BENCH/concurrent_probe.py [N_PER_JOB=6000000]
+Round 5: the probe takes the same JOB argument as BENCH/scaling.py
+(payloads are imported from there — one definition), so the attribution
+argument extends to the shuffle-heavy dedup witness, not just the
+map-dominated flagship (the r04 verdict's ask).
+
+Usage: python BENCH/concurrent_probe.py [N_PER_JOB] [JOB=flagship|dedup]
+  N_PER_JOB defaults: flagship 6,000,000 rows; dedup 1,500,000 docs
+  (4 concurrent jobs then match the 24M-row / 6M-doc e4 studies).
 Prints one JSON line; append interpretation to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 import subprocess
@@ -27,31 +35,48 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_scaling", os.path.join(REPO, "BENCH", "scaling.py")
+)
+_scaling = importlib.util.module_from_spec(_spec)
+# scaling.py runs its study on import only under __main__; importing it
+# here just gives us PAYLOADS (sys.argv is ours, so guard by name).
+_scaling.__name__ = "bench_scaling"
+_spec.loader.exec_module(_scaling)
+PAYLOADS = _scaling.PAYLOADS
+
+JOB = sys.argv[2] if len(sys.argv) > 2 else "flagship"
+if JOB not in PAYLOADS:
+    raise SystemExit(f"unknown JOB {JOB!r}; choose from {sorted(PAYLOADS)}")
+_DEFAULT_N = {"flagship": 6_000_000, "dedup": 1_500_000}
+N = int(sys.argv[1]) if len(sys.argv) > 1 else _DEFAULT_N[JOB]
+# dedup needs the 6g executor heap the 6M studies settled on (shingle
+# explode spill pressure at 4g showed as fake inefficiency), plus
+# 4 partitions/core on the shuffle like scaling.py's run_once.
+EXEC_MEM = os.environ.get(
+    "SPARK_GRAFT_SCALING_EXEC_MEM", "6g" if JOB == "dedup" else "4g"
+)
+_WORKER_MB = int(EXEC_MEM.rstrip("gG")) * 1024
+SHUFFLE = 4 * (4 if JOB == "dedup" else 1)
 
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 import os
 n = int(sys.argv[1]); reps = int(sys.argv[2])
+total = 4
 os.environ["SPARK_GRAFT_CPUS"] = "4"
 from logstash_spark.session import get_spark
 from pyspark.sql import functions as F
-spark = get_spark(master="local-cluster[1,4,4096]", shuffle_partitions=4,
+spark = get_spark(master="local-cluster[1,4,{worker_mb}]",
+                  shuffle_partitions={shuffle},
                   extra_conf={{"spark.ui.showConsoleProgress": "false",
-                               "spark.driver.memory": "4g",
-                               "spark.executor.memory": "4g"}})
+                               "spark.driver.memory": "8g",
+                               "spark.executor.memory": {exec_mem!r}}})
 spark.sparkContext.setLogLevel("ERROR")
-from logstash_spark.sources.gen import input_sequences
-from logstash_spark.plans.flagship import build_flagship
-df = input_sequences(spark, n, partitions=32)
-routed = build_flagship(df)
-agg = (routed.select(F.explode("routes").alias("sink"), "source", "n_tok")
-       .groupBy("sink", "source")
-       .agg(F.count("*").alias("cnt"), F.sum("n_tok").alias("sum_n_tok")))
-def run_job():
-    agg.write.format("noop").mode("overwrite").save()
-run_job()  # warm
+{payload}
+run_job()  # warm plan+codegen+JIT
 best = None
 for _ in range(reps):
     t0 = time.perf_counter(); run_job(); w = time.perf_counter() - t0
@@ -61,7 +86,13 @@ print(json.dumps({{"sec": best, "rows_per_sec": n / best}}))
 
 
 def spawn() -> subprocess.Popen:
-    child = CHILD.format(repo=REPO)
+    child = CHILD.format(
+        repo=REPO,
+        payload=PAYLOADS[JOB],
+        worker_mb=_WORKER_MB,
+        shuffle=SHUFFLE,
+        exec_mem=EXEC_MEM,
+    )
     return subprocess.Popen(
         [sys.executable, "-c", child, str(N), "2"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
@@ -69,7 +100,7 @@ def spawn() -> subprocess.Popen:
 
 
 def result(p: subprocess.Popen) -> dict:
-    out, _ = p.communicate(timeout=1800)
+    out, _ = p.communicate(timeout=3600)
     for line in reversed(out.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
@@ -88,6 +119,7 @@ def main() -> None:
     solo2 = result(spawn())
     solo_best = max(solo["rows_per_sec"], solo2["rows_per_sec"])
     print(json.dumps({
+        "job": JOB,
         "n_per_job": N,
         "solo_1x4_rows_per_sec": round(solo["rows_per_sec"]),
         "solo_1x4_after_rows_per_sec": round(solo2["rows_per_sec"]),
