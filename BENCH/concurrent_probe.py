@@ -73,7 +73,15 @@ spark = get_spark(master="local-cluster[1,4,{worker_mb}]",
                   shuffle_partitions={shuffle},
                   extra_conf={{"spark.ui.showConsoleProgress": "false",
                                "spark.driver.memory": "8g",
-                               "spark.executor.memory": {exec_mem!r}}})
+                               "spark.executor.memory": {exec_mem!r},
+                               # this VM stalls whole JVMs for multi-second
+                               # waves under contention; the default 120s
+                               # network timeout then kills a healthy
+                               # executor mid-study (observed repeatedly at
+                               # t=+120s). Generous timeouts keep the probe
+                               # measuring throughput, not flakiness.
+                               "spark.network.timeout": "600s",
+                               "spark.executor.heartbeatInterval": "30s"}})
 spark.sparkContext.setLogLevel("ERROR")
 {payload}
 run_job()  # warm plan+codegen+JIT
@@ -85,7 +93,7 @@ print(json.dumps({{"sec": best, "rows_per_sec": n / best}}))
 """
 
 
-def spawn() -> subprocess.Popen:
+def spawn(tag: str = "solo") -> subprocess.Popen:
     child = CHILD.format(
         repo=REPO,
         payload=PAYLOADS[JOB],
@@ -93,39 +101,65 @@ def spawn() -> subprocess.Popen:
         shuffle=SHUFFLE,
         exec_mem=EXEC_MEM,
     )
+    err = open(f"/tmp/concurrent_probe_{JOB}_{tag}.err", "w")  # noqa: SIM115
     return subprocess.Popen(
         [sys.executable, "-c", child, str(N), "2"],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        stdout=subprocess.PIPE, stderr=err, text=True,
     )
 
 
-def result(p: subprocess.Popen) -> dict:
+def result(p: subprocess.Popen, tag: str = "solo", required: bool = True):
     out, _ = p.communicate(timeout=3600)
     for line in reversed(out.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError("no result line")
+    tail = ""
+    try:
+        with open(f"/tmp/concurrent_probe_{JOB}_{tag}.err") as fh:
+            tail = fh.read()[-400:]
+    except OSError:
+        pass
+    if required:
+        raise RuntimeError(f"no result line ({tag}); stderr tail: {tail!r}")
+    # a concurrent child can die on transient executor loss under full
+    # box contention; the probe stays honest by dropping it (aggregate
+    # and the 4x denominator both shrink to the surviving children —
+    # retrying it ALONE would measure a solo epoch and inflate the sum)
+    sys.stderr.write(f"concurrent child {tag} died; stderr tail: {tail!r}\n")
+    return None
 
 
 def main() -> None:
+    def solo_run(tag: str) -> dict:
+        # solos retry once: a transient worker loss (this VM sheds an
+        # executor JVM every so often) otherwise kills a 30-min study,
+        # and a retried SOLO still measures the solo condition.
+        try:
+            return result(spawn(tag), tag)
+        except RuntimeError as e:
+            sys.stderr.write(f"{e}\nretrying {tag} once\n")
+            return result(spawn(tag + "r"), tag + "r")
+
     # solo baseline: one [1,4] job alone on the box
-    solo = result(spawn())
+    solo = solo_run("solo0")
     # aggregate: four independent [1,4] jobs simultaneously
     t0 = time.time()
-    procs = [spawn() for _ in range(4)]
-    rs = [result(p) for p in procs]
-    agg = sum(r["rows_per_sec"] for r in rs)
+    procs = [(spawn(f"c{i}"), f"c{i}") for i in range(4)]
+    rs = [result(p, tag, required=False) for p, tag in procs]
+    ok = [r for r in rs if r is not None]
+    agg = sum(r["rows_per_sec"] for r in ok)
     # second solo to bracket epoch drift
-    solo2 = result(spawn())
+    solo2 = solo_run("solo1")
     solo_best = max(solo["rows_per_sec"], solo2["rows_per_sec"])
     print(json.dumps({
         "job": JOB,
         "n_per_job": N,
         "solo_1x4_rows_per_sec": round(solo["rows_per_sec"]),
         "solo_1x4_after_rows_per_sec": round(solo2["rows_per_sec"]),
-        "concurrent_each": [round(r["rows_per_sec"]) for r in rs],
+        "concurrent_each": [round(r["rows_per_sec"]) for r in ok],
+        "concurrent_children_died": len(rs) - len(ok),
         "concurrent_aggregate_rows_per_sec": round(agg),
-        "eff_box_vs_4x_solo": round(agg / (4 * solo_best), 3),
+        "eff_box_vs_nx_solo": round(agg / (max(len(ok), 1) * solo_best), 3),
         "wall_concurrent_sec": round(time.time() - t0, 1),
     }))
 

@@ -96,7 +96,13 @@ shuffle = int(sys.argv[4]); reps = int(sys.argv[5])
 os.environ["SPARK_GRAFT_CPUS"] = str(total)
 from logstash_spark.session import get_spark
 from pyspark.sql import functions as F
-extra = {{"spark.ui.showConsoleProgress": "false"}}
+extra = {{"spark.ui.showConsoleProgress": "false",
+          # this VM stalls whole JVMs for multi-second waves under
+          # contention; the default 120s network timeout then kills a
+          # healthy executor mid-study. Generous timeouts keep levels
+          # measuring throughput, not flakiness.
+          "spark.network.timeout": "600s",
+          "spark.executor.heartbeatInterval": "30s"}}
 # AQE can pick a broadcast join mid-plan (e.g. the dedup verify join at
 # low shuffle-partition counts); the driver builds that table in ITS
 # heap — size it explicitly or narrow-executor probes die with
