@@ -20,8 +20,12 @@ argument extends to the shuffle-heavy dedup witness, not just the
 map-dominated flagship (the r04 verdict's ask).
 
 Usage: python BENCH/concurrent_probe.py [N_PER_JOB] [JOB=flagship|dedup]
-  N_PER_JOB defaults: flagship 6,000,000 rows; dedup 1,500,000 docs
-  (4 concurrent jobs then match the 24M-row / 6M-doc e4 studies).
+  N_PER_JOB default: 6,000,000 for both jobs. For dedup, run at the
+  SAME N as the scaling studies (6M): each child is then byte-for-byte
+  the e1 study job, and smaller N can flip AQE into a misestimated
+  broadcast of a verify-join side that OOMs the executor (measured at
+  1.5M docs: a 396 MiB TorrentBroadcast under a 64 MB-threshold
+  estimate — see SCALE.md §3's broadcast-misestimation note).
 Prints one JSON line; append interpretation to BENCH/BASELINE.md.
 """
 
@@ -49,7 +53,7 @@ PAYLOADS = _scaling.PAYLOADS
 JOB = sys.argv[2] if len(sys.argv) > 2 else "flagship"
 if JOB not in PAYLOADS:
     raise SystemExit(f"unknown JOB {JOB!r}; choose from {sorted(PAYLOADS)}")
-_DEFAULT_N = {"flagship": 6_000_000, "dedup": 1_500_000}
+_DEFAULT_N = {"flagship": 6_000_000, "dedup": 6_000_000}
 N = int(sys.argv[1]) if len(sys.argv) > 1 else _DEFAULT_N[JOB]
 # dedup needs the 6g executor heap the 6M studies settled on (shingle
 # explode spill pressure at 4g showed as fake inefficiency), plus
