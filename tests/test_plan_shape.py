@@ -464,3 +464,34 @@ def test_bitext_mine_three_exchanges_broadcast_src(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 3, f"expected 3 key Exchanges, saw {n_exchanges}"
     assert "SortMergeJoin" not in plan
+
+
+def test_conf_binary_codec_path_is_shuffle_free(spark, tmp_path):
+    """`input { file { codec => netflow } }` compiled from conf text must
+    stay the map-only topology the operator promises at 100 TB: one
+    binaryFile scan → ONE MapInPandas (the numpy-vectorized decode) →
+    column projection, zero Exchange before any sink write."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.wire import netflow_encode
+    from logstash_spark.plans.lscl import bind_input, parse_config
+
+    p = F.col("id")
+    pkts = netflow_encode(
+        spark.range(0, 4, 1, 1),
+        count=F.lit(2).cast("int"),
+        header={"sys_uptime": F.lit(1000), "unix_secs": F.lit(1_700_000_000),
+                "flow_sequence": p},
+        record={"srcaddr": F.lit(167_772_161), "dPkts": lambda i: i + 1,
+                "dOctets": lambda i: (i + 1) * 64},
+    ).select("id", "packet").collect()
+    d = tmp_path / "nf"
+    d.mkdir()
+    for r in pkts:
+        (d / f"{r['id']}.nf").write_bytes(bytes(r["packet"]))
+    conf = f'input {{ file {{ path => "{d}" codec => netflow }} }}'
+    df = bind_input(spark, parse_config(conf))
+    df.collect()
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
